@@ -1,0 +1,35 @@
+"""Command-line entry point (reference: src/main.cpp).
+
+Usage:  python -m artemis_tpu.cli -i input.deck [-d data_dir] [key=value ...]
+Return codes: 0 complete, 1 failed (2 = walltime timeout, later).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="artemis_tpu")
+    ap.add_argument("-i", "--input", required=True, help="input deck file")
+    ap.add_argument("-d", "--data", default=".", help="output data directory")
+    ap.add_argument("-n", "--ncycle-out", type=int, default=0, help="stdout log interval")
+    ap.add_argument("overrides", nargs="*", help="block/key=value overrides")
+    args = ap.parse_args(argv)
+
+    from .simulation import Simulation
+
+    try:
+        sim = Simulation(args.input, overrides=args.overrides, data_dir=args.data)
+        zcps = sim.run(log_every=args.ncycle_out)
+        print(f"walltime-rate: {zcps:.3e} zone-cycles/sec "
+              f"(ncycle={sim.tm.ncycle}, t={sim.tm.time:.6e})")
+    except Exception as e:  # noqa: BLE001
+        print(f"artemis_tpu failed: {e}", file=sys.stderr)
+        raise
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

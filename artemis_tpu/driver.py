@@ -1,0 +1,200 @@
+"""Time integration driver.
+
+TPU-native equivalent of ``ArtemisDriver`` + Parthenon's ``EvolutionDriver``/
+``LowStorageIntegrator`` (src/artemis_driver.cpp): a two-register low-storage
+RK loop where each stage is one fused jitted function — the reference's task
+graph collapses into XLA program order (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import time as _time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import bc as bc_mod
+from .ops.hydro import FluidCfg, Hydro
+
+BIG = 1.0e308
+
+
+@dataclass(frozen=True)
+class Integrator:
+    """Two-register low-storage coefficients:
+    u0 <- gam0*u0 + gam1*u1 + beta*dt*F(u0), per stage (Parthenon
+    LowStorageIntegrator family: rk1, rk2, rk3, vl2)."""
+
+    name: str
+    gam0: Tuple[float, ...]
+    gam1: Tuple[float, ...]
+    beta: Tuple[float, ...]
+
+    @property
+    def nstages(self) -> int:
+        return len(self.beta)
+
+    @classmethod
+    def make(cls, name: str) -> "Integrator":
+        if name == "rk1":
+            return cls(name, (0.0,), (1.0,), (1.0,))
+        if name == "rk2":
+            return cls(name, (0.0, 0.5), (1.0, 0.5), (1.0, 0.5))
+        if name == "rk3":
+            return cls(
+                name,
+                (0.0, 0.25, 2.0 / 3.0),
+                (1.0, 0.75, 1.0 / 3.0),
+                (1.0, 0.25, 2.0 / 3.0),
+            )
+        if name == "vl2":
+            return cls(name, (0.0, 0.0), (1.0, 1.0), (0.5, 1.0))
+        raise ValueError(f"unknown integrator {name!r}")
+
+
+# A source term: fn(state_w, state_u, time, bdt, hydro) -> state_u
+SourceFn = Callable[..., Dict]
+
+
+class Driver:
+    """Owns the jitted step function and the outer evolution loop."""
+
+    def __init__(
+        self,
+        grid,
+        integrator: Integrator,
+        gas_cfg: Optional[FluidCfg],
+        dust_cfg: Optional[FluidCfg] = None,
+        sources: Optional[List[SourceFn]] = None,
+        bc_custom: Optional[dict] = None,
+    ):
+        self.grid = grid
+        self.integrator = integrator
+        self.hydro = Hydro(grid, gas_cfg, dust_cfg)
+        self.gas_cfg = gas_cfg
+        self.dust_cfg = dust_cfg
+        self.sources = list(sources or [])
+        self.bc_custom = bc_custom or {}
+        self._step = jax.jit(self._build_step())
+        self._dt_fn = jax.jit(self._estimate_dt)
+
+    # ------------------------------------------------------------------
+    def _fluids(self):
+        out = []
+        if self.gas_cfg is not None:
+            out.append(("gas", self.gas_cfg))
+        if self.dust_cfg is not None:
+            out.append(("dust", self.dust_cfg))
+        return out
+
+    def _estimate_dt(self, state):
+        dts = []
+        for name, cfg in self._fluids():
+            dts.append(self.hydro.estimate_dt(state[name]["w"], cfg))
+        return jnp.min(jnp.stack(dts))
+
+    def _build_step(self):
+        hyd = self.hydro
+        integ = self.integrator
+        fluids = self._fluids()
+        vl2 = integ.name == "vl2"
+
+        def sync_prims(state):
+            """C2P (interior semantics) + BCs + P2C, per fluid."""
+            new = dict(state)
+            for name, cfg in fluids:
+                u, w = state[name]["u"], state[name]["w"]
+                w = hyd.cons_to_prim(u, cfg)
+                w = bc_mod.fill_ghosts(w, hyd.grid, name, self.bc_custom)
+                u, w = hyd.prim_to_cons(w, cfg)
+                new[name] = {"u": u, "w": w}
+            return new
+
+        def step(state, dt, time):
+            # u1 register: deep copy of conserved data
+            u1 = {name: state[name]["u"] for name, _ in fluids}
+            for stage in range(1, integ.nstages + 1):
+                gam0 = integ.gam0[stage - 1]
+                gam1 = integ.gam1[stage - 1]
+                beta = integ.beta[stage - 1]
+                bdt = beta * dt
+                force_pcm = vl2 and stage == 1
+                new_state = dict(state)
+                for name, cfg in fluids:
+                    u, w = state[name]["u"], state[name]["w"]
+                    fx = hyd.compute_fluxes(w, cfg, force_pcm)
+                    u = hyd.apply_update(u, u1[name], fx, gam0, gam1, bdt)
+                    u = hyd.flux_source(u, w, fx, bdt)
+                    new_state[name] = {"u": u, "w": w}
+                # external sources in reference task order
+                # (gravity -> rotating frame -> drag -> cooling)
+                for src in self.sources:
+                    new_state = src(new_state, time, bdt, hyd)
+                # dual-energy sync for gas
+                if self.gas_cfg is not None:
+                    u = hyd.set_auxiliary(new_state["gas"]["u"], self.gas_cfg)
+                    new_state["gas"] = {"u": u, "w": new_state["gas"]["w"]}
+                state = sync_prims(new_state)
+            return state
+
+        return step
+
+    # ------------------------------------------------------------------
+    def initialize(self, state):
+        """PostInitialization: P2C after the problem generator, then ghost
+        sync (fill_derived.cpp:283-287)."""
+        new = dict(state)
+        for name, cfg in self._fluids():
+            w = state[name]["w"]
+            w = bc_mod.fill_ghosts(w, self.grid, name, self.bc_custom)
+            u, w = self.hydro.prim_to_cons(w, cfg)
+            new[name] = {"u": u, "w": w}
+        return new
+
+    def step(self, state, dt, time):
+        return self._step(state, jnp.asarray(dt), jnp.asarray(time))
+
+    def estimate_dt(self, state):
+        return float(self._dt_fn(state))
+
+
+@dataclass
+class SimTime:
+    time: float = 0.0
+    dt: float = BIG
+    ncycle: int = 0
+    tlim: float = 1.0
+    nlim: int = -1
+
+
+def evolve(driver: Driver, state, tm: SimTime, observers=None, log_every: int = 0):
+    """Outer evolution loop (EvolutionDriver::Execute equivalent).
+
+    ``observers``: list of callables (state, tm) -> None, invoked after each
+    cycle (used for history output).
+    Returns (state, tm, zone_cycles_per_sec).
+    """
+    observers = observers or []
+    ncells = int(np.prod(driver.grid.nx))
+    t0 = _time.perf_counter()
+    cycles0 = tm.ncycle
+    while tm.time < tm.tlim * (1.0 - 1e-12) and (tm.nlim < 0 or tm.ncycle < tm.nlim):
+        new_dt = driver.estimate_dt(state)
+        # Parthenon-style global dt: at most doubles, clamps to tlim
+        dt = min(2.0 * tm.dt, new_dt)
+        if tm.time + dt > tm.tlim:
+            dt = tm.tlim - tm.time
+        state = driver.step(state, dt, tm.time)
+        tm.time += dt
+        tm.dt = dt
+        tm.ncycle += 1
+        for obs in observers:
+            obs(state, tm)
+        if log_every and tm.ncycle % log_every == 0:
+            print(f"cycle={tm.ncycle} time={tm.time:.6e} dt={dt:.6e}")
+    elapsed = _time.perf_counter() - t0
+    zcps = ncells * (tm.ncycle - cycles0) / max(elapsed, 1e-30)
+    return state, tm, zcps

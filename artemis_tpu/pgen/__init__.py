@@ -1,0 +1,32 @@
+"""Problem generators (reference: src/pgen/pgen.hpp name dispatch)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+
+@dataclass
+class Problem:
+    """What a problem generator provides to the driver."""
+
+    prims: Dict[str, object]            # fluid name -> primitive array (entire grid)
+    bc_custom: Dict[str, Callable] = field(default_factory=dict)
+    sources: List[Callable] = field(default_factory=list)
+    after_loop: Optional[Callable] = None   # fn(grid, pin, state, tm, data_dir)
+
+
+def build_problem(name: str, pin, grid, gas_cfg=None, dust_cfg=None) -> Problem:
+    if name == "linear_wave":
+        from . import linear_wave
+        return linear_wave.build(pin, grid, gas_cfg, dust_cfg)
+    if name == "advection":
+        from . import advection
+        return advection.build(pin, grid, gas_cfg, dust_cfg)
+    if name == "constant":
+        from . import constant
+        return constant.build(pin, grid, gas_cfg, dust_cfg)
+    if name == "blast":
+        from . import blast
+        return blast.build(pin, grid, gas_cfg, dust_cfg)
+    raise ValueError(f"unknown problem {name!r}")

@@ -1,0 +1,129 @@
+"""Top-level simulation assembly (reference: src/artemis.cpp ProcessPackages
++ src/main.cpp LaunchWorkFlow).
+
+Reads the input deck, wires the enabled physics packages, builds the problem
+generator and driver, and runs the evolution loop.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from .config import ParameterInput
+from .driver import Driver, Integrator, SimTime, evolve
+from .eos import eos_from_input
+from .grid import grid_from_input
+from .ops.hydro import FluidCfg
+from .pgen import build_problem
+from .units import Constants, Units
+
+
+def _enable_x64():
+    jax.config.update("jax_enable_x64", True)
+
+
+class Simulation:
+    def __init__(
+        self,
+        deck: str,
+        overrides: Sequence[str] = (),
+        data_dir: str = ".",
+        is_path: Optional[bool] = None,
+    ):
+        _enable_x64()
+        if is_path is None:
+            is_path = os.path.exists(deck)
+        pin = ParameterInput.from_file(deck) if is_path else ParameterInput.from_string(deck)
+        pin.apply_overrides(overrides)
+        self.pin = pin
+        self.data_dir = data_dir
+        os.makedirs(data_dir, exist_ok=True)
+
+        self.units = Units.from_input(pin)
+        self.constants = Constants.from_units(self.units)
+
+        # physics selection (artemis.cpp:63-91)
+        self.do_gas = pin.get_or_add_bool("physics", "gas", True)
+        self.do_dust = pin.get_or_add_bool("physics", "dust", False)
+
+        self.grid = grid_from_input(pin)
+
+        def _check(kind, val, allowed):
+            if val not in allowed:
+                raise ValueError(f"{kind} {val!r} not recognized (choices: {allowed})")
+
+        gas_cfg = None
+        if self.do_gas:
+            eos = eos_from_input(pin, self.constants)
+            recon = pin.get_or_add_str("gas", "reconstruct", "plm")
+            rsolver = pin.get_or_add_str("gas", "riemann", "hllc")
+            _check("reconstruction", recon, ("pcm", "plm", "ppm"))
+            _check("riemann solver", rsolver, ("hllc", "hlle", "llf"))
+            gas_cfg = FluidCfg(
+                fluid="gas",
+                recon=recon,
+                rsolver=rsolver,
+                gamma=eos.gamma,
+                cfl=pin.get_or_add_real("gas", "cfl", 0.8),
+                dfloor=pin.get_or_add_real("gas", "dfloor", 1.0e-20),
+                siefloor=pin.get_or_add_real("gas", "siefloor", 1.0e-20),
+                de_switch=pin.get_or_add_real("gas", "de_switch", 0.0),
+                nspecies=pin.get_or_add_int("gas", "nspecies", 1),
+            )
+            self.eos = eos
+        dust_cfg = None
+        if self.do_dust:
+            drecon = pin.get_or_add_str("dust", "reconstruct", "plm")
+            drsolver = pin.get_or_add_str("dust", "riemann", "hlle")
+            _check("reconstruction", drecon, ("pcm", "plm", "ppm"))
+            _check("riemann solver (dust)", drsolver, ("hlle", "llf"))
+            dust_cfg = FluidCfg(
+                fluid="dust",
+                recon=drecon,
+                rsolver=drsolver,
+                cfl=pin.get_or_add_real("dust", "cfl", 0.8),
+                dfloor=pin.get_or_add_real("dust", "dfloor", 1.0e-20),
+                nspecies=pin.get_or_add_int("dust", "nspecies", 1),
+            )
+        self.gas_cfg = gas_cfg
+        self.dust_cfg = dust_cfg
+
+        # problem generator (may reset tlim etc.)
+        problem_name = pin.get_str("artemis", "problem")
+        self.problem = build_problem(problem_name, pin, self.grid, gas_cfg, dust_cfg)
+
+        integrator = Integrator.make(pin.get_or_add_str("parthenon/time", "integrator", "rk2"))
+        self.driver = Driver(
+            self.grid,
+            integrator,
+            gas_cfg,
+            dust_cfg,
+            sources=self.problem.sources,
+            bc_custom=self.problem.bc_custom,
+        )
+
+        # initial state
+        import jax.numpy as jnp
+
+        state = {}
+        for name, w in self.problem.prims.items():
+            state[name] = {"u": None, "w": jnp.asarray(w)}
+        self.state = self.driver.initialize(state)
+
+        self.tm = SimTime(
+            time=0.0,
+            tlim=pin.get_real("parthenon/time", "tlim"),
+            nlim=pin.get_or_add_int("parthenon/time", "nlim", -1),
+        )
+
+    def run(self, log_every: int = 0):
+        self.state, self.tm, zcps = evolve(
+            self.driver, self.state, self.tm, log_every=log_every
+        )
+        if self.problem.after_loop is not None:
+            self.problem.after_loop(self.grid, self.pin, self.state, self.tm, self.data_dir)
+        return zcps

@@ -1,0 +1,16 @@
+"""Test configuration: run on CPU (8 virtual devices) in float64.
+
+Mirrors the reference CI setup (ubuntu CPU, oversubscribed MPI ranks ->
+here: xla_force_host_platform_device_count virtual devices).
+"""
+
+import os
+
+# must happen before jax initializes a backend
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+# the axon TPU plugin overrides JAX_PLATFORMS; force CPU programmatically
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
