@@ -69,6 +69,19 @@ def apply_reflecting(w, d: int, ng: int, n: int, side: int, vel_comp: int):
 CustomBC = Callable[..., object]
 
 
+def pad_prims(w_int, grid):
+    """Pad an interior primitive array with ghost slabs (edge-replicated;
+    every ghost cell is overwritten by fill_ghosts / halo exchange)."""
+    ng = grid.ng
+    pads = [(0, 0)] * (w_int.ndim - 3) + [(ng[2], ng[2]), (ng[1], ng[1]), (ng[0], ng[0])]
+    return jnp.pad(w_int, pads, mode="edge")
+
+
+def pad_and_fill(w_int, grid, fluid: str, custom: Optional[Dict[str, CustomBC]] = None):
+    """Interior prims -> ghost-padded prims with all BCs applied."""
+    return fill_ghosts(pad_prims(w_int, grid), grid, fluid, custom)
+
+
 def fill_ghosts(w, grid, fluid: str, custom: Optional[Dict[str, CustomBC]] = None):
     """Apply all six boundary fills to a primitive array."""
     custom = custom or {}

@@ -103,12 +103,10 @@ class Driver:
         vl2 = integ.name == "vl2"
 
         def sync_prims(state):
-            """C2P (interior semantics) + BCs + P2C, per fluid."""
+            """C2P + P2C re-sync on interior arrays, per fluid."""
             new = dict(state)
             for name, cfg in fluids:
-                u, w = state[name]["u"], state[name]["w"]
-                w = hyd.cons_to_prim(u, cfg)
-                w = bc_mod.fill_ghosts(w, hyd.grid, name, self.bc_custom)
+                w = hyd.cons_to_prim(state[name]["u"], cfg)
                 u, w = hyd.prim_to_cons(w, cfg)
                 new[name] = {"u": u, "w": w}
             return new
@@ -125,7 +123,9 @@ class Driver:
                 new_state = dict(state)
                 for name, cfg in fluids:
                     u, w = state[name]["u"], state[name]["w"]
-                    fx = hyd.compute_fluxes(w, cfg, force_pcm)
+                    # ghost fill: physical BCs (+ halo exchange when sharded)
+                    w_pad = self.fill_ghosts(w, name)
+                    fx = hyd.compute_fluxes(w_pad, cfg, force_pcm)
                     u = hyd.apply_update(u, u1[name], fx, gam0, gam1, bdt)
                     u = hyd.flux_source(u, w, fx, bdt)
                     new_state[name] = {"u": u, "w": w}
@@ -142,15 +142,18 @@ class Driver:
 
         return step
 
+    def fill_ghosts(self, w_int, fluid: str):
+        """Interior prims -> padded prims.  Overridden by the sharded driver
+        to insert ppermute halo exchange."""
+        return bc_mod.pad_and_fill(w_int, self.grid, fluid, self.bc_custom)
+
     # ------------------------------------------------------------------
     def initialize(self, state):
-        """PostInitialization: P2C after the problem generator, then ghost
-        sync (fill_derived.cpp:283-287)."""
+        """PostInitialization: P2C after the problem generator
+        (fill_derived.cpp:283-287).  Prims arrive on the interior grid."""
         new = dict(state)
         for name, cfg in self._fluids():
-            w = state[name]["w"]
-            w = bc_mod.fill_ghosts(w, self.grid, name, self.bc_custom)
-            u, w = self.hydro.prim_to_cons(w, cfg)
+            u, w = self.hydro.prim_to_cons(state[name]["w"], cfg)
             new[name] = {"u": u, "w": w}
         return new
 

@@ -126,10 +126,10 @@ def build(pin, grid, gas_cfg, dust_cfg=None) -> Problem:
     nperiod = pin.get_or_add_real("problem", "nperiod", 1.0)
     pin.set("parthenon/time", "tlim", nperiod * abs(lw.lam / lw.ev[lw.wave_flag]))
 
-    # initial primitive state over the entire (padded) grid
-    x1v, x2v, x3v = grid.cell_centers_entire()
+    # initial primitive state over the interior grid
+    x1v, x2v, x3v = grid.cell_centers()
     cd, cm1, cm2, cm3, ce = _analytic_cons(lw, x1v, x2v, x3v)
-    shape = grid.shape_entire
+    shape = tuple(reversed((grid.nx[0], grid.nx[1], grid.nx[2])))
     cd = np.broadcast_to(cd, shape)
     cm1 = np.broadcast_to(cm1, shape)
     cm2 = np.broadcast_to(cm2, shape)
@@ -148,9 +148,8 @@ def build(pin, grid, gas_cfg, dust_cfg=None) -> Problem:
 def _write_errors(lw: LinWave, grid, pin, state, tm, data_dir):
     """L1 errors of conserved fields vs ICs -> <problem_id>-errs.dat
     (linear_wave.hpp:266-377)."""
-    u = np.asarray(state["gas"]["u"][0])  # [6, z, y, x]
+    u = np.asarray(state["gas"]["u"][0])  # [6, z, y, x] interior
     s3, s2, s1 = grid.int_slices
-    u = u[:, s3, s2, s1]
     x1v, x2v, x3v = grid.cell_centers()
     cd, cm1, cm2, cm3, ce = _analytic_cons(lw, x1v, x2v, x3v)
     g = grid.geom

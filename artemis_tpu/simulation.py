@@ -33,6 +33,7 @@ class Simulation:
         overrides: Sequence[str] = (),
         data_dir: str = ".",
         is_path: Optional[bool] = None,
+        nshards: int = 1,
     ):
         _enable_x64()
         if is_path is None:
@@ -97,14 +98,27 @@ class Simulation:
         self.problem = build_problem(problem_name, pin, self.grid, gas_cfg, dust_cfg)
 
         integrator = Integrator.make(pin.get_or_add_str("parthenon/time", "integrator", "rk2"))
-        self.driver = Driver(
-            self.grid,
-            integrator,
-            gas_cfg,
-            dust_cfg,
-            sources=self.problem.sources,
-            bc_custom=self.problem.bc_custom,
-        )
+        if nshards > 1:
+            from .parallel.mesh import ShardedDriver, make_device_mesh
+
+            self.driver = ShardedDriver(
+                self.grid,
+                integrator,
+                gas_cfg,
+                dust_cfg,
+                sources=self.problem.sources,
+                bc_custom=self.problem.bc_custom,
+                mesh=make_device_mesh(nshards),
+            )
+        else:
+            self.driver = Driver(
+                self.grid,
+                integrator,
+                gas_cfg,
+                dust_cfg,
+                sources=self.problem.sources,
+                bc_custom=self.problem.bc_custom,
+            )
 
         # initial state
         import jax.numpy as jnp

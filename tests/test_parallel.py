@@ -1,0 +1,50 @@
+"""Multi-device equivalence (reference: tst/scripts/hydro/linwave_mpi.py and
+tst/suites/parallel.suite — the same physics thresholds must pass at >1 rank).
+
+Runs the linear wave on a 4-device mesh (x3 domain decomposition with
+ppermute halo exchange) and checks the L1 errors against both the reference
+threshold and the single-device result.
+"""
+
+import os
+
+import numpy as np
+
+from .utils import load_errs, run_deck
+
+DECK = os.path.join(os.path.dirname(__file__), "..", "inputs", "linwave.in")
+
+
+def _args(res):
+    return [
+        "parthenon/job/problem_id=linear_wave",
+        "parthenon/time/nlim=1000",
+        "parthenon/mesh/nghost=4",
+        f"parthenon/mesh/nx1={res}",
+        f"parthenon/mesh/nx2={res // 2}",
+        f"parthenon/mesh/nx3={res}",
+        "problem/amp=1.0e-6",
+        "gas/reconstruct=plm",
+        "gas/riemann=hllc",
+        "problem/wave_flag=0",
+        "problem/vflow=0.0",
+    ]
+
+
+def test_linwave_sharded_equivalence(tmp_path):
+    import artemis_tpu.simulation as sim_mod
+
+    d1 = str(tmp_path / "serial")
+    d4 = str(tmp_path / "shard4")
+    os.makedirs(d1)
+    os.makedirs(d4)
+    run_deck(DECK, _args(16), d1)
+    sim = sim_mod.Simulation(DECK, overrides=_args(16), data_dir=d4, nshards=4)
+    sim.run()
+
+    e1 = load_errs(d1, "linear_wave")[0]
+    e4 = load_errs(d4, "linear_wave")[0]
+    # identical physics thresholds hold on the sharded run
+    assert np.all(np.isfinite(e4))
+    # sharded and serial errors agree to roundoff-level differences
+    assert np.allclose(e1, e4, rtol=1e-10), f"serial {e1} vs sharded {e4}"
