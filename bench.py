@@ -66,15 +66,22 @@ def main() -> int:
 
     mstep = jax.jit(multi)
 
-    # compile + warmup (timed call uses the warmup's output as input so the
-    # runtime cannot serve a cached identical execution)
-    state = mstep(state, dt)
-    jax.block_until_ready(state)
+    def drain(s):
+        # NOTE: on the axon TPU tunnel block_until_ready can return before
+        # execution completes; fetching a scalar is the reliable sync point.
+        return float(jnp.sum(s["gas"]["u"][0, 0, 0, 0]))
 
+    # compile + warmup, fully drained
+    state = mstep(state, dt)
+    drain(state)
+
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     t0 = time.perf_counter()
-    out = mstep(state, dt)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - t0
+    out = state
+    for _ in range(reps):
+        out = mstep(out, dt)
+    drain(out)
+    elapsed = (time.perf_counter() - t0) / reps
 
     zones = nx * ny * nz
     zcps = zones * nsteps / elapsed
