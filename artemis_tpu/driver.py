@@ -184,16 +184,23 @@ def evolve(driver: Driver, state, tm: SimTime, observers=None, log_every: int = 
     ncells = int(np.prod(driver.grid.nx))
     t0 = _time.perf_counter()
     cycles0 = tm.ncycle
-    while tm.time < tm.tlim * (1.0 - 1e-12) and (tm.nlim < 0 or tm.ncycle < tm.nlim):
-        new_dt = driver.estimate_dt(state)
-        # Parthenon-style global dt: at most doubles, clamps to tlim
-        dt = min(2.0 * tm.dt, new_dt)
-        if tm.time + dt > tm.tlim:
+
+    def set_global_dt():
+        """Parthenon SetGlobalTimeStep semantics: at most doubles the previous
+        dt, takes the global CFL minimum, clamps the next step to tlim."""
+        dt = 2.0 * tm.dt if tm.dt < 0.1 * BIG else tm.dt
+        dt = min(dt, driver.estimate_dt(state))
+        if tm.time < tm.tlim and (tm.tlim - tm.time) < dt:
             dt = tm.tlim - tm.time
+        tm.dt = dt
+
+    set_global_dt()
+    while tm.time < tm.tlim * (1.0 - 1e-12) and (tm.nlim < 0 or tm.ncycle < tm.nlim):
+        dt = tm.dt
         state = driver.step(state, dt, tm.time)
         tm.time += dt
-        tm.dt = dt
         tm.ncycle += 1
+        set_global_dt()
         for obs in observers:
             obs(state, tm)
         if log_every and tm.ncycle % log_every == 0:

@@ -54,8 +54,9 @@ class LinWave:
     gamma: float
 
 
-def _setup_wave(pin, grid, gamma) -> LinWave:
-    wave_flag = pin.get_int("problem", "wave_flag")
+def _setup_wave(pin, grid, gamma, need_wave_flag: bool = True) -> LinWave:
+    wave_flag = pin.get_int("problem", "wave_flag") if need_wave_flag else \
+        pin.get_or_add_int("problem", "wave_flag", 0)
     amp = pin.get_real("problem", "amp")
     vflow = pin.get_or_add_real("problem", "vflow", 0.0)
     along_x1 = pin.get_or_add_bool("problem", "along_x1", False)

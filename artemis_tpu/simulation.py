@@ -134,10 +134,38 @@ class Simulation:
             nlim=pin.get_or_add_int("parthenon/time", "nlim", -1),
         )
 
+    def _make_observers(self):
+        """Attach outputs declared in the deck (<parthenon/outputN> blocks)."""
+        from .io.history import HistoryOutput
+
+        obs = []
+        pid = self.pin.get_or_add_str("parthenon/job", "problem_id", "artemis")
+        for block in self.pin.block_names():
+            if not block.startswith("parthenon/output"):
+                continue
+            ftype = self.pin.get_or_add_str(block, "file_type", "hst")
+            dt_out = self.pin.get_or_add_real(block, "dt", -1.0)
+            if ftype == "hst":
+                n = block.removeprefix("parthenon/output")
+                if dt_out <= 0.0:
+                    dt_out = max(self.tm.tlim / 10.0, 1e-30)
+                fname = os.path.join(self.data_dir, f"{pid}.out{n}.hst")
+                if os.path.exists(fname):
+                    os.remove(fname)
+                obs.append(HistoryOutput(self, dt_out, fname))
+            # hdf5 field dumps are written by io.dumps (npz); attached here
+            # when file_type in (hdf5, rst) as those land
+        return obs
+
     def run(self, log_every: int = 0):
+        observers = self._make_observers()
+        for ob in observers:
+            ob.start(self.state, self.tm)
         self.state, self.tm, zcps = evolve(
-            self.driver, self.state, self.tm, log_every=log_every
+            self.driver, self.state, self.tm, observers=observers, log_every=log_every
         )
+        for ob in observers:
+            ob.finish(self.state, self.tm)
         if self.problem.after_loop is not None:
             self.problem.after_loop(self.grid, self.pin, self.state, self.tm, self.data_dir)
         return zcps
