@@ -70,6 +70,7 @@ class Driver:
         dust_cfg: Optional[FluidCfg] = None,
         sources: Optional[List[SourceFn]] = None,
         bc_custom: Optional[dict] = None,
+        omf: float = 0.0,
     ):
         self.grid = grid
         self.integrator = integrator
@@ -78,6 +79,7 @@ class Driver:
         self.dust_cfg = dust_cfg
         self.sources = list(sources or [])
         self.bc_custom = bc_custom or {}
+        self.omf = omf  # rotating-frame rate for curvilinear flux sources
         self._step = jax.jit(self._build_step())
         self._dt_fn = jax.jit(self._estimate_dt)
 
@@ -121,18 +123,20 @@ class Driver:
                 bdt = beta * dt
                 force_pcm = vl2 and stage == 1
                 new_state = dict(state)
+                fluxes = {}
                 for name, cfg in fluids:
                     u, w = state[name]["u"], state[name]["w"]
                     # ghost fill: physical BCs (+ halo exchange when sharded)
                     w_pad = self.fill_ghosts(w, name)
                     fx = hyd.compute_fluxes(w_pad, cfg, force_pcm)
+                    fluxes[name] = fx
                     u = hyd.apply_update(u, u1[name], fx, gam0, gam1, bdt)
-                    u = hyd.flux_source(u, w, fx, bdt)
+                    u = hyd.flux_source(u, w, fx, bdt, omf=self.omf)
                     new_state[name] = {"u": u, "w": w}
                 # external sources in reference task order
                 # (gravity -> rotating frame -> drag -> cooling)
                 for src in self.sources:
-                    new_state = src(new_state, time, bdt, hyd)
+                    new_state = src.apply(new_state, fluxes, time, bdt, hyd)
                 # dual-energy sync for gas
                 if self.gas_cfg is not None:
                     u = hyd.set_auxiliary(new_state["gas"]["u"], self.gas_cfg)

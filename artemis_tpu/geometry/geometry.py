@@ -87,6 +87,118 @@ def _bcast(f1, f2, f3):
     return f3[:, None, None] * f2[None, :, None] * f1[None, None, :]
 
 
+def convert_to_cyl(coords: str, x1, x2, x3):
+    """(x1,x2,x3) -> cylindrical (R, phi, z) (cf. ConvertCoordsToCyl)."""
+    x1, x2, x3 = np.asarray(x1), np.asarray(x2), np.asarray(x3)
+    if coords == "cartesian":
+        R = np.sqrt(x1 * x1 + x2 * x2)
+        return R, np.arctan2(x2, x1), x3 * np.ones_like(R)
+    if coords in ("spherical2D", "spherical3D"):
+        st, ct = np.sin(x2), np.cos(x2)
+        phi = x3 if coords == "spherical3D" else 0.0 * x3
+        return x1 * st, phi * np.ones_like(x1 * st), x1 * ct
+    if coords == "spherical1D":
+        return x1, 0.0 * x1, 0.0 * x1
+    if coords == "cylindrical":
+        return x1, x2, x3
+    if coords == "axisymmetric":  # (R, z, phi) -> (R, phi, z)
+        o = np.ones_like(x1 * x2 * x3)
+        return x1 * o, x3 * o, x2 * o
+    raise ValueError(coords)
+
+
+def convert_to_sph(coords: str, x1, x2, x3):
+    """(x1,x2,x3) -> spherical (r, theta, phi) (cf. ConvertCoordsToSph)."""
+    x1, x2, x3 = np.asarray(x1), np.asarray(x2), np.asarray(x3)
+    fuzz = 1e-300
+    if coords == "cartesian":
+        R = np.sqrt(x1 * x1 + x2 * x2)
+        r = np.sqrt(R * R + x3 * x3)
+        return r, np.arccos(x3 / (r + fuzz)), np.arctan2(x2, x1)
+    if coords in ("spherical1D", "spherical2D", "spherical3D"):
+        o = np.ones_like(x1 * x2 * x3)
+        return x1 * o, x2 * o, x3 * o
+    if coords == "cylindrical":  # (R, phi, z)
+        r = np.sqrt(x1 * x1 + x3 * x3)
+        th = np.arccos(x3 / (r + fuzz))
+        return r, th, x2 * np.ones_like(r)
+    if coords == "axisymmetric":  # (R, z, phi)
+        r = np.sqrt(x1 * x1 + x2 * x2)
+        th = np.arccos(x2 / (r + fuzz))
+        return r, th, x3 * np.ones_like(r)
+    raise ValueError(coords)
+
+
+def vec_to_cyl(coords: str, x1, x2, x3):
+    """Rows ex1, ex2, ex3: the problem-basis unit vectors expressed in the
+    cylindrical (Rhat, phihat, zhat) basis (cf. ConvertVecToCyl)."""
+    x1, x2, x3 = np.asarray(x1), np.asarray(x2), np.asarray(x3)
+    o = np.ones_like(x1 * x2 * x3)
+    z = np.zeros_like(o)
+    if coords == "cartesian":
+        R = np.sqrt(x1 * x1 + x2 * x2)
+        fz = 1e-300
+        cp, sp = x1 / (R + fz), x2 / (R + fz)
+        return ((cp * o, -sp * o, z), (sp * o, cp * o, z), (z, z, o))
+    if coords in ("spherical2D", "spherical3D", "spherical1D"):
+        if coords == "spherical1D":
+            st, ct = o, z
+        else:
+            st, ct = np.sin(x2) * o, np.cos(x2) * o
+        return ((st, z, ct), (ct, z, -st), (z, o, z))
+    if coords == "cylindrical":
+        return ((o, z, z), (z, o, z), (z, z, o))
+    if coords == "axisymmetric":  # (Rhat, zhat, phihat) -> (Rhat, phihat, zhat)
+        return ((o, z, z), (z, z, o), (z, o, z))
+    raise ValueError(coords)
+
+
+def vec_to_cart(coords: str, x1, x2, x3):
+    """Rows ex1, ex2, ex3 in the Cartesian basis (cf. ConvertVecToCart)."""
+    x1, x2, x3 = np.asarray(x1), np.asarray(x2), np.asarray(x3)
+    o = np.ones_like(x1 * x2 * x3)
+    z = np.zeros_like(o)
+    if coords == "cartesian":
+        return ((o, z, z), (z, o, z), (z, z, o))
+    if coords == "spherical3D":
+        cp, sp = np.cos(x3) * o, np.sin(x3) * o
+        ct, st = np.cos(x2) * o, np.sin(x2) * o
+        return ((st * cp, st * sp, ct), (ct * cp, ct * sp, -st), (-sp, cp, z))
+    if coords == "spherical2D":
+        ct, st = np.cos(x2) * o, np.sin(x2) * o
+        return ((st, z, ct), (ct, z, -st), (z, o, z))
+    if coords == "spherical1D":
+        return ((o, z, z), (z, z, -o), (z, o, z))
+    if coords == "cylindrical":
+        cp, sp = np.cos(x2) * o, np.sin(x2) * o
+        return ((cp, sp, z), (-sp, cp, z), (z, z, o))
+    if coords == "axisymmetric":  # (R, z, phi); Rhat, zhat, phihat in (x,y,z)
+        cp, sp = np.cos(x3) * o, np.sin(x3) * o
+        return ((cp, sp, z), (z, z, o), (-sp, cp, z))
+    raise ValueError(coords)
+
+
+def convert_to_cart(coords: str, x1, x2, x3):
+    """Point conversion (x1,x2,x3) -> Cartesian (x,y,z) for each system
+    (cf. ConvertCoordsToCart in src/geometry/*.hpp).  numpy, broadcastable."""
+    x1, x2, x3 = np.asarray(x1), np.asarray(x2), np.asarray(x3)
+    if coords == "cartesian":
+        return x1, x2, x3
+    if coords == "spherical3D":
+        st, ct = np.sin(x2), np.cos(x2)
+        return x1 * st * np.cos(x3), x1 * st * np.sin(x3), x1 * ct
+    if coords == "spherical2D":
+        st, ct = np.sin(x2), np.cos(x2)
+        return x1 * st, 0.0 * x1, x1 * ct
+    if coords == "spherical1D":
+        return x1, 0.0 * x1, 0.0 * x1
+    if coords == "cylindrical":  # (R, phi, z)
+        return x1 * np.cos(x2), x1 * np.sin(x2), x3 * np.ones_like(x1 * x2)
+    if coords == "axisymmetric":  # (R, z, phi)
+        return x1 * np.cos(x3), x1 * np.sin(x3), x2 * np.ones_like(x1 * x3)
+    raise ValueError(coords)
+
+
 @dataclass(frozen=True)
 class Geometry:
     """Per-axis geometric factor arrays over the *entire* (ghost-padded) grid.

@@ -40,6 +40,7 @@ class FluidCfg:
     recon: str               # pcm | plm | ppm
     rsolver: str             # hllc | hlle | llf
     gamma: float = 5.0 / 3.0
+    cv: float = 1.5
     cfl: float = 0.8
     dfloor: float = 1.0e-20
     siefloor: float = 1.0e-20

@@ -73,12 +73,13 @@ class ShardedDriver(Driver):
         sources=None,
         bc_custom=None,
         mesh: Optional[Mesh] = None,
+        omf: float = 0.0,
     ):
         self.mesh = mesh if mesh is not None else make_device_mesh()
         self.nshards = self.mesh.devices.size
         self.global_grid = grid
         local = _local_grid(grid, self.nshards)
-        super().__init__(local, integrator, gas_cfg, dust_cfg, sources, bc_custom)
+        super().__init__(local, integrator, gas_cfg, dust_cfg, sources, bc_custom, omf)
 
     # -- sharding specs --------------------------------------------------
     def state_spec(self):

@@ -69,6 +69,7 @@ class Simulation:
                 recon=recon,
                 rsolver=rsolver,
                 gamma=eos.gamma,
+                cv=eos.cv,
                 cfl=pin.get_or_add_real("gas", "cfl", 0.8),
                 dfloor=pin.get_or_add_real("gas", "dfloor", 1.0e-20),
                 siefloor=pin.get_or_add_real("gas", "siefloor", 1.0e-20),
@@ -97,6 +98,18 @@ class Simulation:
         problem_name = pin.get_str("artemis", "problem")
         self.problem = build_problem(problem_name, pin, self.grid, gas_cfg, dust_cfg)
 
+        # physics source packages (artemis.cpp:63-164 wiring order)
+        from .sources import sources_from_input
+
+        srcs = sources_from_input(pin, self.grid, gas_cfg, dust_cfg, self.constants)
+        srcs += list(self.problem.sources)
+        omf = 0.0
+        if pin.get_or_add_bool("physics", "rotating_frame", False):
+            omf = pin.get_or_add_real("rotating_frame", "omega", 0.0)
+        for s in srcs:
+            if hasattr(s, "omf"):
+                s.omf = omf
+
         integrator = Integrator.make(pin.get_or_add_str("parthenon/time", "integrator", "rk2"))
         if nshards > 1:
             from .parallel.mesh import ShardedDriver, make_device_mesh
@@ -106,9 +119,10 @@ class Simulation:
                 integrator,
                 gas_cfg,
                 dust_cfg,
-                sources=self.problem.sources,
+                sources=srcs,
                 bc_custom=self.problem.bc_custom,
                 mesh=make_device_mesh(nshards),
+                omf=omf,
             )
         else:
             self.driver = Driver(
@@ -116,8 +130,9 @@ class Simulation:
                 integrator,
                 gas_cfg,
                 dust_cfg,
-                sources=self.problem.sources,
+                sources=srcs,
                 bc_custom=self.problem.bc_custom,
+                omf=omf,
             )
 
         # initial state
