@@ -172,15 +172,17 @@ class Simulation:
             # when file_type in (hdf5, rst) as those land
         return obs
 
-    def run(self, log_every: int = 0):
-        observers = self._make_observers()
+    def run(self, log_every: int = 0, extra_observers=()):
+        observers = self._make_observers() + list(extra_observers)
         for ob in observers:
-            ob.start(self.state, self.tm)
+            if hasattr(ob, "start"):
+                ob.start(self.state, self.tm)
         self.state, self.tm, zcps = evolve(
             self.driver, self.state, self.tm, observers=observers, log_every=log_every
         )
         for ob in observers:
-            ob.finish(self.state, self.tm)
+            if hasattr(ob, "finish"):
+                ob.finish(self.state, self.tm)
         if self.problem.after_loop is not None:
             self.problem.after_loop(self.grid, self.pin, self.state, self.tm, self.data_dir)
         return zcps
