@@ -15,6 +15,7 @@ from typing import Callable, Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from . import bc as bc_mod
 from .ops.hydro import FluidCfg, Hydro
@@ -71,6 +72,7 @@ class Driver:
         sources: Optional[List[SourceFn]] = None,
         bc_custom: Optional[dict] = None,
         omf: float = 0.0,
+        diffusion=None,
     ):
         self.grid = grid
         self.integrator = integrator
@@ -80,8 +82,14 @@ class Driver:
         self.sources = list(sources or [])
         self.bc_custom = bc_custom or {}
         self.omf = omf  # rotating-frame rate for curvilinear flux sources
+        self.diffusion = None
+        if diffusion is not None:
+            # diffusion is a factory fn(hydro) so it can precompute against
+            # the (possibly shard-local) grid owned by this driver
+            self.diffusion = diffusion(self.hydro)
         self._step = jax.jit(self._build_step())
         self._dt_fn = jax.jit(self._estimate_dt)
+        self._advance = jax.jit(self._build_advance())
 
     # ------------------------------------------------------------------
     def _fluids(self):
@@ -95,7 +103,12 @@ class Driver:
     def _estimate_dt(self, state):
         dts = []
         for name, cfg in self._fluids():
-            dts.append(self.hydro.estimate_dt(state[name]["w"], cfg))
+            dt = self.hydro.estimate_dt(state[name]["w"], cfg)
+            if name == "gas" and self.diffusion is not None:
+                # cfl * min(advective, diffusive) (gas.cpp:435-468)
+                dt = jnp.minimum(dt, cfg.cfl * self.diffusion.estimate_dt(
+                    state[name]["w"]))
+            dts.append(dt)
         return jnp.min(jnp.stack(dts))
 
     def _build_step(self):
@@ -132,6 +145,9 @@ class Driver:
                     fluxes[name] = fx
                     u = hyd.apply_update(u, u1[name], fx, gam0, gam1, bdt)
                     u = hyd.flux_source(u, w, fx, bdt, omf=self.omf)
+                    if name == "gas" and self.diffusion is not None:
+                        dfx = self.diffusion.fluxes(w_pad)
+                        u = self.diffusion.update(u, w, dfx, bdt)
                     new_state[name] = {"u": u, "w": w}
                 # external sources in reference task order
                 # (gravity -> rotating frame -> drag -> cooling)
@@ -150,6 +166,35 @@ class Driver:
         """Interior prims -> padded prims.  Overridden by the sharded driver
         to insert ppermute halo exchange."""
         return bc_mod.pad_and_fill(w_int, self.grid, fluid, self.bc_custom)
+
+    def _build_advance(self):
+        """Compiled multi-step advance: a lax.while_loop that marches the
+        state until crossing ``target`` (or ncycle hits ``nlim``), with the
+        Parthenon dt logic (2x growth limit, tlim clamp) on-device — no
+        host round-trips per step."""
+        step = self._build_step()
+
+        def advance(state, t, dt, ncycle, target, tlim, nlim):
+            def cond(carry):
+                state, t, dt, nc = carry
+                return jnp.logical_and(t < target * (1.0 - 1e-12),
+                                       jnp.logical_or(nlim < 0, nc < nlim))
+
+            def body(carry):
+                state, t, dt, nc = carry
+                state = step(state, dt, t)
+                t = t + dt
+                new_dt = jnp.minimum(
+                    jnp.where(dt < 0.1 * BIG, 2.0 * dt, dt),
+                    self._estimate_dt(state))
+                new_dt = jnp.where(
+                    jnp.logical_and(t < tlim, (tlim - t) < new_dt),
+                    tlim - t, new_dt)
+                return (state, t, new_dt, nc + 1)
+
+            return lax.while_loop(cond, body, (state, t, dt, ncycle))
+
+        return advance
 
     # ------------------------------------------------------------------
     def initialize(self, state):
@@ -198,17 +243,30 @@ def evolve(driver: Driver, state, tm: SimTime, observers=None, log_every: int = 
             dt = tm.tlim - tm.time
         tm.dt = dt
 
+    def next_target():
+        """Earliest observer event after now (observers fire on crossing)."""
+        t = tm.tlim
+        for obs in observers:
+            ev = getattr(obs, "next_time", getattr(obs, "next", None))
+            if ev is not None and ev > tm.time * (1.0 + 1e-14):
+                t = min(t, ev)
+        return t
+
     set_global_dt()
     while tm.time < tm.tlim * (1.0 - 1e-12) and (tm.nlim < 0 or tm.ncycle < tm.nlim):
-        dt = tm.dt
-        state = driver.step(state, dt, tm.time)
-        tm.time += dt
-        tm.ncycle += 1
-        set_global_dt()
+        target = next_target()
+        # compiled multi-step march to the next event (no host sync per step)
+        state, t, dt, nc = driver._advance(
+            state, jnp.asarray(tm.time), jnp.asarray(tm.dt),
+            jnp.asarray(tm.ncycle), jnp.asarray(target),
+            jnp.asarray(tm.tlim), jnp.asarray(tm.nlim))
+        tm.time = float(t)
+        tm.dt = float(dt)
+        tm.ncycle = int(nc)
         for obs in observers:
             obs(state, tm)
-        if log_every and tm.ncycle % log_every == 0:
-            print(f"cycle={tm.ncycle} time={tm.time:.6e} dt={dt:.6e}")
+        if log_every:
+            print(f"cycle={tm.ncycle} time={tm.time:.6e} dt={tm.dt:.6e}")
     elapsed = _time.perf_counter() - t0
     zcps = ncells * (tm.ncycle - cycles0) / max(elapsed, 1e-30)
     return state, tm, zcps

@@ -74,12 +74,14 @@ class ShardedDriver(Driver):
         bc_custom=None,
         mesh: Optional[Mesh] = None,
         omf: float = 0.0,
+        diffusion=None,
     ):
         self.mesh = mesh if mesh is not None else make_device_mesh()
         self.nshards = self.mesh.devices.size
         self.global_grid = grid
         local = _local_grid(grid, self.nshards)
-        super().__init__(local, integrator, gas_cfg, dust_cfg, sources, bc_custom, omf)
+        super().__init__(local, integrator, gas_cfg, dust_cfg, sources, bc_custom,
+                         omf, diffusion)
 
     # -- sharding specs --------------------------------------------------
     def state_spec(self):

@@ -29,4 +29,28 @@ def build_problem(name: str, pin, grid, gas_cfg=None, dust_cfg=None) -> Problem:
     if name == "blast":
         from . import blast
         return blast.build(pin, grid, gas_cfg, dust_cfg)
+    if name == "gaussian_bump":
+        from . import gaussian_bump
+        return gaussian_bump.build(pin, grid, gas_cfg, dust_cfg)
+    if name == "conduction":
+        from . import conduction
+        return conduction.build(pin, grid, gas_cfg, dust_cfg)
+    if name == "disk":
+        from . import disk
+        return disk.build(pin, grid, gas_cfg, dust_cfg)
+    if name == "shock":
+        from . import shock
+        return shock.build(pin, grid, gas_cfg, dust_cfg)
+    if name == "strat":
+        from . import strat
+        return strat.build(pin, grid, gas_cfg, dust_cfg)
+    if name == "ssheet":
+        from . import ssheet
+        return ssheet.build(pin, grid, gas_cfg, dust_cfg)
+    if name == "thermalization":
+        from . import thermalization
+        return thermalization.build(pin, grid, gas_cfg, dust_cfg)
+    if name == "linear_wave1d":
+        from . import linear_wave
+        return linear_wave.build(pin, grid, gas_cfg, dust_cfg)
     raise ValueError(f"unknown problem {name!r}")

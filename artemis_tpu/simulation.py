@@ -110,6 +110,24 @@ class Simulation:
             if hasattr(s, "omf"):
                 s.omf = omf
 
+        # diffusion (viscosity / conduction) — gas only (gas.cpp:180-198)
+        diffusion_factory = None
+        do_visc = pin.get_or_add_bool("physics", "viscosity", False)
+        do_cond = pin.get_or_add_bool("physics", "conduction", False)
+        if (do_visc or do_cond) and gas_cfg is not None:
+            from .ops.diffusion import DiffParams, Diffusion as _Diffusion
+
+            gm = None
+            for s in srcs:
+                if hasattr(s, "gm"):
+                    gm = s.gm
+            visc = (DiffParams.from_input("gas/viscosity", "viscosity", pin, gm)
+                    if do_visc else None)
+            cond = (DiffParams.from_input("gas/conductivity", "conductivity", pin, gm)
+                    if do_cond else None)
+            diffusion_factory = lambda hyd: _Diffusion(
+                hyd.grid, hyd, gas_cfg, visc, cond)
+
         integrator = Integrator.make(pin.get_or_add_str("parthenon/time", "integrator", "rk2"))
         if nshards > 1:
             from .parallel.mesh import ShardedDriver, make_device_mesh
@@ -123,6 +141,7 @@ class Simulation:
                 bc_custom=self.problem.bc_custom,
                 mesh=make_device_mesh(nshards),
                 omf=omf,
+                diffusion=diffusion_factory,
             )
         else:
             self.driver = Driver(
@@ -133,6 +152,7 @@ class Simulation:
                 sources=srcs,
                 bc_custom=self.problem.bc_custom,
                 omf=omf,
+                diffusion=diffusion_factory,
             )
 
         # initial state
