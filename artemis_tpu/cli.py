@@ -14,6 +14,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="artemis_tpu")
     ap.add_argument("-i", "--input", required=True, help="input deck file")
     ap.add_argument("-d", "--data", default=".", help="output data directory")
+    ap.add_argument("-r", "--restart", default=None, help="restart checkpoint (.rst.npz)")
     ap.add_argument("-n", "--ncycle-out", type=int, default=0, help="stdout log interval")
     ap.add_argument("overrides", nargs="*", help="block/key=value overrides")
     args = ap.parse_args(argv)
@@ -21,7 +22,8 @@ def main(argv=None) -> int:
     from .simulation import Simulation
 
     try:
-        sim = Simulation(args.input, overrides=args.overrides, data_dir=args.data)
+        sim = Simulation(args.input, overrides=args.overrides, data_dir=args.data,
+                         restart=args.restart)
         zcps = sim.run(log_every=args.ncycle_out)
         print(f"walltime-rate: {zcps:.3e} zone-cycles/sec "
               f"(ncycle={sim.tm.ncycle}, t={sim.tm.time:.6e})")

@@ -10,10 +10,11 @@ from typing import Callable, Dict, List, Optional
 class Problem:
     """What a problem generator provides to the driver."""
 
-    prims: Dict[str, object]            # fluid name -> primitive array (entire grid)
+    prims: Dict[str, object]            # fluid name -> primitive array (interior grid)
     bc_custom: Dict[str, Callable] = field(default_factory=dict)
     sources: List[Callable] = field(default_factory=list)
     after_loop: Optional[Callable] = None   # fn(grid, pin, state, tm, data_dir)
+    on_restart: Optional[Callable] = None   # fn(sim, payloads) — rehydrate pkg state
 
 
 def build_problem(name: str, pin, grid, gas_cfg=None, dust_cfg=None) -> Problem:

@@ -34,6 +34,7 @@ class Simulation:
         data_dir: str = ".",
         is_path: Optional[bool] = None,
         nshards: int = 1,
+        restart: Optional[str] = None,
     ):
         _enable_x64()
         if is_path is None:
@@ -155,23 +156,45 @@ class Simulation:
                 diffusion=diffusion_factory,
             )
 
-        # initial state
+        # initial state (fresh from the problem generator, or from a restart
+        # checkpoint: doc/src/running.rst:198-206, `-r name.final.rst`)
         import jax.numpy as jnp
 
-        state = {}
-        for name, w in self.problem.prims.items():
-            state[name] = {"u": None, "w": jnp.asarray(w)}
-        self.state = self.driver.initialize(state)
+        self.restart_payloads = {}  # name -> fn() -> np.ndarray (rst extras)
+        if restart is not None:
+            from .io.dumps import load_restart
 
-        self.tm = SimTime(
-            time=0.0,
-            tlim=pin.get_real("parthenon/time", "tlim"),
-            nlim=pin.get_or_add_int("parthenon/time", "nlim", -1),
-        )
+            arrays, meta, payloads = load_restart(restart)
+            self.state = {
+                name: {k: jnp.asarray(v) for k, v in kinds.items()}
+                for name, kinds in arrays.items()
+            }
+            self._restart_in_payloads = payloads
+            self.tm = SimTime(
+                time=meta["time"],
+                dt=meta["dt"],
+                ncycle=meta["ncycle"],
+                tlim=pin.get_real("parthenon/time", "tlim"),
+                nlim=pin.get_or_add_int("parthenon/time", "nlim", -1),
+            )
+            if self.problem.on_restart is not None:
+                self.problem.on_restart(self, payloads)
+        else:
+            state = {}
+            for name, w in self.problem.prims.items():
+                state[name] = {"u": None, "w": jnp.asarray(w)}
+            self.state = self.driver.initialize(state)
+            self.tm = SimTime(
+                time=0.0,
+                tlim=pin.get_real("parthenon/time", "tlim"),
+                nlim=pin.get_or_add_int("parthenon/time", "nlim", -1),
+            )
 
     def _make_observers(self):
         """Attach outputs declared in the deck (<parthenon/outputN> blocks)."""
         from .io.history import HistoryOutput
+
+        from .io.dumps import FieldOutput, RestartOutput
 
         obs = []
         pid = self.pin.get_or_add_str("parthenon/job", "problem_id", "artemis")
@@ -180,16 +203,21 @@ class Simulation:
                 continue
             ftype = self.pin.get_or_add_str(block, "file_type", "hst")
             dt_out = self.pin.get_or_add_real(block, "dt", -1.0)
+            n = block.removeprefix("parthenon/output")
+            if dt_out <= 0.0:
+                continue
+            base = os.path.join(self.data_dir, f"{pid}.out{n}")
             if ftype == "hst":
-                n = block.removeprefix("parthenon/output")
-                if dt_out <= 0.0:
-                    dt_out = max(self.tm.tlim / 10.0, 1e-30)
-                fname = os.path.join(self.data_dir, f"{pid}.out{n}.hst")
+                fname = base + ".hst"
                 if os.path.exists(fname):
                     os.remove(fname)
                 obs.append(HistoryOutput(self, dt_out, fname))
-            # hdf5 field dumps are written by io.dumps (npz); attached here
-            # when file_type in (hdf5, rst) as those land
+            elif ftype == "hdf5":
+                variables = (self.pin.get_list(block, "variables")
+                             if self.pin.exists(block, "variables") else None)
+                obs.append(FieldOutput(self, dt_out, base, variables))
+            elif ftype == "rst":
+                obs.append(RestartOutput(self, dt_out, base))
         return obs
 
     def run(self, log_every: int = 0, extra_observers=()):
