@@ -73,6 +73,7 @@ class Driver:
         bc_custom: Optional[dict] = None,
         omf: float = 0.0,
         diffusion=None,
+        nbody=None,
     ):
         self.grid = grid
         self.integrator = integrator
@@ -87,9 +88,18 @@ class Driver:
             # diffusion is a factory fn(hydro) so it can precompute against
             # the (possibly shard-local) grid owned by this driver
             self.diffusion = diffusion(self.hydro)
+        self.nbody = nbody  # host-coupled particle system (NBodySystem)
         self._step = jax.jit(self._build_step())
         self._dt_fn = jax.jit(self._estimate_dt)
         self._advance = jax.jit(self._build_advance())
+        if nbody is not None:
+            self._stage_jits = [jax.jit(self._make_stage_fn(s))
+                                for s in range(1, integrator.nstages + 1)]
+
+    @property
+    def host_coupled(self) -> bool:
+        """True when each step needs host-side work between stages."""
+        return self.nbody is not None
 
     # ------------------------------------------------------------------
     def _fluids(self):
@@ -111,56 +121,113 @@ class Driver:
             dts.append(dt)
         return jnp.min(jnp.stack(dts))
 
-    def _build_step(self):
+    def _sync_prims(self, state):
+        """C2P + P2C re-sync on interior arrays, per fluid."""
+        hyd = self.hydro
+        new = dict(state)
+        for name, cfg in self._fluids():
+            w = hyd.cons_to_prim(state[name]["u"], cfg)
+            u, w = hyd.prim_to_cons(w, cfg)
+            new[name] = {"u": u, "w": w}
+        return new
+
+    def _stage_body(self, state, u1, dt, time, stage, particles):
+        """One RK stage (the reference per-stage task list,
+        artemis_driver.cpp:170-268).  Returns (state, pforce-or-None)."""
         hyd = self.hydro
         integ = self.integrator
         fluids = self._fluids()
-        vl2 = integ.name == "vl2"
+        gam0 = integ.gam0[stage - 1]
+        gam1 = integ.gam1[stage - 1]
+        beta = integ.beta[stage - 1]
+        bdt = beta * dt
+        force_pcm = (integ.name == "vl2") and stage == 1
+        new_state = dict(state)
+        fluxes = {}
+        for name, cfg in fluids:
+            u, w = state[name]["u"], state[name]["w"]
+            # ghost fill: physical BCs (+ halo exchange when sharded)
+            w_pad = self.fill_ghosts(w, name)
+            fx = hyd.compute_fluxes(w_pad, cfg, force_pcm)
+            fluxes[name] = fx
+            u = hyd.apply_update(u, u1[name], fx, gam0, gam1, bdt)
+            u = hyd.flux_source(u, w, fx, bdt, omf=self.omf)
+            if name == "gas" and self.diffusion is not None:
+                dfx = self.diffusion.fluxes(w_pad)
+                u = self.diffusion.update(u, w, dfx, bdt)
+            new_state[name] = {"u": u, "w": w}
+        # external sources in reference task order
+        # (gravity -> rotating frame -> drag -> cooling)
+        ctx = {"particles": particles}
+        for src in self.sources:
+            if getattr(src, "needs_ctx", False):
+                new_state = src.apply(new_state, fluxes, time, bdt, hyd, ctx=ctx)
+            else:
+                new_state = src.apply(new_state, fluxes, time, bdt, hyd)
+        # dual-energy sync for gas
+        if self.gas_cfg is not None:
+            u = hyd.set_auxiliary(new_state["gas"]["u"], self.gas_cfg)
+            new_state["gas"] = {"u": u, "w": new_state["gas"]["w"]}
+        return self._sync_prims(new_state), ctx.get("pforce")
 
-        def sync_prims(state):
-            """C2P + P2C re-sync on interior arrays, per fluid."""
-            new = dict(state)
-            for name, cfg in fluids:
-                w = hyd.cons_to_prim(state[name]["u"], cfg)
-                u, w = hyd.prim_to_cons(w, cfg)
-                new[name] = {"u": u, "w": w}
-            return new
+    def _make_stage_fn(self, stage):
+        def stage_fn(state, u1, dt, time, particles):
+            return self._stage_body(state, u1, dt, time, stage, particles)
+
+        return stage_fn
+
+    def _build_step(self):
+        integ = self.integrator
+        fluids = self._fluids()
 
         def step(state, dt, time):
             # u1 register: deep copy of conserved data
             u1 = {name: state[name]["u"] for name, _ in fluids}
             for stage in range(1, integ.nstages + 1):
-                gam0 = integ.gam0[stage - 1]
-                gam1 = integ.gam1[stage - 1]
-                beta = integ.beta[stage - 1]
-                bdt = beta * dt
-                force_pcm = vl2 and stage == 1
-                new_state = dict(state)
-                fluxes = {}
-                for name, cfg in fluids:
-                    u, w = state[name]["u"], state[name]["w"]
-                    # ghost fill: physical BCs (+ halo exchange when sharded)
-                    w_pad = self.fill_ghosts(w, name)
-                    fx = hyd.compute_fluxes(w_pad, cfg, force_pcm)
-                    fluxes[name] = fx
-                    u = hyd.apply_update(u, u1[name], fx, gam0, gam1, bdt)
-                    u = hyd.flux_source(u, w, fx, bdt, omf=self.omf)
-                    if name == "gas" and self.diffusion is not None:
-                        dfx = self.diffusion.fluxes(w_pad)
-                        u = self.diffusion.update(u, w, dfx, bdt)
-                    new_state[name] = {"u": u, "w": w}
-                # external sources in reference task order
-                # (gravity -> rotating frame -> drag -> cooling)
-                for src in self.sources:
-                    new_state = src.apply(new_state, fluxes, time, bdt, hyd)
-                # dual-energy sync for gas
-                if self.gas_cfg is not None:
-                    u = hyd.set_auxiliary(new_state["gas"]["u"], self.gas_cfg)
-                    new_state["gas"] = {"u": u, "w": new_state["gas"]["w"]}
-                state = sync_prims(new_state)
+                state, _ = self._stage_body(state, u1, dt, time, stage, None)
             return state
 
         return step
+
+    def _nbody_coeffs(self, dt: float):
+        """Derived stage-consistent coupling integrator
+        (artemis_driver.cpp:71-87)."""
+        integ = self.integrator
+        n = integ.nstages
+        nbeta = [0.0] * n
+        nbeta[0] = integ.beta[0]
+        for s in range(2, n + 1):
+            nbeta[s - 1] = integ.gam0[s - 1] * nbeta[s - 2] + integ.beta[s - 1]
+        ngam0, ngam1 = [0.0] * n, [0.0] * n
+        for s in range(1, n + 1):
+            nbetam1 = nbeta[(s > 1) * (s - 2)]
+            nfac = integ.beta[s - 1] / (integ.gam0[s - 1] * nbetam1
+                                        + integ.beta[s - 1])
+            ngam0[s - 1] = 0.0 if s == 1 else 1.0 - nfac
+            ngam1[s - 1] = 1.0 if s == 1 else nfac
+
+        class _C:
+            pass
+
+        c = _C()
+        c.gam0, c.gam1, c.beta, c.dt = ngam0, ngam1, nbeta, dt
+        return c
+
+    def _host_step(self, state, dt, time):
+        """Step with host-side particle advances between stages
+        (NBody::Advance pattern, nbody_advance.cpp:85-208)."""
+        nb = self.nbody
+        nstages = self.integrator.nstages
+        coeffs = self._nbody_coeffs(float(dt))
+        nb.begin_step()
+        u1 = {name: state[name]["u"] for name, _ in self._fluids()}
+        for stage in range(1, nstages + 1):
+            state, pforce = self._stage_jits[stage - 1](
+                state, u1, jnp.asarray(dt), jnp.asarray(time),
+                nb.particle_pytree())
+            pf = np.asarray(pforce) if pforce is not None else np.zeros((nb.npart, 7))
+            nb.advance(pf, stage, nstages, float(time), coeffs)
+        return state
 
     def fill_ghosts(self, w_int, fluid: str):
         """Interior prims -> padded prims.  Overridden by the sharded driver
@@ -207,6 +274,8 @@ class Driver:
         return new
 
     def step(self, state, dt, time):
+        if self.host_coupled:
+            return self._host_step(state, dt, time)
         return self._step(state, jnp.asarray(dt), jnp.asarray(time))
 
     def estimate_dt(self, state):
@@ -254,15 +323,22 @@ def evolve(driver: Driver, state, tm: SimTime, observers=None, log_every: int = 
 
     set_global_dt()
     while tm.time < tm.tlim * (1.0 - 1e-12) and (tm.nlim < 0 or tm.ncycle < tm.nlim):
-        target = next_target()
-        # compiled multi-step march to the next event (no host sync per step)
-        state, t, dt, nc = driver._advance(
-            state, jnp.asarray(tm.time), jnp.asarray(tm.dt),
-            jnp.asarray(tm.ncycle), jnp.asarray(target),
-            jnp.asarray(tm.tlim), jnp.asarray(tm.nlim))
-        tm.time = float(t)
-        tm.dt = float(dt)
-        tm.ncycle = int(nc)
+        if driver.host_coupled:
+            # per-step python loop: particle advances interleave the stages
+            state = driver.step(state, tm.dt, tm.time)
+            tm.time += tm.dt
+            tm.ncycle += 1
+            set_global_dt()
+        else:
+            target = next_target()
+            # compiled multi-step march to the next event (no host sync/step)
+            state, t, dt, nc = driver._advance(
+                state, jnp.asarray(tm.time), jnp.asarray(tm.dt),
+                jnp.asarray(tm.ncycle), jnp.asarray(target),
+                jnp.asarray(tm.tlim), jnp.asarray(tm.nlim))
+            tm.time = float(t)
+            tm.dt = float(dt)
+            tm.ncycle = int(nc)
         for obs in observers:
             obs(state, tm)
         if log_every:

@@ -478,8 +478,15 @@ def build(pin, grid, gas_cfg, dust_cfg=None) -> Problem:
             else pin.get_real("gravity/point", "gm")
     elif pin.has_block("gravity/binary"):
         gm = constants.G_code * pin.get_or_add_real("gravity/binary", "total_mass", 1.0)
+    elif pin.has_block("gravity/nbody"):
+        # gm = G * (total particle mass), as the nbody package computes it
+        from ..nbody import setup_particles
+
+        _, mtot = setup_particles(pin, constants.G_code,
+                                  pin.get_or_add_real("nbody", "mtot", -1.0))
+        gm = constants.G_code * mtot
     else:
-        raise ValueError("disk pgen requires point or binary gravity")
+        raise ValueError("disk pgen requires point, binary, or nbody gravity")
     omf = 0.0
     if pin.get_or_add_bool("physics", "rotating_frame", False):
         omf = pin.get_or_add_real("rotating_frame", "omega", 0.0)

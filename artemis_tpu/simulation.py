@@ -102,13 +102,25 @@ class Simulation:
         # physics source packages (artemis.cpp:63-164 wiring order)
         from .sources import sources_from_input
 
-        srcs = sources_from_input(pin, self.grid, gas_cfg, dust_cfg, self.constants)
-        srcs += list(self.problem.sources)
         omf = 0.0
         if pin.get_or_add_bool("physics", "rotating_frame", False):
             omf = pin.get_or_add_real("rotating_frame", "omega", 0.0)
+
+        # N-body package (replicated deterministic few-body system)
+        self.nbody = None
+        if pin.get_or_add_bool("physics", "nbody", False):
+            from .nbody import NBodySystem
+
+            self.nbody = NBodySystem(pin, self.constants, omf=omf)
+
+        from .sources import Gravity as _Gravity
+
+        srcs = sources_from_input(pin, self.grid, gas_cfg, dust_cfg,
+                                  self.constants, nbody_sys=self.nbody)
+        srcs += list(self.problem.sources)
         for s in srcs:
-            if hasattr(s, "omf"):
+            # binary-orbit gravity solves its orbit in the rotating frame
+            if isinstance(s, _Gravity) and s.gtype == "binary":
                 s.omf = omf
 
         # diffusion (viscosity / conduction) — gas only (gas.cpp:180-198)
@@ -144,6 +156,8 @@ class Simulation:
                 omf=omf,
                 diffusion=diffusion_factory,
             )
+            if self.nbody is not None:
+                raise ValueError("nbody + sharded runs not supported yet")
         else:
             self.driver = Driver(
                 self.grid,
@@ -154,6 +168,7 @@ class Simulation:
                 bc_custom=self.problem.bc_custom,
                 omf=omf,
                 diffusion=diffusion_factory,
+                nbody=self.nbody,
             )
 
         # initial state (fresh from the problem generator, or from a restart
@@ -161,6 +176,8 @@ class Simulation:
         import jax.numpy as jnp
 
         self.restart_payloads = {}  # name -> fn() -> np.ndarray (rst extras)
+        if self.nbody is not None:
+            self.restart_payloads["nbody"] = self.nbody.restart_payload
         if restart is not None:
             from .io.dumps import load_restart
 
@@ -170,6 +187,8 @@ class Simulation:
                 for name, kinds in arrays.items()
             }
             self._restart_in_payloads = payloads
+            if self.nbody is not None and "nbody" in payloads:
+                self.nbody.load_restart(payloads["nbody"])
             self.tm = SimTime(
                 time=meta["time"],
                 dt=meta["dt"],

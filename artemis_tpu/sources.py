@@ -642,19 +642,215 @@ class Drag(SourceBase):
 
 
 # ----------------------------------------------------------------------------
+# N-body particle gravity + sink accretion (src/gravity/nbody_gravity.hpp)
+# ----------------------------------------------------------------------------
+class NBodyGravity(SourceBase):
+    """Softened gravity from all live particles + per-particle sink accretion
+    with back-reaction force reduction (NBodyGravityImpl,
+    nbody_gravity.hpp:26-221).  Particle state arrives traced through ``ctx``
+    each stage; the reduced [npart, 7] force array is returned in
+    ``ctx["pforce"]`` for the host-side coupling kick.
+    """
+
+    needs_ctx = True
+
+    def __init__(self, pin, grid, nbody_sys, omf: float):
+        self.grid = grid
+        self.nb = nbody_sys
+        self.tstart = pin.get_or_add_real("gravity", "tstart", -BIG)
+        self.tstop = pin.get_or_add_real("gravity", "tstop", BIG)
+        shape = tuple(reversed(grid.nx))
+        x1v, x2v, x3v = _interior_centers(grid)
+        cx, cy, cz = geo.convert_to_cart(grid.coords, x1v, x2v, x3v)
+        self.cart = [np.ascontiguousarray(np.broadcast_to(c, shape))
+                     for c in (cx, cy, cz)]
+        self.ex = geo.vec_to_cart(grid.coords, x1v, x2v, x3v)  # rows in cart
+        # cell rotation velocity in cartesian components (for accretion vb)
+        self.omf = omf if nbody_sys.frame_correction else 0.0
+        self.vb = None
+        if self.omf != 0.0:
+            from .ops.hydro import _rotation_velocity
+
+            vrot = _rotation_velocity(grid, (x1v, x2v, x3v), self.omf)
+            if vrot is not None:
+                vb = [sum(np.broadcast_to(self.ex[i][m], shape)
+                          * np.asarray(np.broadcast_to(vrot[i], shape))
+                          for i in range(3)) for m in range(3)]
+                self.vb = [np.ascontiguousarray(v) for v in vb]
+
+    def _idr3(self, k, dr2):
+        """Softened 1/r^3 kernel for particle k (particle_base.hpp:144-164)."""
+        nb = self.nb
+        rs = nb.rs[k]
+        rs2 = rs * rs
+        fz = 1e-300
+        idr3_p = 1.0 / (fz + jnp.sqrt(dr2 + rs2) * (dr2 + rs2))
+        if not nb.spline[k]:
+            return idr3_p
+        dr3 = dr2 * jnp.sqrt(dr2)
+        u2 = dr2 / (rs2 + fz)
+        u = jnp.sqrt(u2)
+        u3 = u * u2
+        h3inv = 1.0 / (rs2 * rs + fz)
+        inner = jnp.where(
+            u < 0.5,
+            h3inv * (32.0 / 3.0 - 192.0 / 5.0 * u2 + 32.0 * u3),
+            h3inv * (64.0 / 3.0 - 48.0 * u + 192.0 / 5.0 * u2
+                     - 32.0 / 3.0 * u3 - 1.0 / (15.0 * u3 + fz)))
+        return jnp.where(dr2 >= rs2, 1.0 / (dr3 + fz), inner)
+
+    def apply(self, state, fluxes, time, dt, hyd, ctx=None):
+        nb = self.nb
+        parts = ctx["particles"]
+        hx = _hxv_int(hyd)
+        vol = jnp.asarray(hyd.vol)
+        cx, cy, cz = [jnp.asarray(c) for c in self.cart]
+        shape = cx.shape
+        ex = self.ex
+        exj = [[jnp.asarray(np.ascontiguousarray(np.broadcast_to(ex[i][m], shape)))
+                for m in range(3)] for i in range(3)]
+        active = jnp.logical_and(time >= self.tstart, time < self.tstop)
+        dt_eff = jnp.where(active, dt, 0.0)
+
+        pforce_rows = []
+        new = {k: dict(v) for k, v in state.items()}
+        for k in range(nb.npart):
+            row = [0.0] * 7
+            if not nb.couple[k]:
+                pforce_rows.append(jnp.zeros(7))
+                continue
+            gmk = parts["gm"][k]
+            # relative cell position in cartesian (minus the frame offset)
+            px = parts["pos"][k, 0] - nb.Rf[0]
+            py = parts["pos"][k, 1] - nb.Rf[1]
+            pz = parts["pos"][k, 2] - nb.Rf[2]
+            dx = cx - px
+            dy = cy - py
+            dz = cz - pz
+            dr2 = dx * dx + dy * dy + dz * dz
+            idr3 = self._idr3(k, dr2)
+            gX = -gmk * idr3 * dx
+            gY = -gmk * idr3 * dy
+            gZ = -gmk * idr3 * dz
+            # to problem basis
+            g1 = gX * exj[0][0] + gY * exj[0][1] + gZ * exj[0][2]
+            g2 = gX * exj[1][0] + gY * exj[1][1] + gZ * exj[1][2]
+            g3 = gX * exj[2][0] + gY * exj[2][1] + gZ * exj[2][2]
+
+            do_sink = nb.racc[k] > 0.0
+            if do_sink:
+                dr1 = jnp.sqrt(dr2)
+                # relative particle velocity (minus frame velocity offset)
+                pvx = parts["vel"][k, 0] - nb.Vf[0]
+                pvy = parts["vel"][k, 1] - nb.Vf[1]
+                pvz = parts["vel"][k, 2] - nb.Vf[2]
+                # CartToSph rows (particle_base.hpp:246-261), literal replica
+                fz = 1e-300
+                R = jnp.sqrt(dx * dx + dy * dy)
+                ct = dz / (dr1 + fz)
+                st = R / (dr1 + fz)
+                cp = dx / (R + fz)
+                sp = dy / (R + fz)
+                et = (st * sp, ct * sp, cp)
+                ep = (ct, -st, jnp.zeros_like(ct))
+                ramp = ((nb.racc[k] - dr1) / (nb.racc[k] + fz)) ** 2
+
+            for fluid in ("gas", "dust"):
+                if fluid not in state:
+                    continue
+                u = new[fluid]["u"]
+                w = state[fluid]["w"]
+                rho = w[:, 0]
+                v1, v2, v3 = w[:, 1], w[:, 2], w[:, 3]
+                # velocity in cartesian
+                vX = exj[0][0] * v1 + exj[1][0] * v2 + exj[2][0] * v3
+                vY = exj[0][1] * v1 + exj[1][1] * v2 + exj[2][1] * v3
+                vZ = exj[0][2] * v1 + exj[1][2] * v2 + exj[2][2] * v3
+                rdt = rho * dt_eff
+                u = u.at[:, 1].add(hx[0] * rdt * g1)
+                u = u.at[:, 2].add(hx[1] * rdt * g2)
+                u = u.at[:, 3].add(hx[2] * rdt * g3)
+                if fluid == "gas":
+                    u = u.at[:, 4].add(rdt * (v1 * g1 + v2 * g2 + v3 * g3))
+                # back-reaction: gravity rows
+                row[1] = row[1] - jnp.sum(gX * rho * vol)
+                row[2] = row[2] - jnp.sum(gY * rho * vol)
+                row[3] = row[3] - jnp.sum(gZ * rho * vol)
+
+                if do_sink:
+                    vbx = jnp.asarray(self.vb[0]) if self.vb else 0.0
+                    vby = jnp.asarray(self.vb[1]) if self.vb else 0.0
+                    vbz = jnp.asarray(self.vb[2]) if self.vb else 0.0
+                    dvx = vX + vbx - pvx
+                    dvy = vY + vby - pvy
+                    dvz = vZ + vbz - pvz
+                    dv2 = dvx * dvx + dvy * dvy + dvz * dvz
+                    bound = (-gmk / (dr1 + 1e-300) + 0.5 * dv2) <= 0.0
+                    acc = jnp.logical_and(dr1 <= nb.racc[k], bound)
+                    gdt = jnp.where(acc, jnp.minimum(
+                        ramp * nb.sink_gamma[k] * dt_eff, 1.0 / 9.0), 0.0)
+                    bdt = jnp.where(acc, jnp.minimum(
+                        ramp * nb.sink_beta[k] * dt_eff, 1.0 / 9.0), 0.0)
+                    fm = -gdt / (1.0 + gdt)
+                    fp = (gdt - bdt) / ((1.0 + gdt) * (1.0 + bdt))
+                    dvt = dvx * et[0] + dvy * et[1] + dvz * et[2]
+                    dvp = dvx * ep[0] + dvy * ep[1] + dvz * ep[2]
+                    dm = rho * fm
+                    denp = rho * (1.0 + fm)
+                    dek = 0.0
+                    dmom = []
+                    for (vc, etc, epc) in ((vX, et[0], ep[0]), (vY, et[1], ep[1]),
+                                           (vZ, et[2], ep[2])):
+                        dmv = rho * (fm * vc + fp * (dvt * etc + dvp * epc))
+                        dmom.append(dmv)
+                        vxp = (rho * vc + dmv) / (denp + 1e-300)
+                        dek = dek + 0.5 * (vc + vxp) * rho * (vxp - vc) \
+                            + 0.5 * rho * fm * vxp * vxp
+                    dm1 = dmom[0] * exj[0][0] + dmom[1] * exj[0][1] + dmom[2] * exj[0][2]
+                    dm2 = dmom[0] * exj[1][0] + dmom[1] * exj[1][1] + dmom[2] * exj[1][2]
+                    dm3 = dmom[0] * exj[2][0] + dmom[1] * exj[2][1] + dmom[2] * exj[2][2]
+                    u = u.at[:, 0].add(dm)
+                    u = u.at[:, 1].add(hx[0] * dm1)
+                    u = u.at[:, 2].add(hx[1] * dm2)
+                    u = u.at[:, 3].add(hx[2] * dm3)
+                    if fluid == "gas":
+                        u = u.at[:, 4].add(dek)
+                    idt = 1.0 / jnp.maximum(dt_eff, 1e-300)
+                    row[0] = row[0] - jnp.sum(vol * dm) * idt
+                    row[4] = row[4] - jnp.sum(dmom[0]) * idt
+                    row[5] = row[5] - jnp.sum(dmom[1]) * idt
+                    row[6] = row[6] - jnp.sum(dmom[2]) * idt
+                new[fluid]["u"] = u
+            pforce_rows.append(jnp.stack([jnp.asarray(r) + 0.0 for r in row]))
+
+        if ctx is not None:
+            ctx["pforce"] = jnp.stack(pforce_rows)
+        return {k: {"u": v["u"], "w": state[k]["w"]} for k, v in new.items()}
+
+
+# ----------------------------------------------------------------------------
 # assembly (cf. artemis.cpp ProcessPackages)
 # ----------------------------------------------------------------------------
-def sources_from_input(pin, grid, gas_cfg, dust_cfg, constants):
+def sources_from_input(pin, grid, gas_cfg, dust_cfg, constants, nbody_sys=None):
     """Build the ordered source list from the deck's <physics> switches."""
     srcs = []
     do_gravity = pin.get_or_add_bool("physics", "gravity", False)
     do_rotating = pin.get_or_add_bool("physics", "rotating_frame", False)
     do_cooling = pin.get_or_add_bool("physics", "cooling", False)
     do_drag = pin.get_or_add_bool("physics", "drag", False)
+    omf = 0.0
+    if do_rotating:
+        omf = pin.get_or_add_real("rotating_frame", "omega", 0.0)
 
     gravity = None
     if do_gravity:
-        gravity = Gravity(pin, grid, constants)
+        if pin.has_block("gravity/nbody"):
+            if nbody_sys is None:
+                raise ValueError("<gravity/nbody> requires physics/nbody = true")
+            gravity = NBodyGravity(pin, grid, nbody_sys, omf)
+            gravity.gm = nbody_sys.gm
+        else:
+            gravity = Gravity(pin, grid, constants)
         srcs.append(gravity)
     if do_rotating:
         srcs.append(RotatingFrame(pin, grid))

@@ -1,0 +1,397 @@
+// artemis_tpu native few-body integrator.
+//
+// TPU-native replacement for the reference's embedded REBOUND C library
+// (SURVEY.md §2.6 item 4): a deterministic, replicated few-body integrator
+// with IAS15-class accuracy.  The N-body state is tiny (N ~ dozens), so it
+// lives on the host; every process computes identical trajectories, which
+// removes the reference's rank-0 + MPI_Bcast pattern entirely.
+//
+// Integrators:
+//   0 = ias15    adaptive 15th-order Gauss-Radau (Everhart / Rein & Spiegel
+//                2015 formulation; implemented here via a direct polynomial
+//                solve at the Radau nodes rather than the incremental g/b
+//                recurrences — mathematically the same collocation scheme)
+//   1 = leapfrog fixed-step kick-drift-kick
+//   2 = none     (no motion)
+//
+// Extras: optional post-Newtonian pair forces (1, 2, 2.5 PN; Blanchet 2006
+// conventions as in the reference's nbody_extras.cpp) and collision
+// detection with bound-pair merging.
+//
+// C ABI for ctypes.
+
+#include <algorithm>
+#include <cmath>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int KMAX = 8;  // Radau nodes (including h=0)
+
+// Gauss-Radau spacings for IAS15
+const double H[KMAX] = {0.0,
+                        0.0562625605369221464656522,
+                        0.1802406917368923649875799,
+                        0.3526247171131696373739078,
+                        0.5471536263305553830014486,
+                        0.7342101772154105315232106,
+                        0.8853209468390957680903598,
+                        0.9775206135612875018911745};
+
+struct Sim {
+  int n = 0;
+  double G = 1.0;
+  int pn_order = 0;
+  double c_light = 1.0;
+  int pn2 = 1;
+  std::vector<double> m, pos, vel, radius;
+  std::vector<int> alive;
+};
+
+// ---------------------------------------------------------------------------
+// accelerations: softening-free mutual gravity + optional PN corrections
+void accel(const Sim &s, const double *x, const double *v, double *a) {
+  const int n = s.n;
+  std::fill(a, a + 3 * n, 0.0);
+  for (int i = 0; i < n; i++) {
+    if (!s.alive[i]) continue;
+    for (int j = i + 1; j < n; j++) {
+      if (!s.alive[j]) continue;
+      double dx[3] = {x[3 * i] - x[3 * j], x[3 * i + 1] - x[3 * j + 1],
+                      x[3 * i + 2] - x[3 * j + 2]};
+      double r2 = dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2];
+      double r = std::sqrt(r2);
+      double ir3 = 1.0 / (r2 * r + 1e-300);
+      for (int d = 0; d < 3; d++) {
+        a[3 * i + d] -= s.G * s.m[j] * dx[d] * ir3;
+        a[3 * j + d] += s.G * s.m[i] * dx[d] * ir3;
+      }
+    }
+  }
+
+  if (s.pn_order > 0) {
+    // PN pair forces for bound pairs (cf. reference nbody_extras.cpp:32-152)
+    const double c = s.c_light;
+    for (int i = 0; i < n; i++) {
+      if (!s.alive[i]) continue;
+      const double mi = s.m[i];
+      const double vi[3] = {v[3 * i] / c, v[3 * i + 1] / c, v[3 * i + 2] / c};
+      const double vi2 = vi[0] * vi[0] + vi[1] * vi[1] + vi[2] * vi[2];
+      for (int j = i + 1; j < n; j++) {
+        if (!s.alive[j]) continue;
+        const double mj = s.m[j];
+        const double vj[3] = {v[3 * j] / c, v[3 * j + 1] / c, v[3 * j + 2] / c};
+        const double vj2 = vj[0] * vj[0] + vj[1] * vj[1] + vj[2] * vj[2];
+        double dr[3] = {x[3 * i] - x[3 * j], x[3 * i + 1] - x[3 * j + 1],
+                        x[3 * i + 2] - x[3 * j + 2]};
+        double dv[3] = {vi[0] - vj[0], vi[1] - vj[1], vi[2] - vj[2]};
+        const double dr2 = dr[0] * dr[0] + dr[1] * dr[1] + dr[2] * dr[2];
+        const double ddr = std::sqrt(dr2);
+        const double dv2 = dv[0] * dv[0] + dv[1] * dv[1] + dv[2] * dv[2];
+        const double xgi = s.G * mi / (c * c) / ddr;
+        const double xgj = s.G * mj / (c * c) / ddr;
+        const double xg = s.G * (mi + mj) / (c * c) / ddr;
+        const double ebin = 0.5 * dv2 - xg;
+        if (ebin >= 0.0) continue;
+        double nv[3] = {dr[0] / ddr, dr[1] / ddr, dr[2] / ddr};
+        const double vij = vi[0] * vj[0] + vi[1] * vj[1] + vi[2] * vj[2];
+        const double ndi = nv[0] * vi[0] + nv[1] * vi[1] + nv[2] * vi[2];
+        const double ndj = nv[0] * vj[0] + nv[1] * vj[1] + nv[2] * vj[2];
+        const double ndv = ndi - ndj;
+
+        auto a1 = [](double vi2_, double vj2_, double ndj_, double vij_,
+                     double xi_, double xj_) {
+          return -vi2_ - 2.0 * vj2_ + 4.0 * vij_ + 1.5 * ndj_ * ndj_ + 5.0 * xi_ +
+                 4.0 * xj_;
+        };
+        auto b1 = [](double ndi_, double ndj_) { return 4.0 * ndi_ - 3.0 * ndj_; };
+        auto a2 = [](double vi2_, double ndi_, double vj2_, double ndj_, double vij_,
+                     double xi_, double xj_) {
+          const double ndj2 = ndj_ * ndj_;
+          const double ndi2 = ndi_ * ndi_;
+          const double f1 = -2.0 * vj2_ * vj2_ + 4.0 * vj2_ * vij_ - 2.0 * vij_ * vij_ +
+                            ndj2 * (1.5 * vi2_ + 4.5 * vj2_ - 6.0 * vij_ -
+                                    15.0 / 8.0 * ndj2);
+          const double f2 = -15.0 / 4.0 * vi2_ + 5.0 / 4.0 * vj2_ - 2.5 * vij_ +
+                            39.0 / 2.0 * ndi2 - 39.0 * ndi_ * ndj_ + 17.0 / 2.0 * ndj2;
+          const double f3 = 4.0 * vj2_ - 8.0 * vij_ + 2.0 * ndi2 - 4.0 * ndi_ * ndj_ -
+                            6.0 * ndj2;
+          const double f4 = -57.0 / 4.0 * xi_ * xi_ - 9.0 * xj_ * xj_ -
+                            69.0 / 2.0 * xi_ * xj_;
+          return f1 + f2 * xi_ + f3 * xj_ + f4;
+        };
+        auto b2 = [](double vi2_, double ndi_, double vj2_, double ndj_, double vij_,
+                     double xi_, double xj_) {
+          const double ndj2 = ndj_ * ndj_;
+          const double f1 = vi2_ * ndj_ + 4.0 * vj2_ * ndi_ - 5.0 * vj2_ * ndj_ -
+                            4.0 * vij_ * ndi_ + 4.0 * vij_ * ndj_ - 6.0 * ndi_ * ndj2 +
+                            4.5 * ndj_ * ndj2;
+          const double f2 = -63.0 / 4.0 * ndi_ + 55.0 / 4.0 * ndj_;
+          const double f3 = -2.0 * ndi_ - 2.0 * ndj_;
+          return f1 + f2 * xi_ + f3 * xj_;
+        };
+        auto a25 = [](double ndv_, double xi_, double xj_, double v2_) {
+          return 4.0 / 5.0 * xi_ * ndv_ * (3.0 * v2_ - 6.0 * xi_ + 52.0 / 3.0 * xj_);
+        };
+        auto b25 = [](double ndv_, double xi_, double xj_, double v2_) {
+          return 4.0 / 5.0 * xi_ * (-v2_ + 2.0 * xi_ - 8.0 * xj_);
+        };
+
+        double ai = a1(vi2, vj2, ndj, vij, xgi, xgj);
+        double aj = a1(vj2, vi2, ndi, vij, xgj, xgi);
+        double bi = b1(ndi, ndj);
+        double bj = -b1(ndj, ndi);
+        if (s.pn_order > 1) {
+          if (s.pn2) {
+            ai += a2(vi2, ndi, vj2, ndj, vij, xgi, xgj);
+            aj += a2(vj2, ndj, vi2, ndi, vij, xgj, xgi);
+            bi += b2(vi2, ndi, vj2, ndj, vij, xgi, xgj);
+            bj -= b2(vj2, ndj, vi2, ndi, vij, xgj, xgi);
+          }
+          if (s.pn_order > 2) {
+            ai += a25(ndv, xgi, xgj, dv2);
+            aj += a25(ndv, xgj, xgi, dv2);
+            bi += b25(ndv, xgi, xgj, dv2);
+            bj += b25(ndv, xgj, xgi, dv2);
+          }
+        }
+        for (int d = 0; d < 3; d++) {
+          a[3 * i + d] += s.G * mj / dr2 * (nv[d] * ai + dv[d] * bi);
+          a[3 * j + d] -= s.G * mi / dr2 * (nv[d] * aj + dv[d] * bj);
+        }
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// collisions: merge bound overlapping pairs (keep the more massive slot)
+// (cf. reference collision_resolution, nbody_extras.cpp:157-172)
+bool resolve_collisions(Sim &s, int merge_on_collision) {
+  bool merged_any = false;
+  for (int i = 0; i < s.n; i++) {
+    if (!s.alive[i] || s.radius[i] <= 0.0) continue;
+    for (int j = i + 1; j < s.n; j++) {
+      if (!s.alive[j] || s.radius[j] <= 0.0) continue;
+      double dx[3] = {s.pos[3 * i] - s.pos[3 * j], s.pos[3 * i + 1] - s.pos[3 * j + 1],
+                      s.pos[3 * i + 2] - s.pos[3 * j + 2]};
+      double dr = std::sqrt(dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2]);
+      if (dr > s.radius[i] + s.radius[j]) continue;
+      double dv2 = 0.0;
+      for (int d = 0; d < 3; d++) {
+        double dvd = s.vel[3 * i + d] - s.vel[3 * j + d];
+        dv2 += dvd * dvd;
+      }
+      const double mb = s.m[i] + s.m[j];
+      // NOTE: binding energy check uses G=1-scaled masses as the reference
+      const double eb = 0.5 * dv2 - s.G * mb / (dr + 1e-300);
+      if (!(merge_on_collision || eb <= 0.0)) continue;
+      // merge j into i: conserve mass and momentum; volume-add radii
+      for (int d = 0; d < 3; d++) {
+        s.pos[3 * i + d] = (s.m[i] * s.pos[3 * i + d] + s.m[j] * s.pos[3 * j + d]) / mb;
+        s.vel[3 * i + d] = (s.m[i] * s.vel[3 * i + d] + s.m[j] * s.vel[3 * j + d]) / mb;
+      }
+      s.radius[i] = std::cbrt(std::pow(s.radius[i], 3) + std::pow(s.radius[j], 3));
+      s.m[i] = mb;
+      s.m[j] = 0.0;
+      s.alive[j] = 0;
+      merged_any = true;
+    }
+  }
+  return merged_any;
+}
+
+// ---------------------------------------------------------------------------
+// IAS15 step machinery: collocation polynomial at the Radau nodes.
+// a(h) = a0 + sum_k b_k h^k (k=1..7); b solved from node accelerations with
+// the precomputed inverse Vandermonde matrix.
+struct Radau {
+  double Vinv[7][7];
+  Radau() {
+    double V[7][7];
+    for (int i = 0; i < 7; i++)
+      for (int k = 0; k < 7; k++)
+        V[i][k] = std::pow(H[i + 1], k + 1);
+    // invert V by Gauss-Jordan
+    double aug[7][14];
+    for (int i = 0; i < 7; i++) {
+      for (int j = 0; j < 7; j++) {
+        aug[i][j] = V[i][j];
+        aug[i][7 + j] = (i == j) ? 1.0 : 0.0;
+      }
+    }
+    for (int col = 0; col < 7; col++) {
+      int piv = col;
+      for (int r = col + 1; r < 7; r++)
+        if (std::fabs(aug[r][col]) > std::fabs(aug[piv][col])) piv = r;
+      std::swap_ranges(aug[col], aug[col] + 14, aug[piv]);
+      const double p = aug[col][col];
+      for (int j = 0; j < 14; j++) aug[col][j] /= p;
+      for (int r = 0; r < 7; r++) {
+        if (r == col) continue;
+        const double f = aug[r][col];
+        for (int j = 0; j < 14; j++) aug[r][j] -= f * aug[col][j];
+      }
+    }
+    for (int i = 0; i < 7; i++)
+      for (int j = 0; j < 7; j++) Vinv[i][j] = aug[i][7 + j];
+  }
+};
+const Radau RADAU;
+
+// advance by one adaptive IAS15 step; returns the dt actually taken and
+// sets *dt_next to the recommended next step
+double ias15_step(Sim &s, double dt, double dt_max, double eps, double *dt_next) {
+  const int n3 = 3 * s.n;
+  std::vector<double> x0(s.pos), v0(s.vel), a0(n3);
+  accel(s, x0.data(), v0.data(), a0.data());
+  double amax = 1e-300;
+  for (int d = 0; d < n3; d++) amax = std::max(amax, std::fabs(a0[d]));
+
+  std::vector<double> b(7 * n3, 0.0), anode(7 * n3), xi(n3), vi(n3);
+
+  for (;;) {
+    dt = std::min(dt, dt_max);
+    // predictor-corrector iterations
+    for (int iter = 0; iter < 12; iter++) {
+      double db_max = 0.0;
+      for (int i = 1; i < KMAX; i++) {
+        const double h = H[i];
+        const double hdt = h * dt;
+        for (int d = 0; d < n3; d++) {
+          // series for x and v at node h from current b
+          double ax = a0[d], av = a0[d];
+          double xacc = 0.0, vacc = 0.0;
+          double hk = 1.0;
+          for (int k = 1; k <= 7; k++) {
+            hk *= h;
+            const double bk = b[(k - 1) * n3 + d];
+            vacc += bk * hk / (k + 1.0);
+            xacc += bk * hk / ((k + 1.0) * (k + 2.0));
+          }
+          vi[d] = v0[d] + hdt * (a0[d] + vacc);
+          xi[d] = x0[d] + v0[d] * hdt + 0.5 * hdt * hdt * (a0[d] + 2.0 * xacc);
+        }
+        accel(s, xi.data(), vi.data(), &anode[(i - 1) * n3]);
+      }
+      // solve for b from the node accelerations
+      for (int d = 0; d < n3; d++) {
+        double rhs[7];
+        for (int i = 0; i < 7; i++) rhs[i] = anode[i * n3 + d] - a0[d];
+        for (int k = 0; k < 7; k++) {
+          double bk = 0.0;
+          for (int i = 0; i < 7; i++) bk += RADAU.Vinv[k][i] * rhs[i];
+          db_max = std::max(db_max, std::fabs(bk - b[k * n3 + d]));
+          b[k * n3 + d] = bk;
+        }
+      }
+      if (db_max < 1e-16 * amax) break;
+    }
+
+    // error estimate from the highest-order coefficient
+    double b7max = 1e-300;
+    for (int d = 0; d < n3; d++) b7max = std::max(b7max, std::fabs(b[6 * n3 + d]));
+    const double err = b7max / amax;
+    const double fac = std::pow(eps / (err + 1e-300), 1.0 / 7.0);
+    if (err > eps && dt > 1e-12 * dt_max) {
+      dt *= std::max(0.2, 0.9 * fac);  // reject, retry smaller
+      continue;
+    }
+    *dt_next = dt * std::min(5.0, std::max(0.2, 0.9 * fac));
+    break;
+  }
+
+  // accept: evaluate series at h=1
+  for (int d = 0; d < n3; d++) {
+    double vacc = 0.0, xacc = 0.0;
+    for (int k = 1; k <= 7; k++) {
+      const double bk = b[(k - 1) * n3 + d];
+      vacc += bk / (k + 1.0);
+      xacc += bk / ((k + 1.0) * (k + 2.0));
+    }
+    s.vel[d] = v0[d] + dt * (a0[d] + vacc);
+    s.pos[d] = x0[d] + v0[d] * dt + 0.5 * dt * dt * (a0[d] + 2.0 * xacc);
+  }
+  return dt;
+}
+
+void leapfrog_step(Sim &s, double dt) {
+  const int n3 = 3 * s.n;
+  std::vector<double> a(n3);
+  accel(s, s.pos.data(), s.vel.data(), a.data());
+  for (int d = 0; d < n3; d++) s.vel[d] += 0.5 * dt * a[d];
+  for (int d = 0; d < n3; d++) s.pos[d] += dt * s.vel[d];
+  accel(s, s.pos.data(), s.vel.data(), a.data());
+  for (int d = 0; d < n3; d++) s.vel[d] += 0.5 * dt * a[d];
+}
+
+}  // namespace
+
+extern "C" {
+
+// Integrate the system from t0 to t1.  Arrays are modified in place.
+// itype: 0=ias15, 1=leapfrog, 2=none.  dt0: initial/fixed step (<=0: auto).
+// Returns the number of collision merges that occurred.
+int nb_integrate(int n, double *m, double *pos, double *vel, double *radius,
+                 int *alive, double t0, double t1, double dt0, int itype,
+                 double G, int pn_order, double c_light, int pn2,
+                 int merge_on_collision, double epsilon) {
+  if (n <= 0 || itype == 2 || t1 <= t0) return 0;
+  Sim s;
+  s.n = n;
+  s.G = G;
+  s.pn_order = pn_order;
+  s.c_light = c_light;
+  s.pn2 = pn2;
+  s.m.assign(m, m + n);
+  s.pos.assign(pos, pos + 3 * n);
+  s.vel.assign(vel, vel + 3 * n);
+  s.radius.assign(radius, radius + n);
+  s.alive.assign(alive, alive + n);
+
+  int merges = 0;
+  double t = t0;
+  const double total = t1 - t0;
+  double dt = (dt0 > 0.0) ? std::min(dt0, total) : total;
+  if (itype == 0) {
+    double dt_next = dt;
+    int guard = 0;
+    while (t < t1 - 1e-14 * std::fabs(t1) && guard++ < 1000000) {
+      const double taken = ias15_step(s, std::min(dt_next, t1 - t), t1 - t,
+                                      epsilon, &dt_next);
+      t += taken;
+      if (resolve_collisions(s, merge_on_collision)) merges++;
+    }
+  } else {  // leapfrog, fixed dt
+    const int nsteps = std::max(1, (int)std::ceil(total / dt));
+    const double h = total / nsteps;
+    for (int i = 0; i < nsteps; i++) {
+      leapfrog_step(s, h);
+      if (resolve_collisions(s, merge_on_collision)) merges++;
+    }
+  }
+
+  std::memcpy(m, s.m.data(), n * sizeof(double));
+  std::memcpy(pos, s.pos.data(), 3 * n * sizeof(double));
+  std::memcpy(vel, s.vel.data(), 3 * n * sizeof(double));
+  std::memcpy(radius, s.radius.data(), n * sizeof(double));
+  std::memcpy(alive, s.alive.data(), n * sizeof(int));
+  return merges;
+}
+
+// Rotate all positions/velocities about the z axis by angle (rotating-frame
+// correction; cf. reb_simulation_irotate use in nbody_advance.cpp:174-178).
+void nb_rotate_z(int n, double *pos, double *vel, double angle) {
+  const double ca = std::cos(angle), sa = std::sin(angle);
+  for (int i = 0; i < n; i++) {
+    double x = pos[3 * i], y = pos[3 * i + 1];
+    pos[3 * i] = ca * x - sa * y;
+    pos[3 * i + 1] = sa * x + ca * y;
+    double vx = vel[3 * i], vy = vel[3 * i + 1];
+    vel[3 * i] = ca * vx - sa * vy;
+    vel[3 * i + 1] = sa * vx + ca * vy;
+  }
+}
+
+}  // extern "C"

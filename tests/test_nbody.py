@@ -1,0 +1,115 @@
+"""N-body planet-disk regression (reference: tst/scripts/nbody/nbody.py).
+
+A live star+planet system in a 2-D cylindrical viscous disk (rotating
+frame): after one orbit the planet wake must track the analytic spiral
+(rel err <= 0.04 at R = 1 -/+ 0.1) and the temperature profile must stay
+T = 0.0025 R^-1 (plaw to 2e-4, norm to 5e-3) — nbody.py:105-139.
+
+Plus native-integrator unit checks: IAS15 energy conservation and bound
+collision merging (reference: tst/scripts/collisions/collisions.py).
+"""
+
+import ctypes
+import math
+import os
+
+import numpy as np
+import pytest
+
+from .utils import run_deck
+
+DECK = os.path.join(os.path.dirname(__file__), "..", "inputs", "binary_nbody_cyl.in")
+
+
+def spiral_pos(r, r0=1.0, p0=math.pi, h=0.05):
+    """Ogilvie & Lubow (2002) wake azimuth (tst/scripts/utils/analysis.py:126-142)."""
+    mod = lambda p: p % (2 * math.pi)
+    arm = mod(2.0 / (3 * h) * (r**1.5 - 1.5 * math.log(r) - 1.0))
+    if r > r0:
+        return mod(p0 - arm)
+    if r < r0:
+        return mod(p0 + arm)
+    return p0
+
+
+@pytest.mark.slow
+def test_nbody_planet_disk(tmp_path):
+    sim = run_deck(DECK, [f"parthenon/time/tlim={2 * math.pi:.16f}"], str(tmp_path))
+    assert sim.nbody.alive.all()
+    w = np.asarray(sim.state["gas"]["w"][0])
+    d = w[0][0]  # [nphi, nr]
+    x1v, x2v, _ = sim.grid.cell_centers()
+    rc = x1v[0, 0]
+    pc = x2v[0, :, 0]
+    sig = d - d.mean(axis=0)
+
+    ii = np.argwhere(rc >= 1 - 0.1)[0][0]
+    io = np.argwhere(rc >= 1 + 0.1)[0][0]
+    pi_ = pc[np.argmax(sig[:, ii])]
+    po_ = pc[np.argmax(sig[:, io])]
+    p0i, p0o = spiral_pos(float(rc[ii])), spiral_pos(float(rc[io]))
+    assert abs(pi_ - p0i) / p0i <= 0.04, f"inner wake {pi_:g} vs {p0i:g}"
+    assert abs(po_ - p0o) / p0o <= 0.04, f"outer wake {po_:g} vs {p0o:g}"
+
+    # temperature profile check (locally isothermal disk holds T = 0.0025/R)
+    T = (w[5] / sim.gas_cfg.cv)[0]
+    Tavg = T.mean(axis=0)
+    fit = np.polyfit(np.log(rc), np.log(Tavg), 1)
+    assert abs(fit[0] - (-1.0)) <= 2e-4, f"T plaw {fit[0]:g}"
+    assert abs(math.exp(fit[1]) - 0.0025) / 0.0025 <= 5e-3
+
+
+def test_ias15_energy_conservation():
+    """Two-body orbit: |dE/E| < 1e-10 over 100 orbits."""
+    from artemis_tpu.nbody import _lib
+
+    lib = _lib()
+    m = np.array([1.0, 1e-3])
+    rad = np.zeros(2)
+    alive = np.array([1, 1], dtype=np.int32)
+    a = 1.0
+    vc = math.sqrt((m.sum()) / a)
+    pos = np.array([0, 0, 0, a, 0, 0], dtype=float)
+    vel = np.array([0, -vc * m[1] / m.sum(), 0, 0, vc * m[0] / m.sum(), 0])
+
+    def energy(pos, vel):
+        p = pos.reshape(2, 3)
+        v = vel.reshape(2, 3)
+        ke = 0.5 * (m[:, None] * v**2).sum()
+        return ke - m[0] * m[1] / np.linalg.norm(p[0] - p[1])
+
+    E0 = energy(pos, vel)
+    lib.nb_integrate(2, np.ctypeslib.as_ctypes(m), np.ctypeslib.as_ctypes(pos),
+                     np.ctypeslib.as_ctypes(vel), np.ctypeslib.as_ctypes(rad),
+                     np.ctypeslib.as_ctypes(alive),
+                     ctypes.c_double(0.0), ctypes.c_double(100 * 2 * math.pi),
+                     ctypes.c_double(-1.0), 0, ctypes.c_double(1.0), 0,
+                     ctypes.c_double(1e4), 1, 1, ctypes.c_double(1e-9))
+    E1 = energy(pos, vel)
+    assert abs((E1 - E0) / E0) < 1e-10
+
+
+def test_collision_merge_conservation():
+    """Bound overlapping pair merges, conserving mass and momentum
+    (reference: collisions.py:84 mass bookkeeping)."""
+    from artemis_tpu.nbody import _lib
+
+    lib = _lib()
+    m = np.array([2.0, 1.0])
+    rad = np.array([0.1, 0.1])
+    alive = np.array([1, 1], dtype=np.int32)
+    pos = np.array([0, 0, 0, 0.5, 0, 0], dtype=float)
+    vel = np.array([0, 0, 0, -1.0, 0, 0], dtype=float)  # head-on, bound
+    p_tot0 = (m[:, None] * vel.reshape(2, 3)).sum(axis=0)
+    merges = lib.nb_integrate(
+        2, np.ctypeslib.as_ctypes(m), np.ctypeslib.as_ctypes(pos),
+        np.ctypeslib.as_ctypes(vel), np.ctypeslib.as_ctypes(rad),
+        np.ctypeslib.as_ctypes(alive),
+        ctypes.c_double(0.0), ctypes.c_double(2.0), ctypes.c_double(-1.0),
+        0, ctypes.c_double(1.0), 0, ctypes.c_double(1e4), 1, 1,
+        ctypes.c_double(1e-9))
+    assert merges == 1
+    assert alive.tolist() == [1, 0]
+    assert np.isclose(m[0], 3.0) and m[1] == 0.0
+    p_tot1 = m[0] * vel.reshape(2, 3)[0]
+    assert np.allclose(p_tot1, p_tot0, atol=1e-12)
