@@ -74,6 +74,7 @@ class Driver:
         omf: float = 0.0,
         diffusion=None,
         nbody=None,
+        radiation=None,
     ):
         self.grid = grid
         self.integrator = integrator
@@ -89,12 +90,18 @@ class Driver:
             # the (possibly shard-local) grid owned by this driver
             self.diffusion = diffusion(self.hydro)
         self.nbody = nbody  # host-coupled particle system (NBodySystem)
+        self.radiation = None
+        if radiation is not None:
+            self.radiation = radiation(self.hydro)
         self._step = jax.jit(self._build_step())
         self._dt_fn = jax.jit(self._estimate_dt)
         self._advance = jax.jit(self._build_advance())
         if nbody is not None:
             self._stage_jits = [jax.jit(self._make_stage_fn(s))
                                 for s in range(1, integrator.nstages + 1)]
+            if self.radiation is not None:
+                self._rad_jit = jax.jit(lambda st, dt: self.radiation.sync_gas(
+                    self.radiation.step(st, dt)))
 
     @property
     def host_coupled(self) -> bool:
@@ -119,7 +126,10 @@ class Driver:
                 dt = jnp.minimum(dt, cfg.cfl * self.diffusion.estimate_dt(
                     state[name]["w"]))
             dts.append(dt)
-        return jnp.min(jnp.stack(dts))
+        dt = jnp.min(jnp.stack(dts))
+        if self.radiation is not None:
+            dt = jnp.minimum(dt, self.radiation.cfg.dt_rad)
+        return dt
 
     def _sync_prims(self, state):
         """C2P + P2C re-sync on interior arrays, per fluid."""
@@ -185,6 +195,10 @@ class Driver:
             u1 = {name: state[name]["u"] for name, _ in fluids}
             for stage in range(1, integ.nstages + 1):
                 state, _ = self._stage_body(state, u1, dt, time, stage, None)
+            # operator-split radiation (artemis_driver.cpp:111)
+            if self.radiation is not None:
+                state = self.radiation.step(state, dt)
+                state = self.radiation.sync_gas(state)
             return state
 
         return step
@@ -227,6 +241,8 @@ class Driver:
                 nb.particle_pytree())
             pf = np.asarray(pforce) if pforce is not None else np.zeros((nb.npart, 7))
             nb.advance(pf, stage, nstages, float(time), coeffs)
+        if self.radiation is not None:
+            state = self._rad_jit(state, jnp.asarray(dt))
         return state
 
     def fill_ghosts(self, w_int, fluid: str):

@@ -92,8 +92,8 @@ class RestartOutput:
     def _write(self, state, tm, tag=None):
         arrays = {}
         for fluid in state:
-            arrays[f"{fluid}.u"] = np.asarray(state[fluid]["u"])
-            arrays[f"{fluid}.w"] = np.asarray(state[fluid]["w"])
+            for kind, val in state[fluid].items():
+                arrays[f"{fluid}.{kind}"] = np.asarray(val)
         # package restart payloads (e.g. nbody system snapshot)
         for name, payload in getattr(self.sim, "restart_payloads", {}).items():
             arrays[f"payload.{name}"] = payload()

@@ -141,6 +141,16 @@ class Simulation:
             diffusion_factory = lambda hyd: _Diffusion(
                 hyd.grid, hyd, gas_cfg, visc, cond)
 
+        # radiation (gray FLD, replacing the reference's jaybenne IMC)
+        radiation_factory = None
+        self.radiation_cfg = None
+        if pin.get_or_add_bool("physics", "radiation", False):
+            from .radiation import Radiation as _Radiation, radiation_from_input
+
+            self.radiation_cfg = radiation_from_input(pin, self.constants, gas_cfg)
+            rc = self.radiation_cfg
+            radiation_factory = lambda hyd: _Radiation(rc, hyd.grid, hyd, gas_cfg)
+
         integrator = Integrator.make(pin.get_or_add_str("parthenon/time", "integrator", "rk2"))
         if nshards > 1:
             from .parallel.mesh import ShardedDriver, make_device_mesh
@@ -169,6 +179,7 @@ class Simulation:
                 omf=omf,
                 diffusion=diffusion_factory,
                 nbody=self.nbody,
+                radiation=radiation_factory,
             )
 
         # initial state (fresh from the problem generator, or from a restart
@@ -203,6 +214,16 @@ class Simulation:
             for name, w in self.problem.prims.items():
                 state[name] = {"u": None, "w": jnp.asarray(w)}
             self.state = self.driver.initialize(state)
+            if self.radiation_cfg is not None:
+                rc = self.radiation_cfg
+                rad_T = getattr(self.problem, "rad_temp", None)
+                if rad_T is not None:
+                    Er = jnp.asarray(rc.arad * np.asarray(rad_T)[None] ** 4)
+                else:
+                    from .radiation import initialize_radiation
+
+                    Er = initialize_radiation(self.state, gas_cfg, rc)["Er"]
+                self.state["rad"] = {"Er": Er}
             self.tm = SimTime(
                 time=0.0,
                 tlim=pin.get_real("parthenon/time", "tlim"),

@@ -1,0 +1,67 @@
+"""Gray radiation (FLD) regressions.
+
+The reference ships no radiation regression scripts; these tests pin the
+same physics its IMC decks exercise (SURVEY.md §7.9 gates):
+
+* thermalization (inputs/radiation/thermalization.in): matter and radiation
+  relax to the analytic equilibrium rho cv T + a T^4 = const, conserving
+  total energy to machine precision.
+* rad_shock (inputs/radiation/rad_shock.in, Lowrie & Edwards Mach-3): the
+  radiative shock forms a smooth precursor; the downstream/upstream states
+  hold and the temperature stays monotone outside the Zel'dovich spike.
+"""
+
+import math
+import os
+
+import numpy as np
+import pytest
+from scipy.optimize import brentq
+
+from .utils import run_deck
+
+HERE = os.path.dirname(__file__)
+THERM = os.path.join(HERE, "..", "inputs", "thermalization.in")
+SHOCK = os.path.join(HERE, "..", "inputs", "rad_shock.in")
+
+
+def test_thermalization(tmp_path):
+    sim = run_deck(THERM, [], str(tmp_path))
+    cv = sim.gas_cfg.cv
+    u = np.asarray(sim.state["gas"]["u"][0])
+    Er = np.asarray(sim.state["rad"]["Er"][0])
+    Tg = (u[5] / cv).mean()
+    Tr = Er.mean() ** 0.25
+    E0 = cv * 2.0 + 1.0**4  # rho cv tgas + a trad^4
+    Teq = brentq(lambda T: cv * T + T**4 - E0, 0.1, 5.0)
+    E1 = u[5].mean() + Er.mean()
+    assert abs(E1 - E0) / E0 < 1e-12, "total energy not conserved"
+    assert abs(Tg - Teq) / Teq < 1e-5, f"gas T {Tg:g} != equilibrium {Teq:g}"
+    assert abs(Tr - Teq) / Teq < 1e-5, f"rad T {Tr:g} != equilibrium {Teq:g}"
+
+
+@pytest.mark.slow
+def test_rad_shock(tmp_path):
+    sim = run_deck(SHOCK, ["parthenon/time/tlim=0.02"], str(tmp_path))
+    w = np.asarray(sim.state["gas"]["w"][0])
+    Er = np.asarray(sim.state["rad"]["Er"][0])
+    T = (w[5] / sim.gas_cfg.cv)[0, 0]
+    rho = w[0][0, 0]
+    assert not np.isnan(w).any() and not np.isnan(Er).any()
+    # upstream / downstream states held by the ic BCs
+    assert abs(rho[0] - 1.0) < 0.05
+    assert abs(rho[-1] - 2.285714) / 2.285714 < 0.05
+    assert abs(T[0] - 0.6) / 0.6 < 0.05
+    assert abs(T[-1] - 1.246875) / 1.246875 < 0.05
+    # radiative precursor: radiation temperature is smooth (no IMC noise)
+    Trad = (Er[0, 0] / sim.radiation_cfg.arad) ** 0.25
+    assert Trad.min() > 0.5 and Trad.max() < 1.5
+    d2 = np.abs(np.diff(Trad, 2)).max()
+    assert d2 < 0.05, f"precursor not smooth: {d2:g}"
+    # the shock connects the end states, with a radiative precursor heating
+    # the upstream gas ahead of the density jump
+    assert rho.max() >= 2.285714
+    x1v = sim.grid.cell_centers()[0][0, 0]
+    jump = np.argmax(np.diff(rho))  # steepest compression
+    ahead = slice(max(0, jump - 40), jump)
+    assert Trad[ahead].max() > 0.65, "no radiative precursor ahead of the shock"
