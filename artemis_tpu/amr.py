@@ -1,0 +1,285 @@
+"""Static mesh refinement: level-synchronized block-structured AMR.
+
+TPU-native rebuild of the reference's Parthenon AMR capability (SURVEY.md
+§2.7, §7.7): instead of an oct-tree of MeshBlocks with per-block prolong /
+restrict / flux-correction comm, refinement is organized as *levels* of
+fixed-shape rectangular patches (static shapes — XLA-friendly), advanced in
+lockstep with a shared global dt:
+
+per RK stage, per level pair (coarse, fine):
+  1. both levels compute fluxes from their stage-entry primitives
+  2. coarse fluxes on the patch boundary faces are replaced by the area sum
+     of the overlying fine fluxes (flux correction — conservation across the
+     refinement boundary; cf. SendBoundBufs<flxcor> / SetFluxCorrections,
+     artemis_driver.cpp:198-202)
+  3. both apply the update
+  4. fine cons are restricted (average) onto the coarse cells they cover
+     (cf. RestrictAverage, src/utils/refinement/restriction.hpp)
+  5. prims sync; fine ghost zones are filled by MinMod-limited prolongation
+     of coarse prims (cf. ProlongateSharedMinMod,
+     src/utils/refinement/prolongation.hpp:39-66)
+
+Round-1 scope: 2 levels, one rectangular fine patch, Cartesian, gas-only,
+no external sources.  Adaptive retagging (criteria in ops/refinement.py)
+drives patch placement between steps in a later round.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import bc as bc_mod
+from .driver import Integrator, SimTime
+from .grid import Grid
+from .geometry import geometry as geo
+from .ops.hydro import FluidCfg, Hydro
+
+
+def _refine_grid(coarse: Grid, lo: Tuple[int, int, int], n: Tuple[int, int, int]) -> Grid:
+    """Fine-level Grid covering coarse cells [lo, lo+n) at 2x resolution."""
+    g = coarse.geom
+    s3, s2, s1 = coarse.int_slices
+    xf = []
+    for d, (l, nn) in enumerate(zip(lo, n)):
+        sl = (s1, s2, s3)[d]
+        faces = {0: g.xf1, 1: g.xf2, 2: g.xf3}[d]
+        f0 = faces[sl.start + l]
+        f1 = faces[sl.start + l + nn]
+        xf.append((f0, f1))
+    nxf = tuple(2 * nn if coarse.nx[d] > 1 else 1 for d, nn in enumerate(n))
+    ngf = tuple(coarse.nghost if coarse.nx[d] > 1 else 0 for d in range(3))
+    import numpy as _np
+
+    def faces_1d(d):
+        f0, f1 = xf[d]
+        nn = nxf[d]
+        dxf = (f1 - f0) / nn
+        ng = ngf[d]
+        return f0 + dxf * _np.arange(-ng, nn + ng + 1, dtype=_np.float64)
+
+    geom = geo.build_geometry(coarse.coords, faces_1d(0), faces_1d(1), faces_1d(2))
+    return dataclasses.replace(
+        coarse,
+        nx=nxf,
+        xmin=tuple(xf[d][0] for d in range(3)),
+        xmax=tuple(xf[d][1] for d in range(3)),
+        geom=geom,
+        bc=(("amr", "amr"), ("amr", "amr"), ("amr", "amr")),
+    )
+
+
+def prolong_minmod(wc, active):
+    """MinMod-limited prolongation coarse->fine (factor 2 per active dim).
+
+    ``wc``: coarse array [..., z, y, x]; returns the 2x-refined array.
+    (cf. ProlongateSharedMinMod: fine child values = parent + limited slope/4)
+    """
+    out = wc
+    for d in (1, 2, 3):
+        if not active[d - 1]:
+            continue
+        ax = out.ndim - d
+        lo = jnp.concatenate([out.take(jnp.array([0]), axis=ax),
+                              jnp.moveaxis(jnp.moveaxis(out, ax, 0)[:-1], 0, ax)],
+                             axis=ax)
+        hi = jnp.concatenate([jnp.moveaxis(jnp.moveaxis(out, ax, 0)[1:], 0, ax),
+                              out.take(jnp.array([-1]), axis=ax)], axis=ax)
+        dl = out - lo
+        dr = hi - out
+        slope = jnp.where(dl * dr > 0.0,
+                          jnp.sign(dl) * jnp.minimum(jnp.abs(dl), jnp.abs(dr)),
+                          0.0)
+        minus = out - 0.25 * slope
+        plus = out + 0.25 * slope
+        st = jnp.stack([minus, plus], axis=ax + 1)
+        shape = list(out.shape)
+        shape[ax] *= 2
+        out = st.reshape(shape)
+    return out
+
+
+def restrict_average(wf, active):
+    """Volume-weighted restriction fine->coarse (plain average in Cartesian;
+    cf. RestrictAverage, restriction.hpp)."""
+    out = wf
+    for d in (1, 2, 3):
+        if not active[d - 1]:
+            continue
+        ax = out.ndim - d
+        shape = list(out.shape)
+        shape[ax] //= 2
+        shape.insert(ax + 1, 2)
+        out = out.reshape(shape).mean(axis=ax + 1)
+    return out
+
+
+class TwoLevelSMR:
+    """Two-level static-refinement driver for Cartesian gas hydro."""
+
+    def __init__(self, coarse_grid: Grid, integrator: Integrator,
+                 gas_cfg: FluidCfg, patch_lo, patch_n):
+        if not geo.is_cartesian(coarse_grid.coords):
+            raise ValueError("SMR round-1 scope is Cartesian")
+        self.cg = coarse_grid
+        self.fg = _refine_grid(coarse_grid, patch_lo, patch_n)
+        self.integ = integrator
+        self.cfg = gas_cfg
+        self.hc = Hydro(coarse_grid, gas_cfg)
+        self.hf = Hydro(self.fg, gas_cfg)
+        self.patch_lo = patch_lo
+        self.patch_n = patch_n
+        self.active = tuple(coarse_grid.nx[d] > 1 for d in range(3))
+        self._step = jax.jit(self._build_step())
+        self._dt = jax.jit(self._estimate_dt)
+
+    # -- helpers --------------------------------------------------------
+    def _patch_slices(self):
+        """Coarse interior slices covered by the fine patch ([z,y,x])."""
+        lo, n = self.patch_lo, self.patch_n
+        return tuple(slice(lo[2 - i], lo[2 - i] + n[2 - i]) for i in range(3))
+
+    def _fill_fine_ghosts(self, wf, wc):
+        """Pad fine prims; ghost zones from prolongated coarse prims."""
+        fg, cg = self.fg, self.cg
+        ngf = fg.ng
+        # coarse region covering the fine patch + enough surround:
+        # prolongating (patch + 1 coarse cell) of coarse data gives a
+        # 2-fine-cell rim >= nghost when nghost <= 2; use ceil(ng/2) rim.
+        rim = (max(1, -(-ngf[0] // 2)), max(1, -(-ngf[1] // 2)),
+               max(1, -(-ngf[2] // 2)))
+        lo, n = self.patch_lo, self.patch_n
+        sl = []
+        for i in range(3):  # z, y, x ordering
+            d = 2 - i
+            if cg.nx[d] > 1:
+                sl.append(slice(lo[d] - rim[d], lo[d] + n[d] + rim[d]))
+            else:
+                sl.append(slice(0, 1))
+        wc_region = wc[(Ellipsis, *sl)]
+        fine_region = prolong_minmod(wc_region, self.active)
+        # embed fine interior into the prolongated field
+        pads = [(0, 0)] * (wf.ndim - 3) + [
+            (ngf[2], ngf[2]), (ngf[1], ngf[1]), (ngf[0], ngf[0])]
+        w_pad = jnp.pad(wf, pads, mode="edge")
+        # offset of the fine padded array within fine_region coordinates
+        offs = []
+        for i in range(3):
+            d = 2 - i
+            offs.append(2 * rim[d] - ngf[d] if cg.nx[d] > 1 else 0)
+        reg = fine_region[(Ellipsis,
+                           *[slice(offs[i], offs[i] + w_pad.shape[-3 + i])
+                             for i in range(3)])]
+        s3 = slice(ngf[2], ngf[2] + self.fg.nx[2])
+        s2 = slice(ngf[1], ngf[1] + self.fg.nx[1])
+        s1 = slice(ngf[0], ngf[0] + self.fg.nx[0])
+        return reg.at[..., s3, s2, s1].set(wf)
+
+    def _flux_correct(self, fx_c, fx_f):
+        """Replace coarse patch-boundary fluxes with summed fine fluxes."""
+        lo, n = self.patch_lo, self.patch_n
+        out = {}
+        for d in self.hc.dims:
+            Fc = fx_c[d][0]
+            Ff = fx_f[d][0]
+            # fine faces on the patch boundary along d: indices 0 and 2n_d
+            # coarse faces: lo[d-1] and lo[d-1]+n[d-1] (interior-face index)
+            # average fine face values over the transverse 2x2 (area-weighted
+            # = plain mean in cartesian)
+            for side in (0, 1):
+                cidx = lo[d - 1] + side * n[d - 1]
+                fidx = side * 2 * n[d - 1]
+                f_face = jnp.take(Ff, fidx, axis=Ff.ndim - d)
+                # restrict the fine face values over the transverse dims
+                # (area-weighted sum / coarse area = plain mean in cartesian);
+                # after take(), spatial axes remaining are the dims != d in
+                # descending order (..., then x for d!=1, etc.)
+                f_res = f_face
+                rem_dims = [c for c in (3, 2, 1) if c != d]  # outer->inner
+                for j, c in enumerate(rem_dims):
+                    if not self.active[c - 1]:
+                        continue
+                    ax = f_res.ndim - 2 + j  # two trailing spatial axes
+                    shp = list(f_res.shape)
+                    shp[ax] //= 2
+                    shp.insert(ax + 1, 2)
+                    f_res = f_res.reshape(shp).mean(axis=ax + 1)
+                # scatter into the coarse flux face over the patch extent
+                sl = [slice(None)] * Fc.ndim
+                sl[Fc.ndim - d] = cidx
+                for c in rem_dims:
+                    if self.active[c - 1]:
+                        sl[Fc.ndim - c] = slice(lo[c - 1], lo[c - 1] + n[c - 1])
+                Fc = Fc.at[tuple(sl)].set(f_res)
+            out[d] = (Fc,) + fx_c[d][1:]
+        return out
+
+    # -- stepping -------------------------------------------------------
+    def _stage(self, sc, sf, u1c, u1f, dt, stage):
+        integ = self.integ
+        cfg = self.cfg
+        gam0 = integ.gam0[stage - 1]
+        gam1 = integ.gam1[stage - 1]
+        bdt = integ.beta[stage - 1] * dt
+        force_pcm = (integ.name == "vl2") and stage == 1
+
+        uc, wc = sc
+        uf, wf = sf
+        wc_pad = bc_mod.pad_and_fill(wc, self.cg, "gas", {})
+        wf_pad = self._fill_fine_ghosts(wf, wc)
+        fx_c = self.hc.compute_fluxes(wc_pad, cfg, force_pcm)
+        fx_f = self.hf.compute_fluxes(wf_pad, cfg, force_pcm)
+        fx_c = self._flux_correct(fx_c, fx_f)
+
+        uc = self.hc.apply_update(uc, u1c, fx_c, gam0, gam1, bdt)
+        uc = self.hc.flux_source(uc, wc, fx_c, bdt)
+        uf = self.hf.apply_update(uf, u1f, fx_f, gam0, gam1, bdt)
+        uf = self.hf.flux_source(uf, wf, fx_f, bdt)
+
+        uc = self.hc.set_auxiliary(uc, cfg)
+        uf = self.hf.set_auxiliary(uf, cfg)
+
+        # restrict fine cons onto the covered coarse cells
+        uc = uc.at[(Ellipsis, *self._patch_slices())].set(
+            restrict_average(uf, self.active))
+
+        wc = self.hc.cons_to_prim(uc, cfg)
+        uc, wc = self.hc.prim_to_cons(wc, cfg)
+        wf = self.hf.cons_to_prim(uf, cfg)
+        uf, wf = self.hf.prim_to_cons(wf, cfg)
+        return (uc, wc), (uf, wf)
+
+    def _build_step(self):
+        def step(sc, sf, dt):
+            u1c = sc[0]
+            u1f = sf[0]
+            for stage in range(1, self.integ.nstages + 1):
+                sc, sf = self._stage(sc, sf, u1c, u1f, dt, stage)
+            return sc, sf
+
+        return step
+
+    def _estimate_dt(self, sc, sf):
+        return jnp.minimum(self.hc.estimate_dt(sc[1], self.cfg),
+                           self.hf.estimate_dt(sf[1], self.cfg))
+
+    # -- public ---------------------------------------------------------
+    def initialize(self, wc, wf):
+        uc, wc = self.hc.prim_to_cons(jnp.asarray(wc), self.cfg)
+        uf, wf = self.hf.prim_to_cons(jnp.asarray(wf), self.cfg)
+        return (uc, wc), (uf, wf)
+
+    def run(self, sc, sf, tlim, nlim=-1):
+        t, dt, nc = 0.0, float(self._dt(sc, sf)), 0
+        while t < tlim * (1 - 1e-12) and (nlim < 0 or nc < nlim):
+            use = min(dt, tlim - t)
+            sc, sf = self._step(sc, sf, jnp.asarray(use))
+            t += use
+            nc += 1
+            dt = min(2 * use, float(self._dt(sc, sf)))
+        return sc, sf, t, nc

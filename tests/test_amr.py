@@ -1,0 +1,80 @@
+"""Static mesh refinement regression.
+
+A 2-D Sedov blast (cylindrical symmetry) with a 2x fine patch over the
+explosion: the refined run must stay conservative across the refinement
+boundary and match the semi-analytic sedov2d profile at the same threshold
+the unrefined coords test uses (pressure L2 < 1.0, blast.py:118)."""
+
+import os
+
+import numpy as np
+import pytest
+from scipy.interpolate import interp1d
+
+from artemis_tpu.amr import TwoLevelSMR
+from artemis_tpu.config import ParameterInput
+from artemis_tpu.driver import Integrator
+from artemis_tpu.grid import grid_from_input
+from artemis_tpu.ops.hydro import FluidCfg
+from artemis_tpu.pgen import build_problem
+
+HERE = os.path.dirname(__file__)
+DECK = os.path.join(HERE, "..", "inputs", "blast.in")
+DAT2 = np.loadtxt(os.path.join(HERE, "data", "sedov2d.dat"), comments="#")
+
+
+@pytest.mark.slow
+def test_blast_smr(tmp_path):
+    pin = ParameterInput.from_file(DECK)
+    pin.apply_overrides([
+        "parthenon/mesh/nx1=128", "parthenon/mesh/nx2=128",
+        "gas/reconstruct=plm", "gas/riemann=hlle",
+    ])
+    grid = grid_from_input(pin)
+    cfg = FluidCfg(fluid="gas", recon="plm", rsolver="hlle",
+                   gamma=pin.get_real("gas", "gamma"),
+                   cfl=pin.get_real("gas", "cfl"),
+                   dfloor=pin.get_real("gas", "dfloor"),
+                   siefloor=pin.get_real("gas", "siefloor"))
+
+    # fine patch over the central quarter of the domain
+    lo = (32, 32, 0)
+    n = (64, 64, 1)
+    smr = TwoLevelSMR(grid, Integrator.make("rk2"), cfg, lo, n)
+
+    prob_c = build_problem("blast", pin, grid, cfg)
+    pin_f = ParameterInput.from_string(repr(pin))
+    prob_f = build_problem("blast", pin_f, smr.fg, cfg)
+    sc, sf = smr.initialize(prob_c.prims["gas"], prob_f.prims["gas"])
+
+    # conservation bookkeeping (total mass over the composite grid)
+    def totals(sc, sf):
+        volc = np.broadcast_to(smr.cg.geom.volume(), smr.cg.shape_entire)[
+            smr.cg.int_slices]
+        volf = np.broadcast_to(smr.fg.geom.volume(), smr.fg.shape_entire)[
+            smr.fg.int_slices]
+        uc = np.asarray(sc[0][0])
+        uf = np.asarray(sf[0][0])
+        mask = np.ones_like(volc)
+        psl = smr._patch_slices()
+        mask[psl] = 0.0
+        m = (uc[0] * volc * mask).sum() + (uf[0] * volf).sum()
+        e = (uc[4] * volc * mask).sum() + (uf[4] * volf).sum()
+        return m, e
+
+    m0, e0 = totals(sc, sf)
+    sc, sf, t, nc = smr.run(sc, sf, tlim=0.1)
+    m1, e1 = totals(sc, sf)
+    assert abs(m1 - m0) / m0 < 1e-12, f"mass drift {abs(m1 - m0) / m0:g}"
+    assert abs(e1 - e0) / e0 < 1e-10, f"energy drift {abs(e1 - e0) / e0:g}"
+
+    # pressure profile vs the sedov table, on the fine level
+    pf = interp1d(DAT2[:, 0], DAT2[:, 3])
+    wf = np.asarray(sf[1][0])
+    pres = wf[4]
+    x1v, x2v, _ = smr.fg.cell_centers()
+    rr = np.broadcast_to(np.sqrt(x1v**2 + x2v**2), pres.shape)
+    inb = rr <= DAT2[:, 0].max()
+    pans = pf(np.clip(rr, DAT2[0, 0], DAT2[:, 0].max()))
+    l2 = float(np.sqrt(((pres - pans)[inb] ** 2).mean()))
+    assert np.isfinite(l2) and l2 < 1.0, f"SMR blast pressure L2 {l2:g}"
