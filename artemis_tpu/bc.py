@@ -79,7 +79,29 @@ def pad_prims(w_int, grid):
 
 def pad_and_fill(w_int, grid, fluid: str, custom: Optional[Dict[str, CustomBC]] = None):
     """Interior prims -> ghost-padded prims with all BCs applied."""
+    if all(grid.bc[d - 1] == ("periodic", "periodic")
+           for d in (1, 2, 3) if grid.active(d)):
+        return _periodic_concat(w_int, grid)
     return fill_ghosts(pad_prims(w_int, grid), grid, fluid, custom)
+
+
+def _periodic_concat(w_int, grid):
+    """Fast ghost fill for all-periodic boundaries: one concatenate per
+    active axis instead of pad + per-face scatter (fewer full-array copies
+    on the hot path)."""
+    ng = grid.ng
+    out = w_int
+    for d in (1, 2, 3):
+        g = ng[d - 1]
+        if g == 0:
+            continue
+        ax = out.ndim - d
+        lo = [slice(None)] * out.ndim
+        hi = [slice(None)] * out.ndim
+        lo[ax] = slice(-g, None)
+        hi[ax] = slice(0, g)
+        out = jnp.concatenate([out[tuple(lo)], out, out[tuple(hi)]], axis=ax)
+    return out
 
 
 def fill_ghosts(w, grid, fluid: str, custom: Optional[Dict[str, CustomBC]] = None):

@@ -117,6 +117,18 @@ class Hydro:
         self.x1dep = geo.x1dep(grid.coords)
         self.x2dep = geo.x2dep(grid.coords) and grid.active(2)
 
+        # optional fused Pallas fast path for the gas flux sweeps (TPU only)
+        import os as _os
+
+        self.pallas_ok = False
+        if gas is not None and _os.environ.get("ARTEMIS_PALLAS", "1") != "0":
+            from . import pallas_sweeps
+
+            try:
+                self.pallas_ok = pallas_sweeps.supported(grid, gas)
+            except Exception:
+                self.pallas_ok = False
+
     # -- helpers ---------------------------------------------------------
     def _faces_interior_np(self, A, d: int):
         """Slice a broadcastable entire-grid face array (faces along d) down
@@ -161,7 +173,24 @@ class Hydro:
         """
         out = {}
         method = "pcm" if force_pcm else cfg.recon
+        use_pallas = (self.pallas_ok and cfg.fluid == "gas"
+                      and method in ("plm", "pcm"))
+        if use_pallas:
+            from . import pallas_sweeps
+
+            # x/y sweeps fuse recon+riemann in VMEM.  (The z sweep needs
+            # either a full-z block — VMEM-bound — or transposes whose HBM
+            # traffic outweighs the fusion win; measured slower, so it stays
+            # on the jnp path.)
+            for d in self.dims:
+                if d in (1, 2):
+                    out[d] = pallas_sweeps.sweep(w_pad, d, self.grid,
+                                                 cfg.gamma, recon=method)
+            if all(d in out for d in self.dims):
+                return out
         for d in self.dims:
+            if d in out:
+                continue
             wl, wr = recon_mod.reconstruct(w_pad, d, method, self.grid.geom)
             wl = self._faces_interior(wl, d)
             wr = self._faces_interior(wr, d)
