@@ -1,0 +1,32 @@
+"""Circumbinary/planet disk with the analytic binary-orbit potential
+(reference: tst/scripts/binary/binary.py — wake position rel err <= 0.03)."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from .test_nbody import spiral_pos
+from .utils import run_deck
+
+DECK = os.path.join(os.path.dirname(__file__), "..", "inputs", "binary_cyl.in")
+
+
+@pytest.mark.slow
+def test_binary_planet_disk(tmp_path):
+    sim = run_deck(DECK, [f"parthenon/time/tlim={2 * math.pi:.16f}"], str(tmp_path))
+    w = np.asarray(sim.state["gas"]["w"][0])
+    d = w[0][0]
+    x1v, x2v, _ = sim.grid.cell_centers()
+    rc = x1v[0, 0]
+    pc = x2v[0, :, 0]
+    sig = d - d.mean(axis=0)
+    ii = np.argwhere(rc >= 1 - 0.1)[0][0]
+    io = np.argwhere(rc >= 1 + 0.1)[0][0]
+    pi_ = pc[np.argmax(sig[:, ii])]
+    po_ = pc[np.argmax(sig[:, io])]
+    p0i, p0o = spiral_pos(float(rc[ii])), spiral_pos(float(rc[io]))
+    assert abs(pi_ - p0i) / p0i <= 0.03, f"inner wake {pi_:g} vs {p0i:g}"
+    assert abs(po_ - p0o) / p0o <= 0.03, f"outer wake {po_:g} vs {p0o:g}"
+    assert not np.isnan(w).any()

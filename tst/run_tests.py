@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Regression suite runner (reference: tst/run_tests.py).
+
+Suites are line-lists of test families under tst/suites/*.suite; each family
+maps to a pytest module in tests/.  Usage:
+
+    python tst/run_tests.py regression.suite
+    python tst/run_tests.py serial.suite parallel.suite
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+
+FAMILIES = {
+    "linwave": "tests/test_linwave.py",
+    "advection": "tests/test_advection.py",
+    "blast": "tests/test_blast.py",
+    "coords": "tests/test_blast.py",
+    "diffusion": "tests/test_diffusion.py",
+    "alpha_disk": "tests/test_alpha_disk.py",
+    "drag": "tests/test_drag.py",
+    "disk": "tests/test_disk.py",
+    "ssheet": "tests/test_ssheet.py",
+    "nbody": "tests/test_nbody.py",
+    "binary": "tests/test_binary.py",
+    "radiation": "tests/test_radiation.py",
+    "amr": "tests/test_amr.py",
+    "parallel": "tests/test_parallel.py",
+    "restart": "tests/test_restart.py",
+}
+
+
+def load_suite(name: str):
+    path = name if os.path.exists(name) else os.path.join(HERE, "suites", name)
+    fams = []
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if line:
+                fams.append(line)
+    return fams
+
+
+def main(argv):
+    if not argv:
+        print(__doc__)
+        return 2
+    slow = "--slow" in argv
+    argv = [a for a in argv if a != "--slow"]
+    mods = []
+    for suite in argv:
+        for fam in load_suite(suite):
+            mod = FAMILIES.get(fam)
+            if mod is None:
+                print(f"unknown test family {fam!r}", file=sys.stderr)
+                return 2
+            if mod not in mods:
+                mods.append(mod)
+    cmd = [sys.executable, "-m", "pytest", "-q", *mods]
+    if slow:
+        cmd += ["-m", "slow or not slow"]
+    print("+", " ".join(cmd))
+    return subprocess.call(cmd, cwd=ROOT)
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
