@@ -16,6 +16,8 @@ def main(argv=None) -> int:
     ap.add_argument("-d", "--data", default=".", help="output data directory")
     ap.add_argument("-r", "--restart", default=None, help="restart checkpoint (.rst.npz)")
     ap.add_argument("-n", "--ncycle-out", type=int, default=0, help="stdout log interval")
+    ap.add_argument("-t", "--walltime", type=float, default=None,
+                    help="wall-clock limit in seconds (exit code 2 on timeout)")
     ap.add_argument("overrides", nargs="*", help="block/key=value overrides")
     args = ap.parse_args(argv)
 
@@ -24,9 +26,21 @@ def main(argv=None) -> int:
     try:
         sim = Simulation(args.input, overrides=args.overrides, data_dir=args.data,
                          restart=args.restart)
-        zcps = sim.run(log_every=args.ncycle_out)
+        sim.print_config()
+        zcps = sim.run(log_every=args.ncycle_out, walltime=args.walltime)
         print(f"walltime-rate: {zcps:.3e} zone-cycles/sec "
-              f"(ncycle={sim.tm.ncycle}, t={sim.tm.time:.6e})")
+              f"(ncycle={sim.tm.ncycle}, t={sim.tm.time:.6e}, {sim.status})")
+        if sim.status == "timeout":
+            # write a resume checkpoint and signal the self-resubmit pattern
+            # (DriverStatus::timeout -> exit code 2, src/main.cpp:108-138)
+            from .io.dumps import RestartOutput
+
+            pid = sim.pin.get_or_add_str("parthenon/job", "problem_id", "artemis")
+            import os as _os
+
+            ro = RestartOutput(sim, 1.0, _os.path.join(sim.data_dir, f"{pid}.walltime"))
+            ro._write(sim.state, sim.tm, tag="final")
+            return 2
     except Exception as e:  # noqa: BLE001
         print(f"artemis_tpu failed: {e}", file=sys.stderr)
         raise

@@ -307,12 +307,15 @@ class SimTime:
     nlim: int = -1
 
 
-def evolve(driver: Driver, state, tm: SimTime, observers=None, log_every: int = 0):
+def evolve(driver: Driver, state, tm: SimTime, observers=None, log_every: int = 0,
+           deadline: Optional[float] = None):
     """Outer evolution loop (EvolutionDriver::Execute equivalent).
 
     ``observers``: list of callables (state, tm) -> None, invoked after each
-    cycle (used for history output).
-    Returns (state, tm, zone_cycles_per_sec).
+    cycle (used for history output).  ``deadline``: wall-clock time
+    (perf_counter) after which the loop stops with status "timeout"
+    (the reference's -t walltime flag, src/main.cpp:108-138).
+    Returns (state, tm, zone_cycles_per_sec, status).
     """
     observers = observers or []
     ncells = int(np.prod(driver.grid.nx))
@@ -347,11 +350,18 @@ def evolve(driver: Driver, state, tm: SimTime, observers=None, log_every: int = 
             set_global_dt()
         else:
             target = next_target()
-            # compiled multi-step march to the next event (no host sync/step)
+            # compiled multi-step march to the next event (no host sync/step).
+            # With a walltime deadline active, bound each chunk to a few
+            # hundred cycles so the deadline is actually checked (the
+            # reference checks per-cycle; per-chunk is the compiled analogue).
+            nlim = tm.nlim
+            if deadline is not None:
+                chunk = tm.ncycle + 256
+                nlim = chunk if nlim < 0 else min(nlim, chunk)
             state, t, dt, nc = driver._advance(
                 state, jnp.asarray(tm.time), jnp.asarray(tm.dt),
                 jnp.asarray(tm.ncycle), jnp.asarray(target),
-                jnp.asarray(tm.tlim), jnp.asarray(tm.nlim))
+                jnp.asarray(tm.tlim), jnp.asarray(nlim))
             tm.time = float(t)
             tm.dt = float(dt)
             tm.ncycle = int(nc)
@@ -359,6 +369,12 @@ def evolve(driver: Driver, state, tm: SimTime, observers=None, log_every: int = 
             obs(state, tm)
         if log_every:
             print(f"cycle={tm.ncycle} time={tm.time:.6e} dt={tm.dt:.6e}")
+        unfinished = (tm.time < tm.tlim * (1.0 - 1e-12)
+                      and (tm.nlim < 0 or tm.ncycle < tm.nlim))
+        if deadline is not None and _time.perf_counter() > deadline and unfinished:
+            elapsed = _time.perf_counter() - t0
+            zcps = ncells * (tm.ncycle - cycles0) / max(elapsed, 1e-30)
+            return state, tm, zcps, "timeout"
     elapsed = _time.perf_counter() - t0
     zcps = ncells * (tm.ncycle - cycles0) / max(elapsed, 1e-30)
-    return state, tm, zcps
+    return state, tm, zcps, "complete"

@@ -26,6 +26,30 @@ def _enable_x64():
     jax.config.update("jax_enable_x64", True)
 
 
+class _NBodyOutputs:
+    """Writes the N-body .reb/.orb files at the <nbody> dt_output cadence
+    (cf. NBody::Outputs, nbody_outputs.cpp)."""
+
+    def __init__(self, sim):
+        self.sim = sim
+        self.dt_out = sim.pin.get_or_add_real("nbody", "dt_output", 1.0e300)
+        self.pid = sim.pin.get_or_add_str("parthenon/job", "problem_id", "artemis")
+        self.next = 0.0
+
+    def start(self, state, tm):
+        self.sim.nbody.write_outputs(self.sim.data_dir, self.pid, tm.time)
+        self.next = self.dt_out
+
+    def __call__(self, state, tm):
+        while tm.time >= self.next * (1.0 - 1e-12):
+            self.sim.nbody.write_outputs(self.sim.data_dir, self.pid, tm.time)
+            self.next += self.dt_out
+
+    @property
+    def next_time(self):
+        return self.next
+
+
 class Simulation:
     def __init__(
         self,
@@ -230,6 +254,35 @@ class Simulation:
                 nlim=pin.get_or_add_int("parthenon/time", "nlim", -1),
             )
 
+    def print_config(self):
+        """Startup configuration banner (cf. PrintArtemisConfiguration,
+        src/utils/artemis_utils.cpp:24-87)."""
+        pin = self.pin
+        lines = [
+            "=" * 60,
+            f"artemis_tpu  |  problem = {pin.get_str('artemis', 'problem')}"
+            f"  |  coords = {self.grid.coords}",
+            f"mesh {self.grid.nx[0]}x{self.grid.nx[1]}x{self.grid.nx[2]}"
+            f"  nghost={self.grid.nghost}  tlim={self.tm.tlim:g}",
+        ]
+        if self.gas_cfg:
+            c = self.gas_cfg
+            lines.append(f"gas: {c.recon}+{c.rsolver} gamma={c.gamma:g} "
+                         f"cfl={c.cfl:g} nspecies={c.nspecies}")
+        if self.dust_cfg:
+            lines.append(f"dust: {self.dust_cfg.recon}+{self.dust_cfg.rsolver} "
+                         f"nspecies={self.dust_cfg.nspecies}")
+        pkgs = [p for p, on in (
+            ("gravity", bool([s for s in self.driver.sources])),
+            ("nbody", self.nbody is not None),
+            ("radiation", self.radiation_cfg is not None),
+            ("diffusion", self.driver.diffusion is not None),
+        ) if on]
+        if pkgs:
+            lines.append("packages: " + ", ".join(pkgs))
+        lines.append("=" * 60)
+        print("\n".join(lines))
+
     def _make_observers(self):
         """Attach outputs declared in the deck (<parthenon/outputN> blocks)."""
         from .io.history import HistoryOutput
@@ -258,19 +311,25 @@ class Simulation:
                 obs.append(FieldOutput(self, dt_out, base, variables))
             elif ftype == "rst":
                 obs.append(RestartOutput(self, dt_out, base))
+        if self.nbody is not None:
+            obs.append(_NBodyOutputs(self))
         return obs
 
-    def run(self, log_every: int = 0, extra_observers=()):
+    def run(self, log_every: int = 0, extra_observers=(), walltime=None):
+        import time as _t
+
+        deadline = (_t.perf_counter() + walltime) if walltime else None
         observers = self._make_observers() + list(extra_observers)
         for ob in observers:
             if hasattr(ob, "start"):
                 ob.start(self.state, self.tm)
-        self.state, self.tm, zcps = evolve(
-            self.driver, self.state, self.tm, observers=observers, log_every=log_every
+        self.state, self.tm, zcps, self.status = evolve(
+            self.driver, self.state, self.tm, observers=observers,
+            log_every=log_every, deadline=deadline
         )
         for ob in observers:
             if hasattr(ob, "finish"):
                 ob.finish(self.state, self.tm)
-        if self.problem.after_loop is not None:
+        if self.problem.after_loop is not None and self.status == "complete":
             self.problem.after_loop(self.grid, self.pin, self.state, self.tm, self.data_dir)
         return zcps
