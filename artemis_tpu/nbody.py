@@ -102,11 +102,26 @@ def _soft(pin, block):
     raise ValueError(f"Unknown particle softening type {st}")
 
 
-def setup_particles(pin, G: float, mtot_in: float):
-    """Parse the <nbody/...> setup DSL (cf. NBodySetup, nbody_setup.cpp).
+def _loadtxt(fname):
+    """ASCII table reader (cf. ArtemisUtils::loadtxt): '#' comments, any
+    whitespace, ragged rows allowed."""
+    rows = []
+    with open(fname) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if line:
+                rows.append([float(tok) for tok in line.replace(",", " ").split()])
+    return rows
 
-    Supports <nbody/particleN> (+/soft,/sink,/initialize), <nbody/binaryN>
-    (+ sub-blocks) and <nbody/planetN>.  Returns (parts dict, mtot).
+
+def setup_particles(pin, G: float, mtot_in: float):
+    """Parse the <nbody/...> setup DSL (cf. NBodySetup, nbody_setup.cpp:650-723).
+
+    Supports <nbody/particleN> (+/soft,/sink,/initialize), <nbody/binary*>,
+    <nbody/triple*>, <nbody/system*> (input_file: m x y z vx vy vz sft
+    [gamma beta target_rad radius]) and <nbody/planet*> — inline orbital
+    elements or input_file (q a e i f o O sft [gamma beta target_rad
+    radius], nbody_setup.cpp:562-623).  Returns (parts dict, mtot).
     """
     parts: Dict[int, ParticleParams] = {}
 
@@ -119,6 +134,17 @@ def setup_particles(pin, G: float, mtot_in: float):
                 if tail.isdigit():
                     idx.add(int(tail))
         return sorted(idx)
+
+    def named_blocks(prefix):
+        """All <nbody/prefix*> block names in file order (the reference
+        prefix-matches, so <nbody/planets> counts too)."""
+        seen = []
+        for b in pin.block_names():
+            segs = b.split("/")
+            if (len(segs) == 2 and segs[0] == "nbody"
+                    and segs[1].startswith(prefix) and b not in seen):
+                seen.append(b)
+        return seen
 
     for pid in part_blocks("particle"):
         blk = f"nbody/particle{pid}"
@@ -207,9 +233,141 @@ def setup_particles(pin, G: float, mtot_in: float):
         p.init = 1
         s.init = 1
 
-    for pid in part_blocks("planet"):
-        blk = f"nbody/planet{pid}"
-        # planet on a Kepler orbit around the total mass at the origin
+    for blk in named_blocks("triple"):
+        # Hierarchical triple: outer orbit (ao,eo,...) between the primary and
+        # the inner-binary barycenter; inner orbit (a,e,...) between secondary
+        # and tertiary (cf. ReadTripleBlock, nbody_setup.cpp:327-492).
+        mass = pin.get_or_add_real(blk, "mass", -1.0)
+        oa = pin.get_real(blk, "ao")
+        oe = pin.get_or_add_real(blk, "eo", 0.0)
+        oi = math.radians(pin.get_or_add_real(blk, "io", 0.0))
+        oo = math.radians(pin.get_or_add_real(blk, "oo", 0.0))
+        oO = math.radians(pin.get_or_add_real(blk, "Oo", 0.0))
+        of_ = math.radians(pin.get_or_add_real(blk, "fo", 180.0))
+        a = pin.get_real(blk, "a")
+        e = pin.get_or_add_real(blk, "e", 0.0)
+        inc = math.radians(pin.get_or_add_real(blk, "i", 0.0))
+        o = math.radians(pin.get_or_add_real(blk, "o", 0.0))
+        O = math.radians(pin.get_or_add_real(blk, "O", 0.0))
+        f = math.radians(pin.get_or_add_real(blk, "f", 180.0))
+        Rc = np.array([pin.get_or_add_real(blk, k, 0.0) for k in ("x", "y", "z")])
+        Vc = np.array([pin.get_or_add_real(blk, k, 0.0) for k in ("vx", "vy", "vz")])
+        pp = pin.get_or_add_int(blk, "primary", -1)
+        ss = pin.get_or_add_int(blk, "secondary", -1)
+        tt = pin.get_or_add_int(blk, "tertiary", -1)
+        if pp not in parts or ss not in parts or tt not in parts or -1 in (pp, ss, tt):
+            qo = pin.get_real(blk, "qo")   # (m2+m3)/m1
+            q = pin.get_real(blk, "q")     # m3/m2
+            radius = pin.get_or_add_real(blk, "radius", 0.0)
+            rs = pin.get_or_add_real(blk, "rsoft", 0.0)
+            racc = pin.get_or_add_real(blk, "rsink", 0.0)
+            gamma = pin.get_or_add_real(blk, "gamma", 0.0)
+            beta = pin.get_or_add_real(blk, "beta", 0.0)
+            target_rad = pin.get_or_add_real(blk, "refine_distance", 0.0)
+            live = pin.get_or_add_int(blk, "live", 0)
+            live_after = pin.get_or_add_real(blk, "live_after", 0.0)
+            stype = pin.get_or_add_str(blk, "stype", "spline")
+            couple = pin.get_or_add_int(blk, "couple", 0)
+            if mass < 0:
+                raise ValueError(f"mass < 0 for {blk}")
+            spline = 1 if stype == "spline" else 0
+            m1 = mass / (1.0 + qo)
+            mb = qo * m1
+            m2 = mb / (1.0 + q)
+            m3 = q * m2
+            mk = lambda m: ParticleParams(m=m, radius=radius, rs=rs, spline=spline,
+                                          racc=racc, gamma=gamma, beta=beta,
+                                          couple=couple, live=live,
+                                          live_after=live_after,
+                                          target_rad=target_rad)
+            maxid = max(parts.keys(), default=0)
+            if pp == -1:
+                pp = maxid + 1
+                parts[pp] = mk(m1)
+                maxid = pp
+            if ss == -1:
+                ss = maxid + 1
+                parts[ss] = mk(m2)
+                maxid = ss
+            if tt == -1:
+                tt = maxid + 1
+                parts[tt] = mk(m3)
+        p, s, t = parts[pp], parts[ss], parts[tt]
+        q1 = (s.m + t.m) / p.m
+        q2 = t.m / s.m
+        if mass > 0:
+            p.m = mass / (1.0 + q1)
+            s.m = q1 * p.m / (1.0 + q2)
+            t.m = q2 * s.m
+        else:
+            mass = p.m + s.m + t.m
+        mb = s.m + t.m
+        Rb, Vb = _init_orbit(G * mass, oa, oe, oi, oo, oO, of_)
+        mu1, mu2 = p.m / mass, mb / mass
+        r0 = Rc - mu2 * Rb
+        v0 = Vc - mu2 * Vb
+        Rc = Rc + mu1 * Rb
+        Vc = Vc + mu1 * Vb
+        rb, vb = _init_orbit(G * mb, a, e, inc, o, O, f)
+        mu1, mu2 = s.m / mb, t.m / mb
+        p.x, p.y, p.z = r0
+        p.vx, p.vy, p.vz = v0
+        s.x, s.y, s.z = Rc - mu2 * rb
+        s.vx, s.vy, s.vz = Vc - mu2 * vb
+        t.x, t.y, t.z = Rc + mu1 * rb
+        t.vx, t.vy, t.vz = Vc + mu1 * vb
+        p.init = s.init = t.init = 1
+
+    for blk in named_blocks("system"):
+        # generic system from file: m x y z vx vy vz sft [gamma beta
+        # target_rad radius] (ReadNBodySystemBlock, nbody_setup.cpp:499-551)
+        couple = pin.get_or_add_int(blk, "couple", 1)
+        live = pin.get_or_add_int(blk, "live", 0)
+        live_after = pin.get_or_add_real(blk, "live_after", 0.0)
+        spline = 1 if pin.get_or_add_str(blk, "stype", "spline") == "spline" else 0
+        nid = max(parts.keys(), default=0) + 1
+        for row in _loadtxt(pin.get_str(blk, "input_file")):
+            p = ParticleParams(couple=couple, live=live, live_after=live_after,
+                               spline=spline, init=1)
+            p.m, p.x, p.y, p.z, p.vx, p.vy, p.vz, p.rs = row[:8]
+            p.racc = p.rs
+            opt = row[8:]
+            p.gamma = opt[0] if len(opt) > 0 else 0.0
+            p.beta = opt[1] if len(opt) > 1 else 0.0
+            p.target_rad = opt[2] if len(opt) > 2 else 0.0
+            p.radius = opt[3] if len(opt) > 3 else 0.0
+            parts[nid] = p
+            nid += 1
+
+    for blk in named_blocks("planet"):
+        couple = pin.get_or_add_int(blk, "couple", 1)
+        if pin.exists(blk, "input_file"):
+            # planetary system from file around a unit central mass:
+            # q a e i f o O sft [gamma beta target_rad radius]
+            # (ReadPlanetarySystemBlock, nbody_setup.cpp:562-623)
+            live = pin.get_or_add_int(blk, "live", 0)
+            live_after = pin.get_or_add_real(blk, "live_after", 0.0)
+            spline = 1 if pin.get_or_add_str(blk, "stype", "spline") == "spline" else 0
+            nid = max(parts.keys(), default=0) + 1
+            for row in _loadtxt(pin.get_str(blk, "input_file")):
+                q, a, e, inc, f, o, O, sft = row[:8]
+                p = ParticleParams(m=q, rs=sft, racc=sft, couple=couple,
+                                   live=live, live_after=live_after,
+                                   spline=spline, init=1)
+                opt = row[8:]
+                p.gamma = opt[0] if len(opt) > 0 else 0.0
+                p.beta = opt[1] if len(opt) > 1 else 0.0
+                p.target_rad = opt[2] if len(opt) > 2 else 0.0
+                p.radius = opt[3] if len(opt) > 3 else 0.0
+                rb, vb = _init_orbit(G * 1.0, a, e, math.radians(inc),
+                                     math.radians(o), math.radians(O),
+                                     math.radians(f))
+                p.x, p.y, p.z = rb
+                p.vx, p.vy, p.vz = vb
+                parts[nid] = p
+                nid += 1
+            continue
+        # inline planet on a Kepler orbit around the running total mass
         m = pin.get_real(blk, "mass")
         a = pin.get_real(blk, "a")
         e = pin.get_or_add_real(blk, "e", 0.0)
@@ -219,7 +377,6 @@ def setup_particles(pin, G: float, mtot_in: float):
         racc = pin.get_or_add_real(blk, "rsink", 0.0)
         gamma = pin.get_or_add_real(blk, "gamma", 0.0)
         beta = pin.get_or_add_real(blk, "beta", 0.0)
-        couple = pin.get_or_add_int(blk, "couple", 1)
         mtot_sys = sum(p.m for p in parts.values()) + m
         rb, vb = _init_orbit(G * mtot_sys, a, e, inc, 0.0, 0.0, f)
         p = ParticleParams(m=m, rs=rs, spline=1, racc=racc, gamma=gamma, beta=beta,
@@ -232,8 +389,17 @@ def setup_particles(pin, G: float, mtot_in: float):
         if not p.init and (p.x, p.y, p.z, p.vx, p.vy, p.vz) == (0,) * 6:
             p.init = 1
     mtot = sum(p.m for p in parts.values())
+    # normalize: total mass → <gravity/nbody> mtot, barycenter → origin
+    # (NBodySetup, nbody_setup.cpp:690-714)
+    com_r = np.zeros(3)
+    com_v = np.zeros(3)
+    for p in parts.values():
+        com_r += p.m * np.array([p.x, p.y, p.z]) / mtot
+        com_v += p.m * np.array([p.vx, p.vy, p.vz]) / mtot
+    for p in parts.values():
+        p.x, p.y, p.z = np.array([p.x, p.y, p.z]) - com_r
+        p.vx, p.vy, p.vz = np.array([p.vx, p.vy, p.vz]) - com_v
     if mtot_in > 0:
-        # rescale particle masses so they sum to mtot
         fac = mtot_in / mtot
         for p in parts.values():
             p.m *= fac
@@ -303,6 +469,7 @@ class NBodySystem:
         # copy-sim state for intermediate stages (master = .pos/.vel/.m)
         self._step_start = None
         self._output_count = 0
+        self._orb_counts: Dict[tuple, int] = {}
 
     # ------------------------------------------------------------------
     def particle_pytree(self):
@@ -388,35 +555,90 @@ class NBodySystem:
             self.pforce_step[:] = 0.0
 
     # ------------------------------------------------------------------
-    # outputs (cf. nbody_outputs.cpp; doc/src/physics.rst "N-Body Outputs")
+    # outputs (cf. nbody_outputs.cpp:32-285; doc/src/physics.rst
+    # "N-Body Outputs").  .reb: one row per particle per output (dead
+    # particles included with active=0); .orb: one file per bound pair.
+    # pforce_tot accumulates between outputs and is reset after each.
+    REB_COLS = ("time", "hash", "active", "mass", "x", "y", "z",
+                "vx", "vy", "vz", "dm", "dmx_g", "dmy_g", "dmz_g",
+                "dmx_a", "dmy_a", "dmz_a")
+    ORB_COLS = ("time", "mb", "xc", "yc", "zc", "xb", "yb", "zb",
+                "vxc", "vyc", "vzc", "vxb", "vyb", "vzb", "qb", "nb",
+                "ab", "eb", "Ib", "o", "O", "pomega", "f", "h",
+                "ex", "ey", "ix", "iy", "dm",
+                "Fx_grav_com", "Fy_grav_com", "Fz_grav_com",
+                "Fx_acc_com", "Fy_acc_com", "Fz_acc_com",
+                "Fx_grav_bin", "Fy_grav_bin", "Fz_grav_bin",
+                "Fx_acc_bin", "Fy_acc_bin", "Fz_acc_bin")
+
     def write_outputs(self, data_dir: str, problem_id: str, time: float):
-        reb = os.path.join(data_dir, f"{problem_id}.reb")
-        new = not os.path.exists(reb) or self._output_count == 0
-        with open(reb, "a") as f:
+        base = os.path.join(data_dir, problem_id)
+        new = self._output_count == 0
+        with open(base + ".reb", "w" if new else "a") as f:
             if new:
-                f.write("# time id m x y z vx vy vz dm dmx1 dmx2 dmx3\n")
+                f.write(f"# NBody data N = {self.npart}\n")
+                f.write("# " + "    ".join(
+                    f"[{i + 1}]={c}"
+                    for i, c in enumerate(self.REB_COLS)) + "    \n")
             for k in range(self.npart):
-                acc = self.pforce_tot[k]
-                f.write(f"{time:.16e} {self.ids[k]} {self.m[k]:.16e} "
-                        + " ".join(f"{v:.16e}" for v in self.pos[k])
-                        + " " + " ".join(f"{v:.16e}" for v in self.vel[k])
-                        + f" {acc[0]:.16e} {acc[4]:.16e} {acc[5]:.16e} {acc[6]:.16e}\n")
-        # orbital elements of bound pairs
-        orb = os.path.join(data_dir, f"{problem_id}.orb")
-        with open(orb, "a") as f:
-            if new:
-                f.write("# time id1 id2 a e i o O f\n")
-            for i in range(self.npart):
-                for j in range(i + 1, self.npart):
-                    if not (self.alive[i] and self.alive[j]):
-                        continue
-                    el = orbital_elements(self.G * (self.m[i] + self.m[j]),
-                                          self.pos[j] - self.pos[i],
-                                          self.vel[j] - self.vel[i])
-                    if el is None:
-                        continue
-                    f.write(f"{time:.16e} {self.ids[i]} {self.ids[j]} "
-                            + " ".join(f"{v:.16e}" for v in el) + "\n")
+                row = [time, float(self.ids[k]), float(self.alive[k]),
+                       self.G * self.m[k], *self.pos[k], *self.vel[k],
+                       *self.pforce_tot[k]]
+                f.write("\t".join(
+                    str(int(v)) if 1 <= i <= 2 else f"{v:.8e}"
+                    for i, v in enumerate(row)) + "\t\n")
+        # per-pair orbit files for bound pairs
+        for i in range(self.npart):
+            for j in range(i + 1, self.npart):
+                if not (self.alive[i] and self.alive[j]):
+                    continue
+                m1, m2 = self.G * self.m[i], self.G * self.m[j]
+                mb = m1 + m2
+                dr = self.pos[j] - self.pos[i]
+                dv = self.vel[j] - self.vel[i]
+                r = float(np.linalg.norm(dr))
+                if 0.5 * float(dv @ dv) - mb / (r + 1e-300) >= 0.0:
+                    continue  # unbound
+                # primary = heavier particle; orbit of secondary about it
+                ip, is_ = (i, j) if m1 >= m2 else (j, i)
+                mp_, ms = max(m1, m2), min(m1, m2)
+                el = orbital_elements(mb, self.pos[is_] - self.pos[ip],
+                                      self.vel[is_] - self.vel[ip])
+                if el is None:
+                    continue
+                a, e, inc, omega, Omega, ff = el
+                pomega = omega + Omega
+                hvec = np.cross(self.pos[is_] - self.pos[ip],
+                                self.vel[is_] - self.vel[ip])
+                mu1, mu2 = mp_ / mb, ms / mb
+                F = self.pforce_tot
+                row = [time, mb,
+                       *(mu1 * self.pos[ip] + mu2 * self.pos[is_]),
+                       *(self.pos[is_] + self.pos[ip]),
+                       *(mu1 * self.vel[ip] + mu2 * self.vel[is_]),
+                       *(self.vel[is_] + self.vel[ip]),
+                       ms / mp_, math.sqrt(mb / a**3), a, e, inc,
+                       omega, Omega, pomega, ff,
+                       float(np.linalg.norm(hvec)),
+                       e * math.cos(pomega), e * math.sin(pomega),
+                       2 * math.sin(inc / 2) * math.cos(Omega),
+                       2 * math.sin(inc / 2) * math.sin(Omega),
+                       F[ip, 0] + F[is_, 0],
+                       *(F[ip, 1:4] + F[is_, 1:4]),
+                       *(F[ip, 4:7] + F[is_, 4:7]),
+                       *(mu1 * F[is_, 1:4] - mu2 * F[ip, 1:4]),
+                       *(mu1 * F[is_, 4:7] - mu2 * F[ip, 4:7])]
+                fname = f"{base}.{i}_{j}.orb"
+                first = (i, j) not in self._orb_counts
+                self._orb_counts[(i, j)] = self._orb_counts.get((i, j), 0) + 1
+                with open(fname, "w" if first else "a") as f:
+                    if first:
+                        f.write("# NBody Orbit data\n")
+                        f.write("# " + "     ".join(
+                            f"[{k + 1}]={c}"
+                            for k, c in enumerate(self.ORB_COLS)) + "   \n")
+                    f.write("\t".join(f"{v:.8e}" for v in row) + "\t\n")
+        self.pforce_tot[:] = 0.0
         self._output_count += 1
 
     # restart payload --------------------------------------------------

@@ -157,7 +157,49 @@ def viscosity_profile(dp: DiskParams, R):
     return dp.nu0 * (R / dp.r0) ** dp.nu_indx
 
 
-def disk_ic(dp: DiskParams, grid, cv, sl=None, do_dust=False):
+def make_rt_fn(pin, grid, gm):
+    """Potential-radius proxy for nbody_temp disks: rt = -gm/Phi_nbody(x)
+    with the softened potential of all particles at t=0 (disk.hpp:146-218,
+    NBodyPotential nbody_gravity.hpp:224-234).  Returns rt(x1,x2,x3)."""
+    from ..nbody import setup_particles
+    from ..units import Constants, Units
+
+    constants = Constants.from_units(Units.from_input(pin))
+    G = constants.G_code
+    parts, _ = setup_particles(pin, G, pin.get_or_add_real("nbody", "mtot", -1.0))
+
+    def idr1(rs, spline, dr2):
+        # numpy replica of Particle::idr1 (particle_base.hpp:115-141)
+        fz = 1e-300
+        rs2 = rs * rs
+        if not spline:
+            return 1.0 / np.sqrt(dr2 + rs2 + fz)
+        dr1 = np.sqrt(dr2)
+        hinv = 1.0 / (rs + fz)
+        u2 = dr2 / (rs2 + fz)
+        u = np.sqrt(u2)
+        u3, u4 = u * u2, u2 * u2
+        u5 = u4 * u
+        inner = np.where(
+            u < 0.5,
+            hinv * (14.0 / 5.0 - 16.0 / 3.0 * u2 + 48.0 / 5.0 * u4
+                    - 32.0 / 5.0 * u5),
+            hinv * (16.0 / 5.0 - 32.0 / 3.0 * u2 + 16.0 * u3 - 48.0 / 5.0 * u4
+                    + 32.0 / 15.0 * u5 - 1.0 / (15.0 * u + fz)))
+        return np.where(dr2 >= rs2, 1.0 / (dr1 + fz), inner)
+
+    def rt(x1, x2, x3):
+        cx, cy, cz = geo.convert_to_cart(grid.coords, x1, x2, x3)
+        pot = 0.0
+        for p in parts.values():
+            dr2 = (cx - p.x) ** 2 + (cy - p.y) ** 2 + (cz - p.z) ** 2
+            pot = pot - G * p.m * idr1(p.rs, p.spline, dr2)
+        return -gm / pot
+
+    return rt
+
+
+def disk_ic(dp: DiskParams, grid, cv, sl=None, do_dust=False, rt_fn=None):
     """Evaluate the equilibrium IC on (a slice of) the padded grid.
 
     Returns (w_gas [6,...], w_dust [4,...] or None) numpy arrays over the
@@ -178,7 +220,9 @@ def disk_ic(dp: DiskParams, grid, cv, sl=None, do_dust=False):
     ex = geo.vec_to_cyl(c, x1v, x2v, x3v)   # rows: problem basis in (R,phi,z)
 
     gdens = den_profile(dp, Rc, zc)
-    gtemp = temp_profile(dp, Rc, zc)
+    # nbody_temp: temperature radius from the particle potential proxy
+    rtc = rt_fn(x1v, x2v, x3v) if rt_fn is not None else Rc
+    gtemp = temp_profile(dp, rtc, zc)
 
     # numerical grad(P) from the 6 cell-face points (disk.hpp:151-210)
     xf1 = (g.xf1[s1.start:s1.stop][None, None, :],
@@ -201,8 +245,10 @@ def disk_ic(dp: DiskParams, grid, cv, sl=None, do_dust=False):
         (fm, fp) = faces[d]
         Rm, _, zm = geo.convert_to_cyl(c, *fm)
         Rp, _, zp = geo.convert_to_cyl(c, *fp)
-        pfm = pres_profile(dp, cv, Rm, zm)
-        pfp = pres_profile(dp, cv, Rp, zp)
+        Tm = temp_profile(dp, rt_fn(*fm), zm) if rt_fn is not None else None
+        Tp = temp_profile(dp, rt_fn(*fp), zp) if rt_fn is not None else None
+        pfm = pres_profile(dp, cv, Rm, zm, T=Tm)
+        pfp = pres_profile(dp, cv, Rp, zp, T=Tp)
         # if either face pressure floors out, zero the gradient
         # (disk.hpp:173-175 clamps both to pres_min)
         floored = np.logical_or(pfm <= dp.pres_min, pfp <= dp.pres_min)
@@ -212,11 +258,11 @@ def disk_ic(dp: DiskParams, grid, cv, sl=None, do_dust=False):
     eR = [ex[0][0], ex[1][0], ex[2][0]]
     dpdr = sum(pgrad[d] * eR[d] for d in range(3))
 
-    r = np.sqrt(Rc * Rc + zc * zc)
+    r = rtc if rt_fn is not None else np.sqrt(Rc * Rc + zc * zc)
     omk2 = dp.gm / np.maximum(r, FUZZ) ** 3
     vk2 = omk2 * Rc * Rc
     vp = np.sqrt(np.maximum(vk2 + dpdr * Rc / gdens, 0.0))
-    nu = viscosity_profile(dp, Rc)
+    nu = viscosity_profile(dp, rtc)
     vr = 0.0 if dp.quiet_start else -1.5 * nu / Rc
     vcyl = [vr * np.ones_like(vp), vp - dp.omf * Rc, np.zeros_like(vp)]
     gv = [sum(vcyl[m] * ex[i][m] for m in range(3)) for i in range(3)]
@@ -247,7 +293,7 @@ def _ghost_slices(grid, d, side):
     return tuple(sl)
 
 
-def make_ic_bc(dp: DiskParams, grid, cv, nd_dust: int):
+def make_ic_bc(dp: DiskParams, grid, cv, nd_dust: int, rt_fn=None):
     """``ic`` BC: the IC evaluated in the ghost zones (DiskBoundaryIC)."""
     gas_cache = {}
     dust_cache = {}
@@ -261,7 +307,8 @@ def make_ic_bc(dp: DiskParams, grid, cv, nd_dust: int):
         for side in (0, 1):
             sl = list(full)
             sl[3 - d] = _ghost_slices(grid, d, side)[3 - d]
-            wg, wd = disk_ic(dp, grid, cv, tuple(sl), do_dust=nd_dust > 0)
+            wg, wd = disk_ic(dp, grid, cv, tuple(sl), do_dust=nd_dust > 0,
+                             rt_fn=rt_fn)
             gas_cache[(d, side)] = wg
             if wd is not None:
                 dust_cache[(d, side)] = np.broadcast_to(
@@ -495,14 +542,20 @@ def build(pin, grid, gas_cfg, dust_cfg=None) -> Problem:
     cv = gas_cfg.cv
     nd = dust_cfg.nspecies if dust_cfg is not None else 0
 
-    w_gas, w_dust = disk_ic(dp, grid, cv, do_dust=nd > 0)
+    # nbody-potential temperature (disk.hpp:328-329: requires do_nbody)
+    rt_fn = None
+    if (pin.get_or_add_bool("problem", "nbody_temp", False)
+            and pin.get_or_add_bool("physics", "nbody", False)):
+        rt_fn = make_rt_fn(pin, grid, gm)
+
+    w_gas, w_dust = disk_ic(dp, grid, cv, do_dust=nd > 0, rt_fn=rt_fn)
     prims = {"gas": w_gas}
     if nd:
         prims["dust"] = np.broadcast_to(w_dust, (nd,) + w_dust.shape[1:]).copy()
 
     visc_bc = make_visc_bc(dp, grid, cv)
     bc_custom = {
-        "ic": make_ic_bc(dp, grid, cv, nd),
+        "ic": make_ic_bc(dp, grid, cv, nd, rt_fn=rt_fn),
         "extrap": make_extrap_bc(dp, grid, cv),
         "visc": visc_bc,
         "viscous": visc_bc,

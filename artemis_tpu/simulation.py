@@ -272,8 +272,8 @@ class Simulation:
         if self.dust_cfg:
             lines.append(f"dust: {self.dust_cfg.recon}+{self.dust_cfg.rsolver} "
                          f"nspecies={self.dust_cfg.nspecies}")
-        pkgs = [p for p, on in (
-            ("gravity", bool([s for s in self.driver.sources])),
+        pkgs = [type(s).__name__ for s in self.driver.sources]
+        pkgs += [p for p, on in (
             ("nbody", self.nbody is not None),
             ("radiation", self.radiation_cfg is not None),
             ("diffusion", self.driver.diffusion is not None),

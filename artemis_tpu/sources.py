@@ -410,12 +410,42 @@ def _rf_weights(grid):
 # ----------------------------------------------------------------------------
 # Beta cooling (src/gas/cooling/)
 # ----------------------------------------------------------------------------
+def _idr1_soft(rs, spline, dr2):
+    """Softened 1/r kernel (plummer or Gadget spline), literal replica of
+    Particle::idr1 (particle_base.hpp:115-141)."""
+    fz = 1e-300
+    rs2 = rs * rs
+    idr1_p = 1.0 / jnp.sqrt(dr2 + rs2 + fz)
+    if not spline:
+        return idr1_p
+    dr1 = jnp.sqrt(dr2)
+    hinv = 1.0 / (rs + fz)
+    u2 = dr2 / (rs2 + fz)
+    u = jnp.sqrt(u2)
+    u3, u4 = u * u2, u2 * u2
+    u5 = u4 * u
+    inner = jnp.where(
+        u < 0.5,
+        hinv * (14.0 / 5.0 - 16.0 / 3.0 * u2 + 48.0 / 5.0 * u4 - 32.0 / 5.0 * u5),
+        hinv * (16.0 / 5.0 - 32.0 / 3.0 * u2 + 16.0 * u3 - 48.0 / 5.0 * u4
+                + 32.0 / 15.0 * u5 - 1.0 / (15.0 * u + fz)))
+    return jnp.where(dr2 >= rs2, 1.0 / (dr1 + fz), inner)
+
+
 class BetaCooling(SourceBase):
     """Backward-Euler relaxation toward a reference temperature profile
     (beta_cooling.cpp:33-135): dE = -rho cv om dt/(beta + om dt) (T - T0),
-    beta = beta_min + beta0 exp(-escale z^2 / T0)."""
+    beta = beta_min + beta0 exp(-escale z^2 / T0).
 
-    def __init__(self, pin, grid, gas_cfg, gm: float, cv: float = None):
+    tref=powerlaw: static T0 = tfloor + tcyl R^a + tsph r^b.
+    tref=nbody (beta_cooling.cpp:92-104): 1/r proxy from the softened
+    potential of all live particles, ir1 = -Phi_nbody/gm, then
+    T0 = tfloor + tsph ir1^{-sph_plaw} and Omega = sqrt(gm ir1^3) —
+    recomputed each stage from the traced particle state.
+    """
+
+    def __init__(self, pin, grid, gas_cfg, gm: float, cv: float = None,
+                 nbody_sys=None):
         self.gas_cfg = gas_cfg
         self._cv = cv if cv is not None else 1.0 / (gas_cfg.gamma - 1.0)
         ctype = pin.get_str("cooling", "type")
@@ -425,19 +455,31 @@ class BetaCooling(SourceBase):
         self.beta_min = pin.get_or_add_real("cooling", "beta_min", 1e-12)
         self.escale = pin.get_or_add_real("cooling", "exp_scale", 0.0)
         tref = pin.get_str("cooling", "tref")
-        if tref not in ("powerlaw",):
-            raise ValueError(f"cooling tref {tref!r} not yet supported")
+        if tref not in ("powerlaw", "nbody"):
+            raise ValueError(f"cooling tref {tref!r} not recognized")
         tfloor = pin.get_or_add_real("cooling", "tfloor", 0.0)
         tcyl = pin.get_or_add_real("cooling", "tcyl", 0.0)
         cyl_plaw = pin.get_or_add_real("cooling", "cyl_plaw", 0.0)
         tsph = pin.get_or_add_real("cooling", "tsph", 0.0)
         sph_plaw = pin.get_or_add_real("cooling", "sph_plaw", 0.0)
         self.gm = gm
+        self.tref = tref
 
         shape = tuple(reversed(grid.nx))
         x1v, x2v, x3v = _interior_centers(grid)
         xcyl = geo.convert_to_cyl(grid.coords, x1v, x2v, x3v)
         Rcyl, zcyl = xcyl[0], xcyl[2]
+        if tref == "nbody":
+            if nbody_sys is None:
+                raise ValueError("cooling tref=nbody requires <physics> nbody")
+            self.needs_ctx = True
+            self.nb = nbody_sys
+            self.tfloor, self.tsph, self.sph_plaw = tfloor, tsph, sph_plaw
+            cx, cy, cz = geo.convert_to_cart(grid.coords, x1v, x2v, x3v)
+            self.cart = [np.ascontiguousarray(np.broadcast_to(c, shape))
+                         for c in (cx, cy, cz)]
+            self.zcyl = np.ascontiguousarray(np.broadcast_to(zcyl, shape))
+            return
         rsph = np.sqrt(Rcyl**2 + zcyl**2)
         T0 = tfloor + tcyl * Rcyl**cyl_plaw + tsph * rsph**sph_plaw
         efac = np.where(T0 > 0.0, np.exp(-self.escale * zcyl**2
@@ -448,7 +490,7 @@ class BetaCooling(SourceBase):
         self.om = np.ascontiguousarray(
             np.broadcast_to(np.sqrt(gm / rsph**3), shape))
 
-    def apply(self, state, fluxes, time, dt, hyd):
+    def apply(self, state, fluxes, time, dt, hyd, ctx=None):
         cfg = self.gas_cfg
         u = state["gas"]["u"]
         hx = _hxv_int(hyd)
@@ -456,8 +498,29 @@ class BetaCooling(SourceBase):
         rho = u[:, 0]
         cv = self._cv  # ideal gas: T = sie/cv
         Tn = sie / cv
-        omdt = dt * jnp.asarray(self.om)
-        dE = -rho * cv * omdt / (jnp.asarray(self.beta) + omdt) * (Tn - jnp.asarray(self.T0))
+        if self.tref == "nbody":
+            parts = ctx["particles"]
+            nb = self.nb
+            cx, cy, cz = [jnp.asarray(c) for c in self.cart]
+            pot = 0.0
+            for k in range(nb.npart):
+                dx = cx - (parts["pos"][k, 0] - nb.Rf[0])
+                dy = cy - (parts["pos"][k, 1] - nb.Rf[1])
+                dz = cz - (parts["pos"][k, 2] - nb.Rf[2])
+                dr2 = dx * dx + dy * dy + dz * dz
+                pot = pot - parts["gm"][k] * _idr1_soft(nb.rs[k], nb.spline[k], dr2)
+            ir1 = -pot / self.gm
+            T0 = self.tfloor + self.tsph * ir1 ** (-self.sph_plaw)
+            z2 = jnp.asarray(self.zcyl) ** 2
+            efac = jnp.where(T0 > 0.0, jnp.exp(-self.escale * z2
+                                               / jnp.where(T0 > 0, T0, 1.0)), 1.0)
+            beta = self.beta_min + self.beta0 * efac
+            omdt = dt * jnp.sqrt(self.gm * ir1**3)
+        else:
+            T0 = jnp.asarray(self.T0)
+            beta = jnp.asarray(self.beta)
+            omdt = dt * jnp.asarray(self.om)
+        dE = -rho * cv * omdt / (beta + omdt) * (Tn - T0)
         u = u.at[:, 4].add(dE).at[:, 5].add(dE)
         new = dict(state)
         new["gas"] = {"u": u, "w": state["gas"]["w"]}
@@ -503,6 +566,36 @@ class DampingParams:
         return out
 
 
+def dust_sizes_from_input(pin, nspecies, length_conv=None):
+    """Per-species grain sizes in code units: <dust> size_input =
+    linspace | logspace | direct | file (dust.cpp:103-173)."""
+    if length_conv is None:
+        from .units import Units
+
+        length_conv = 1.0 / Units.from_input(pin).length  # physical -> code
+    dist = pin.get_or_add_str("dust", "size_input", "direct")
+    if dist == "linspace":
+        lo = length_conv * pin.get_real("dust", "min_size")
+        hi = length_conv * pin.get_real("dust", "max_size")
+        return np.linspace(lo, hi, nspecies)
+    if dist == "logspace":
+        lo = math.log10(length_conv * pin.get_real("dust", "min_size"))
+        hi = math.log10(length_conv * pin.get_real("dust", "max_size"))
+        return np.logspace(lo, hi, nspecies)
+    if dist == "direct":
+        return length_conv * np.array(pin.get_real_list("dust", "sizes")[:nspecies])
+    if dist == "file":
+        rows = []
+        with open(pin.get_str("dust", "size_file")) as f:
+            for line in f:
+                line = line.split("#", 1)[0].strip()
+                if line:
+                    rows.append([float(t) for t in line.split()])
+        vals = rows[0] if len(rows) == 1 else [r[0] for r in rows]
+        return length_conv * np.array(vals[:nspecies])
+    raise ValueError("dust/size_input not recognized!")
+
+
 class Drag(SourceBase):
     """Damping zones (`self`) and/or implicit gas<->dust momentum exchange
     (`simple_dust`), unconditionally stable backward-Euler two-pass solve
@@ -533,7 +626,7 @@ class Drag(SourceBase):
                 taus = pin.get_real_list(blk, "tau")
                 self.tau = np.array(taus[:nd]) * self.tau_scale
             elif model == "stokes":
-                self.sizes = np.array(pin.get_real_list("dust", "sizes")[:nd])
+                self.sizes = dust_sizes_from_input(pin, nd)
                 self.grain_density = pin.get_or_add_real("dust", "grain_density", 1.0)
             else:
                 raise ValueError("bad type for stopping time model")
@@ -858,5 +951,8 @@ def sources_from_input(pin, grid, gas_cfg, dust_cfg, constants, nbody_sys=None):
         srcs.append(Drag(pin, grid, gas_cfg, dust_cfg))
     if do_cooling:
         gm = gravity.gm if (gravity is not None and hasattr(gravity, "gm")) else 1.0
-        srcs.append(BetaCooling(pin, grid, gas_cfg, gm, cv=getattr(gas_cfg, "cv", None)))
+        if nbody_sys is not None and not hasattr(gravity, "gm"):
+            gm = nbody_sys.gm
+        srcs.append(BetaCooling(pin, grid, gas_cfg, gm, cv=getattr(gas_cfg, "cv", None),
+                                nbody_sys=nbody_sys))
     return srcs

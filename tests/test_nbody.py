@@ -16,7 +16,7 @@ import os
 import numpy as np
 import pytest
 
-from .utils import run_deck
+from .utils import INPUTS_DIR, run_deck
 
 DECK = os.path.join(os.path.dirname(__file__), "..", "inputs", "binary_nbody_cyl.in")
 
@@ -117,3 +117,85 @@ def test_collision_merge_conservation():
     assert np.isclose(m[0], 3.0) and m[1] == 0.0
     p_tot1 = m[0] * vel.reshape(2, 3)[0]
     assert np.allclose(p_tot1, p_tot0, atol=1e-12)
+
+
+def test_triple_setup():
+    """Hierarchical triple block (ReadTripleBlock, nbody_setup.cpp:327-492):
+    outer orbit between primary and inner-binary barycenter, COM at origin."""
+    from artemis_tpu.config import ParameterInput
+    from artemis_tpu.nbody import setup_particles
+
+    pin = ParameterInput.from_string("""
+<nbody>
+<nbody/triple1>
+mass = 2.0
+qo = 1.0
+q = 0.5
+ao = 10.0
+a = 1.0
+eo = 0.1
+""")
+    parts, mtot = setup_particles(pin, 1.0, -1.0)
+    assert len(parts) == 3
+    assert mtot == 2.0
+    m = np.array([parts[i].m for i in (1, 2, 3)])
+    assert np.allclose(m, [1.0, 2.0 / 3.0, 1.0 / 3.0])
+    pos = np.array([[parts[i].x, parts[i].y, parts[i].z] for i in (1, 2, 3)])
+    vel = np.array([[parts[i].vx, parts[i].vy, parts[i].vz] for i in (1, 2, 3)])
+    assert np.allclose((m[:, None] * pos).sum(0), 0.0, atol=1e-14)
+    assert np.allclose((m[:, None] * vel).sum(0), 0.0, atol=1e-14)
+    # inner separation = a, outer separation = ao(1+eo) at f=180
+    assert np.isclose(np.linalg.norm(pos[1] - pos[2]), 1.0)
+    bc = (m[1] * pos[1] + m[2] * pos[2]) / (m[1] + m[2])
+    assert np.isclose(np.linalg.norm(pos[0] - bc), 10.0 * 1.1)
+
+
+def test_planet_system_file(tmp_path):
+    """Planet file block (ReadPlanetarySystemBlock, nbody_setup.cpp:562-623):
+    q a e i f o O sft rows on Kepler orbits around a unit central mass."""
+    from artemis_tpu.config import ParameterInput
+    from artemis_tpu.nbody import setup_particles
+
+    pf = tmp_path / "sys.txt"
+    pf.write_text("# q a e i f o O sft gamma beta\n"
+                  "1e-3 1.0 0.0 0.0 0.0  0.0 0.0 0.05 1.0 0.0\n"
+                  "1e-3 2.0 0.1 0.0 90.0 0.0 0.0 0.05 1.0 0.0\n")
+    pin = ParameterInput.from_string(f"""
+<nbody>
+<nbody/particle1>
+mass = 1.0
+<nbody/planets>
+input_file = {pf}
+live = 1
+couple = 1
+""")
+    parts, mtot = setup_particles(pin, 1.0, -1.0)
+    assert len(parts) == 3
+    ids = sorted(parts)
+    star, p1, p2 = parts[ids[0]], parts[ids[1]], parts[ids[2]]
+    assert star.m == max(p.m for p in parts.values())
+    assert p1.live == 1 and p1.racc == 0.05 and p1.gamma == 1.0
+    # planet 1: circular at a=1 (COM shift is O(q))
+    r1 = np.hypot(p1.x - star.x, p1.y - star.y)
+    assert abs(r1 - 1.0) < 1e-12
+    # planet 2: e=0.1 at f=90 deg -> r = a(1-e^2)/(1+e cos f) = 2*0.99
+    r2 = np.hypot(p2.x - star.x, p2.y - star.y)
+    assert abs(r2 - 2.0 * 0.99) < 1e-12
+
+
+def test_disk_nbody_temp(tmp_path):
+    """disk_nbody deck: planet-file system + nbody_temp IC + tref=nbody
+    cooling runs end-to-end; .reb has all 5 particles and conserved mass."""
+    d = str(tmp_path)
+    run_deck(os.path.join(INPUTS_DIR, "disk_nbody_cyl.in"),
+             ["parthenon/time/tlim=0.25", "parthenon/mesh/nx1=48",
+              "parthenon/mesh/nx2=64", "nbody/dt_output=0.25"], d)
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "analysis"))
+    from anbody import areb
+
+    r = areb(os.path.join(d, "disk_nbody.reb"))
+    assert r.N == 5
+    assert r.col("active")[-1].sum() == 5
+    # star + 4 planets: total GM stays 1+4*2e-4 (no accretion this early)
+    assert np.isclose(r.col("mass")[-1].sum(), 1.0 + 4 * 2.0e-4, rtol=1e-8)
