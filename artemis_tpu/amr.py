@@ -19,9 +19,14 @@ per RK stage, per level pair (coarse, fine):
      of coarse prims (cf. ProlongateSharedMinMod,
      src/utils/refinement/prolongation.hpp:39-66)
 
-Round-1 scope: 2 levels, one rectangular fine patch, Cartesian, gas-only,
-no external sources.  Adaptive retagging (criteria in ops/refinement.py)
-drives patch placement between steps in a later round.
+Scope: 2 levels, one rectangular fine patch, Cartesian, gas-only, no
+external sources.  The patch POSITION is a traced argument of the compiled
+step (lax.dynamic_slice / dynamic_update_slice) so the adaptive mode —
+retagging via the criteria in ops/refinement.py and re-centering the
+fixed-shape patch on the tagged region (cf. <gas> refine_field /
+refine_type / refine_thr, gas.cpp:304-383) — moves the patch with NO
+recompilation: Cartesian geometry factors are translation invariant, so
+one compiled step serves every placement.
 """
 
 from __future__ import annotations
@@ -132,36 +137,43 @@ class TwoLevelSMR:
         self.cfg = gas_cfg
         self.hc = Hydro(coarse_grid, gas_cfg)
         self.hf = Hydro(self.fg, gas_cfg)
-        self.patch_lo = patch_lo
-        self.patch_n = patch_n
+        self.patch_lo = tuple(int(v) for v in patch_lo)
+        self.patch_n = tuple(int(v) for v in patch_n)
         self.active = tuple(coarse_grid.nx[d] > 1 for d in range(3))
+        ngf = self.fg.ng
+        self.rim = tuple(max(1, -(-ngf[d] // 2)) if self.active[d] else 0
+                         for d in range(3))
         self._step = jax.jit(self._build_step())
         self._dt = jax.jit(self._estimate_dt)
 
     # -- helpers --------------------------------------------------------
     def _patch_slices(self):
-        """Coarse interior slices covered by the fine patch ([z,y,x])."""
+        """Coarse interior slices covered by the CURRENT fine patch
+        ([z,y,x]); analysis-side helper (position after run())."""
         lo, n = self.patch_lo, self.patch_n
         return tuple(slice(lo[2 - i], lo[2 - i] + n[2 - i]) for i in range(3))
 
-    def _fill_fine_ghosts(self, wf, wc):
+    def _fill_fine_ghosts(self, wf, wc, lo):
         """Pad fine prims; ghost zones from prolongated coarse prims."""
         fg, cg = self.fg, self.cg
         ngf = fg.ng
         # coarse region covering the fine patch + enough surround:
-        # prolongating (patch + 1 coarse cell) of coarse data gives a
-        # 2-fine-cell rim >= nghost when nghost <= 2; use ceil(ng/2) rim.
-        rim = (max(1, -(-ngf[0] // 2)), max(1, -(-ngf[1] // 2)),
-               max(1, -(-ngf[2] // 2)))
-        lo, n = self.patch_lo, self.patch_n
-        sl = []
+        # prolongating (patch + ceil(ng/2) coarse cells) of coarse data
+        # gives a >= nghost fine-cell rim.  Patch position lo is TRACED.
+        rim = self.rim
+        n = self.patch_n
+        starts = [0] * (wc.ndim - 3)
+        sizes = list(wc.shape[:-3])
         for i in range(3):  # z, y, x ordering
             d = 2 - i
             if cg.nx[d] > 1:
-                sl.append(slice(lo[d] - rim[d], lo[d] + n[d] + rim[d]))
+                starts.append(lo[d] - rim[d])
+                sizes.append(n[d] + 2 * rim[d])
             else:
-                sl.append(slice(0, 1))
-        wc_region = wc[(Ellipsis, *sl)]
+                starts.append(0)
+                sizes.append(1)
+        starts = [jnp.asarray(v, jnp.int32) for v in starts]
+        wc_region = jax.lax.dynamic_slice(wc, tuple(starts), tuple(sizes))
         fine_region = prolong_minmod(wc_region, self.active)
         # embed fine interior into the prolongated field
         pads = [(0, 0)] * (wf.ndim - 3) + [
@@ -180,9 +192,9 @@ class TwoLevelSMR:
         s1 = slice(ngf[0], ngf[0] + self.fg.nx[0])
         return reg.at[..., s3, s2, s1].set(wf)
 
-    def _flux_correct(self, fx_c, fx_f):
+    def _flux_correct(self, fx_c, fx_f, lo):
         """Replace coarse patch-boundary fluxes with summed fine fluxes."""
-        lo, n = self.patch_lo, self.patch_n
+        n = self.patch_n
         out = {}
         for d in self.hc.dims:
             Fc = fx_c[d][0]
@@ -192,8 +204,8 @@ class TwoLevelSMR:
             # average fine face values over the transverse 2x2 (area-weighted
             # = plain mean in cartesian)
             for side in (0, 1):
-                cidx = lo[d - 1] + side * n[d - 1]
-                fidx = side * 2 * n[d - 1]
+                cidx = lo[d - 1] + side * n[d - 1]  # traced scalar
+                fidx = side * 2 * n[d - 1]          # static
                 f_face = jnp.take(Ff, fidx, axis=Ff.ndim - d)
                 # restrict the fine face values over the transverse dims
                 # (area-weighted sum / coarse area = plain mean in cartesian);
@@ -210,17 +222,23 @@ class TwoLevelSMR:
                     shp.insert(ax + 1, 2)
                     f_res = f_res.reshape(shp).mean(axis=ax + 1)
                 # scatter into the coarse flux face over the patch extent
-                sl = [slice(None)] * Fc.ndim
-                sl[Fc.ndim - d] = cidx
-                for c in rem_dims:
-                    if self.active[c - 1]:
-                        sl[Fc.ndim - c] = slice(lo[c - 1], lo[c - 1] + n[c - 1])
-                Fc = Fc.at[tuple(sl)].set(f_res)
+                # (traced patch position -> dynamic_update_slice)
+                update = jnp.expand_dims(f_res, axis=-d)
+                starts = [0] * (Fc.ndim - 3)
+                for c in (3, 2, 1):
+                    if c == d:
+                        starts.append(cidx)
+                    elif self.active[c - 1]:
+                        starts.append(lo[c - 1])
+                    else:
+                        starts.append(0)
+                starts = [jnp.asarray(v, jnp.int32) for v in starts]
+                Fc = jax.lax.dynamic_update_slice(Fc, update, tuple(starts))
             out[d] = (Fc,) + fx_c[d][1:]
         return out
 
     # -- stepping -------------------------------------------------------
-    def _stage(self, sc, sf, u1c, u1f, dt, stage):
+    def _stage(self, sc, sf, u1c, u1f, dt, stage, lo):
         integ = self.integ
         cfg = self.cfg
         gam0 = integ.gam0[stage - 1]
@@ -231,10 +249,10 @@ class TwoLevelSMR:
         uc, wc = sc
         uf, wf = sf
         wc_pad = bc_mod.pad_and_fill(wc, self.cg, "gas", {})
-        wf_pad = self._fill_fine_ghosts(wf, wc)
+        wf_pad = self._fill_fine_ghosts(wf, wc, lo)
         fx_c = self.hc.compute_fluxes(wc_pad, cfg, force_pcm)
         fx_f = self.hf.compute_fluxes(wf_pad, cfg, force_pcm)
-        fx_c = self._flux_correct(fx_c, fx_f)
+        fx_c = self._flux_correct(fx_c, fx_f, lo)
 
         uc = self.hc.apply_update(uc, u1c, fx_c, gam0, gam1, bdt)
         uc = self.hc.flux_source(uc, wc, fx_c, bdt)
@@ -245,8 +263,10 @@ class TwoLevelSMR:
         uf = self.hf.set_auxiliary(uf, cfg)
 
         # restrict fine cons onto the covered coarse cells
-        uc = uc.at[(Ellipsis, *self._patch_slices())].set(
-            restrict_average(uf, self.active))
+        starts = [jnp.asarray(v, jnp.int32)
+                  for v in [0] * (uc.ndim - 3) + [lo[2], lo[1], lo[0]]]
+        uc = jax.lax.dynamic_update_slice(
+            uc, restrict_average(uf, self.active), tuple(starts))
 
         wc = self.hc.cons_to_prim(uc, cfg)
         uc, wc = self.hc.prim_to_cons(wc, cfg)
@@ -255,11 +275,11 @@ class TwoLevelSMR:
         return (uc, wc), (uf, wf)
 
     def _build_step(self):
-        def step(sc, sf, dt):
+        def step(sc, sf, dt, lo):
             u1c = sc[0]
             u1f = sf[0]
             for stage in range(1, self.integ.nstages + 1):
-                sc, sf = self._stage(sc, sf, u1c, u1f, dt, stage)
+                sc, sf = self._stage(sc, sf, u1c, u1f, dt, stage, lo)
             return sc, sf
 
         return step
@@ -274,12 +294,65 @@ class TwoLevelSMR:
         uf, wf = self.hf.prim_to_cons(jnp.asarray(wf), self.cfg)
         return (uc, wc), (uf, wf)
 
-    def run(self, sc, sf, tlim, nlim=-1):
+    def run(self, sc, sf, tlim, nlim=-1, criterion=None, retag_interval=10):
+        """Advance to tlim.  With ``criterion`` (dict: field=density|pressure,
+        type=gradient|magnitude, refine_thr, deref_thr) the fixed-shape fine
+        patch is re-centered on the tagged region every ``retag_interval``
+        cycles — the adaptive mode."""
         t, dt, nc = 0.0, float(self._dt(sc, sf)), 0
+        lo = jnp.asarray(np.array(self.patch_lo, dtype=np.int32))
         while t < tlim * (1 - 1e-12) and (nlim < 0 or nc < nlim):
             use = min(dt, tlim - t)
-            sc, sf = self._step(sc, sf, jnp.asarray(use))
+            sc, sf = self._step(sc, sf, jnp.asarray(use), lo)
             t += use
             nc += 1
             dt = min(2 * use, float(self._dt(sc, sf)))
+            if criterion is not None and nc % retag_interval == 0:
+                sc, sf, lo = self.retag(sc, sf, lo, criterion)
+        self.patch_lo = tuple(int(v) for v in np.asarray(lo))
         return sc, sf, t, nc
+
+    # -- adaptive retagging ---------------------------------------------
+    def retag(self, sc, sf, lo, criterion):
+        """Re-center the fine patch on the refinement-tagged cells
+        (ScalarFirstDerivative / ScalarMagnitude, amr_criteria.hpp;
+        selection keys per gas.cpp:304-383).  Coarse cells under the old
+        patch already hold the restricted fine solution, so a move only
+        needs a fresh prolongation at the new position."""
+        from .ops import refinement as ref_mod
+
+        wc = np.asarray(sc[1])
+        field = wc[:, 0] if criterion.get("field", "density") == "density" \
+            else wc[:, 4]
+        dims = [d for d in (1, 2, 3) if self.active[d - 1]]
+        if criterion.get("type", "gradient") == "gradient":
+            tags, _ = ref_mod.scalar_first_derivative(
+                jnp.asarray(field), [1.0, 1.0, 1.0], dims,
+                criterion["refine_thr"], criterion.get("deref_thr", 0.0))
+        else:
+            tags, _ = ref_mod.scalar_magnitude(
+                jnp.asarray(field), criterion["refine_thr"],
+                criterion.get("deref_thr", 0.0))
+        tags = np.asarray(tags).any(axis=0)  # over species -> [z, y, x]
+        if not tags.any():
+            return sc, sf, lo
+        idx = np.nonzero(tags)
+        lo_np = np.asarray(lo)
+        new_lo = list(int(v) for v in lo_np)
+        for d in (1, 2, 3):
+            if not self.active[d - 1]:
+                continue
+            ax = 3 - d
+            c0, c1 = int(idx[ax].min()), int(idx[ax].max())
+            want = (c0 + c1 + 1 - self.patch_n[d - 1]) // 2
+            hi = self.cg.nx[d - 1] - self.patch_n[d - 1] - self.rim[d - 1]
+            new_lo[d - 1] = int(np.clip(want, self.rim[d - 1], hi))
+        if tuple(new_lo) == tuple(int(v) for v in lo_np):
+            return sc, sf, lo
+        # prolong the coarse window at the new position into a fresh fine state
+        uc, wc_j = sc
+        sl = tuple(slice(new_lo[2 - i], new_lo[2 - i] + self.patch_n[2 - i])
+                   if self.active[2 - i] else slice(0, 1) for i in range(3))
+        wf_new = prolong_minmod(wc_j[(Ellipsis, *sl)], self.active)
+        uf_new, wf_new = self.hf.prim_to_cons(wf_new, self.cfg)
+        return sc, (uf_new, wf_new), jnp.asarray(np.array(new_lo, dtype=np.int32))

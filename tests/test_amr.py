@@ -78,3 +78,56 @@ def test_blast_smr(tmp_path):
     pans = pf(np.clip(rr, DAT2[0, 0], DAT2[:, 0].max()))
     l2 = float(np.sqrt(((pres - pans)[inb] ** 2).mean()))
     assert np.isfinite(l2) and l2 < 1.0, f"SMR blast pressure L2 {l2:g}"
+
+
+def test_adaptive_patch_follows_blast(tmp_path):
+    """Adaptive mode: a fixed-shape fine patch re-centers on the refinement
+    tags (gradient criterion, gas.cpp:304-383) as the blast expands from an
+    off-patch position — and the move is conservative (prolongation
+    preserves parent averages; restriction is exact)."""
+    pin = ParameterInput.from_file(DECK)
+    pin.apply_overrides([
+        "parthenon/mesh/nx1=64", "parthenon/mesh/nx2=64",
+        "gas/reconstruct=plm", "gas/riemann=hlle",
+        # blast centered off the domain center; closed domain so total
+        # mass is exactly conserved (isolates AMR conservation)
+        "problem/x0=-0.25", "problem/y0=-0.25",
+        "parthenon/mesh/ix1_bc=reflecting", "parthenon/mesh/ox1_bc=reflecting",
+        "parthenon/mesh/ix2_bc=reflecting", "parthenon/mesh/ox2_bc=reflecting",
+    ])
+    grid = grid_from_input(pin)
+    cfg = FluidCfg(fluid="gas", recon="plm", rsolver="hlle",
+                   gamma=pin.get_real("gas", "gamma"),
+                   cfl=pin.get_real("gas", "cfl"),
+                   dfloor=pin.get_real("gas", "dfloor"),
+                   siefloor=pin.get_real("gas", "siefloor"))
+
+    # patch starts in the wrong corner on purpose
+    lo0 = (40, 40, 0)
+    n = (16, 16, 1)
+    smr = TwoLevelSMR(grid, Integrator.make("rk2"), cfg, lo0, n)
+
+    prob_c = build_problem("blast", pin, grid, cfg)
+    pin_f = ParameterInput.from_string(repr(pin))
+    prob_f = build_problem("blast", pin_f, smr.fg, cfg)
+    sc, sf = smr.initialize(prob_c.prims["gas"], prob_f.prims["gas"])
+
+    def coarse_mass(sc):
+        volc = np.broadcast_to(smr.cg.geom.volume(), smr.cg.shape_entire)[
+            smr.cg.int_slices]
+        # u layout [ns, C, z, y, x]; component 0 = density
+        return float((np.asarray(sc[0][:, 0]) * volc).sum())
+
+    m0 = coarse_mass(sc)
+    crit = dict(field="pressure", type="gradient", refine_thr=0.3)
+    sc, sf, t, ncyc = smr.run(sc, sf, tlim=0.06, criterion=crit,
+                              retag_interval=5)
+    # the patch must have moved toward the blast (lower-left quadrant)
+    assert smr.patch_lo != lo0
+    assert smr.patch_lo[0] < 40 and smr.patch_lo[1] < 40
+    # coarse grid (which holds the restricted fine solution everywhere
+    # under the patch) conserves mass across the moves
+    m1 = coarse_mass(sc)
+    assert abs(m1 - m0) / m0 < 1e-12
+    rho = np.asarray(sc[1][:, 0])
+    assert np.isfinite(rho).all() and rho.min() > 0
