@@ -356,3 +356,107 @@ class TwoLevelSMR:
         wf_new = prolong_minmod(wc_j[(Ellipsis, *sl)], self.active)
         uf_new, wf_new = self.hf.prim_to_cons(wf_new, self.cfg)
         return sc, (uf_new, wf_new), jnp.asarray(np.array(new_lo, dtype=np.int32))
+
+
+class SMRDriver:
+    """Driver-API adapter for deck-driven two-level refinement
+    (<parthenon/mesh> refinement = adaptive | static, numlevel = 2;
+    adaptive criterion from <gas> refine_field / refine_type / refine_thr /
+    deref_thr, gas.cpp:304-383).
+
+    Exposes the Driver surface used by ``evolve`` (host_coupled = True:
+    stepping is python-paced; the per-step compute is the single compiled
+    TwoLevelSMR step with the patch position traced).  The fine level lives
+    inside the adapter; the evolve-visible state holds the coarse level
+    (which carries the restricted fine solution everywhere under the patch,
+    so outputs/restarts see the composite solution at coarse resolution;
+    on restart the fine level is re-prolonged).
+    """
+
+    host_coupled = True
+    diffusion = None
+    sources = ()
+    dust_cfg = None
+    nbody = None
+
+    def __init__(self, grid, integrator, gas_cfg, pin, fine_prims=None):
+        self.gas_cfg = gas_cfg
+        mode = pin.get_str("parthenon/mesh", "refinement")
+        if mode not in ("adaptive", "static"):
+            raise ValueError(f"refinement {mode!r} not recognized")
+        numlevel = pin.get_or_add_int("parthenon/mesh", "numlevel", 2)
+        if numlevel > 2:
+            print("# artemis_tpu: two-level refinement scheme; "
+                  f"numlevel={numlevel} treated as 2")
+        self.grid = grid
+        self.adaptive = mode == "adaptive"
+
+        n = [max(4, grid.nx[d] // 2) if grid.nx[d] > 1 else 1 for d in range(3)]
+        for d in range(3):
+            key = f"patch_nx{d + 1}"
+            if pin.exists("parthenon/refinement", key):
+                n[d] = pin.get_int("parthenon/refinement", key)
+        lo = [(grid.nx[d] - n[d]) // 2 if grid.nx[d] > 1 else 0 for d in range(3)]
+        for d in range(3):
+            key = f"patch_lo{d + 1}"
+            if pin.exists("parthenon/refinement", key):
+                lo[d] = pin.get_int("parthenon/refinement", key)
+
+        self.smr = TwoLevelSMR(grid, integrator, gas_cfg, tuple(lo), tuple(n))
+        self.hydro = self.smr.hc  # coarse-level Hydro (history/output volume)
+        self.criterion = None
+        if self.adaptive:
+            field = pin.get_or_add_str("gas", "refine_field", "density")
+            rtype = pin.get_or_add_str("gas", "refine_type", "gradient")
+            self.criterion = dict(
+                field=field, type=rtype,
+                refine_thr=pin.get_real("gas", "refine_thr"),
+                deref_thr=pin.get_or_add_real("gas", "deref_thr", 0.0))
+        self.retag_interval = pin.get_or_add_int(
+            "parthenon/refinement", "check_interval", 10)
+        self._fine_prims = fine_prims     # fine-level IC (None -> prolong)
+        self._sf = None
+        self._lo = jnp.asarray(np.array(self.smr.patch_lo, dtype=np.int32))
+        self._ncycle = 0
+
+    # -- Driver API ------------------------------------------------------
+    def initialize(self, state):
+        wc = state["gas"]["w"]
+        if self._fine_prims is not None:
+            wf = jnp.asarray(self._fine_prims)
+        else:
+            sl = tuple(slice(self.smr.patch_lo[2 - i],
+                             self.smr.patch_lo[2 - i] + self.smr.patch_n[2 - i])
+                       if self.smr.active[2 - i] else slice(0, 1)
+                       for i in range(3))
+            wf = prolong_minmod(jnp.asarray(wc)[(Ellipsis, *sl)], self.smr.active)
+        sc, sf = self.smr.initialize(wc, wf)
+        self._sf = sf
+        return {"gas": {"u": sc[0], "w": sc[1]}}
+
+    def _ensure_fine(self, sc):
+        """Post-restart: re-prolong the fine level from the coarse state."""
+        if self._sf is None:
+            sl = tuple(slice(self.smr.patch_lo[2 - i],
+                             self.smr.patch_lo[2 - i] + self.smr.patch_n[2 - i])
+                       if self.smr.active[2 - i] else slice(0, 1)
+                       for i in range(3))
+            wf = prolong_minmod(sc[1][(Ellipsis, *sl)], self.smr.active)
+            self._sf = self.smr.hf.prim_to_cons(wf, self.smr.cfg)
+
+    def step(self, state, dt, time):
+        sc = (state["gas"]["u"], state["gas"]["w"])
+        self._ensure_fine(sc)
+        sc, self._sf = self.smr._step(sc, self._sf, jnp.asarray(dt), self._lo)
+        self._ncycle += 1
+        if (self.criterion is not None
+                and self._ncycle % self.retag_interval == 0):
+            sc, self._sf, self._lo = self.smr.retag(sc, self._sf, self._lo,
+                                                    self.criterion)
+            self.smr.patch_lo = tuple(int(v) for v in np.asarray(self._lo))
+        return {"gas": {"u": sc[0], "w": sc[1]}}
+
+    def estimate_dt(self, state):
+        sc = (state["gas"]["u"], state["gas"]["w"])
+        self._ensure_fine(sc)
+        return self.smr._dt(sc, self._sf)

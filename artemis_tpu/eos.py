@@ -45,6 +45,11 @@ class IdealGas:
     def specific_heat(self, rho=None, sie=None):
         return self.cv
 
+    def gruneisen_param(self, rho=None, sie=None):
+        """Gruneisen parameter (GruneisenParamFromDensity*, = gamma-1 for
+        ideal gas) — completes the reference's singularity-eos call surface."""
+        return self.gm1
+
 
 def eos_from_input(pin, constants) -> IdealGas:
     """Build the gas EOS exactly as the reference does (src/gas/gas.cpp:102-122)."""

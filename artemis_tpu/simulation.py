@@ -176,7 +176,23 @@ class Simulation:
             radiation_factory = lambda hyd: _Radiation(rc, hyd.grid, hyd, gas_cfg)
 
         integrator = Integrator.make(pin.get_or_add_str("parthenon/time", "integrator", "rk2"))
-        if nshards > 1:
+        refinement = pin.get_or_add_str("parthenon/mesh", "refinement", "none")
+        if refinement != "none":
+            # deck-driven two-level refinement (blast_amr-style decks)
+            from .amr import SMRDriver
+
+            if nshards > 1 or self.nbody is not None or srcs or dust_cfg \
+                    or diffusion_factory or radiation_factory:
+                raise ValueError("refinement currently supports single-shard "
+                                 "source-free gas hydro")
+            # fine-level IC from the problem generator on the fine grid
+            from .pgen import build_problem as _bp
+
+            self.driver = SMRDriver(self.grid, integrator, gas_cfg, pin)
+            pin_f = ParameterInput.from_string(repr(pin))
+            prob_f = _bp(problem_name, pin_f, self.driver.smr.fg, gas_cfg, dust_cfg)
+            self.driver._fine_prims = prob_f.prims["gas"]
+        elif nshards > 1:
             from .parallel.mesh import ShardedDriver, make_device_mesh
 
             self.driver = ShardedDriver(

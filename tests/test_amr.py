@@ -131,3 +131,24 @@ def test_adaptive_patch_follows_blast(tmp_path):
     assert abs(m1 - m0) / m0 < 1e-12
     rho = np.asarray(sc[1][:, 0])
     assert np.isfinite(rho).all() and rho.min() > 0
+
+
+def test_deck_driven_adaptive(tmp_path):
+    """<parthenon/mesh> refinement=adaptive wiring through Simulation/CLI
+    (blast_amr deck): the SMRDriver adapter runs under evolve() and the
+    patch migrates toward the off-center blast."""
+    from artemis_tpu.simulation import Simulation
+
+    deck = os.path.join(HERE, "..", "inputs", "blast_amr.in")
+    sim = Simulation(deck, overrides=["parthenon/time/tlim=0.03"],
+                     data_dir=str(tmp_path))
+    lo0 = sim.driver.smr.patch_lo
+    sim.run()
+    assert sim.tm.time >= 0.03 * (1 - 1e-12)
+    lo1 = sim.driver.smr.patch_lo
+    assert lo1 != lo0 and lo1[0] < lo0[0] and lo1[1] < lo0[1]
+    # history output written with finite totals
+    hst = [f for f in os.listdir(tmp_path) if f.endswith(".hst")]
+    assert hst
+    data = np.loadtxt(os.path.join(tmp_path, hst[0]), ndmin=2)
+    assert np.isfinite(data).all()
