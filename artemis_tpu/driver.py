@@ -93,6 +93,14 @@ class Driver:
         self.radiation = None
         if radiation is not None:
             self.radiation = radiation(self.hydro)
+        # fused whole-stage pallas fast path (Cartesian source-free gas)
+        from .ops import pallas_stage as _ps
+
+        self._fused_stage = (_ps.supported(grid, gas_cfg)
+                             and dust_cfg is None and not self.sources
+                             and self.diffusion is None)
+        self._fused_periodic = (self._fused_stage and not self.bc_custom
+                                and _ps.periodic_supported(grid, gas_cfg))
         self._step = jax.jit(self._build_step())
         self._dt_fn = jax.jit(self._estimate_dt)
         self._advance = jax.jit(self._build_advance())
@@ -152,6 +160,21 @@ class Driver:
         beta = integ.beta[stage - 1]
         bdt = beta * dt
         force_pcm = (integ.name == "vl2") and stage == 1
+        if self._fused_stage and state["gas"]["w"].dtype == jnp.float32:
+            from .ops import pallas_stage as _ps
+
+            if self._fused_periodic:
+                u, w = _ps.stage_periodic(
+                    state["gas"]["w"], state["gas"]["u"], u1["gas"],
+                    self.grid, self.gas_cfg, gam0, gam1, bdt, force_pcm)
+            else:
+                w_pad = self.fill_ghosts(state["gas"]["w"], "gas")
+                u, w = _ps.stage(w_pad, state["gas"]["u"], u1["gas"],
+                                 self.grid, self.gas_cfg, gam0, gam1, bdt,
+                                 force_pcm)
+            new_state = dict(state)
+            new_state["gas"] = {"u": u, "w": w}
+            return new_state, None
         new_state = dict(state)
         fluxes = {}
         for name, cfg in fluids:

@@ -1,0 +1,405 @@
+"""Fused whole-stage Pallas kernel for Cartesian gas hydro.
+
+One kernel performs, per (z-plane, y-tile) block, everything between the
+ghost fill and the next stage: PLM(+PCM) reconstruction and HLLC fluxes in
+all active directions, the two-register RK flux-divergence update
+(ApplyUpdate, artemis_integrator.hpp:56-110), the pressure-gradient + PdV
+flux sources (FluxSourceImpl, fluid_fluxes.hpp:295-420, Cartesian branch),
+the dual-energy sync (SetAuxillaryFields), and the C2P/P2C floor re-sync
+(fill_derived.cpp) — writing only the new conserved + primitive interior
+arrays.  The jnp path materializes each of those intermediates in HBM;
+fusing them removes ~6 full-array HBM round trips per stage.
+
+Halos: the y/z neighborhoods overlap between blocks, which Pallas block
+index maps cannot express, so the padded primitives stay in HBM
+(memory_space=ANY) and each block DMAs its (z-tile±2, y-tile±2, full-x)
+slab into a VMEM scratch buffer explicitly.  Mosaic requires HBM DMA
+slices 8-aligned on the sublane (y) dim, so the y slab is rounded up to
+24 rows (the last 4 are unused) and the padded array carries 4 spare
+rows at the top.
+
+Scope (fast path; the driver falls back to the composable jnp path
+otherwise): Cartesian, single-species gas, PLM/PCM + HLLC, 2-ghost, ny a
+multiple of 16, nz a multiple of 4 (or 2-D), no external sources /
+diffusion on the stage.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_sweeps import _hllc, _plm
+
+TY = 16  # y rows per block
+TZ = 4   # z planes per block
+YS = 24  # DMA'd y-slab rows (TY + 4 halo, rounded up to the 8-row tiling)
+
+
+def _lr_faces(q, axis, lo, count, pcm):
+    """L/R face states for ``count`` faces starting at padded face index
+    ``lo`` along ``axis`` (face f sits between cells f-1 and f)."""
+
+    def sl(a, start, num):
+        s = [slice(None)] * a.ndim
+        s[axis] = slice(start, start + num)
+        return a[tuple(s)]
+
+    if pcm:
+        return sl(q, lo - 1, count), sl(q, lo, count)
+    n = q.shape[axis]
+    qm = sl(q, 0, n - 2)
+    q0 = sl(q, 1, n - 2)
+    qp = sl(q, 2, n - 2)
+    ql, qr = _plm(qm, q0, qp)  # defined on cells 1..n-2 (index = cell-1)
+    return sl(ql, lo - 2, count), sl(qr, lo - 1, count)
+
+
+def _stage_kernel(bdt_ref, u0_ref, u1_ref, wp_hbm, u_ref, w_ref,
+                  scratch, sem, *, ng, nx, tz, active_z, pcm, gamma,
+                  gam0, gam1, dx, dy, dz, dfloor, siefloor, de_switch):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    zsz = tz + 4 if active_z else 1
+    dma = pltpu.make_async_copy(
+        wp_hbm.at[:, pl.ds(i * tz, zsz), pl.ds(j * TY, YS), :],
+        scratch, sem)
+    dma.start()
+    bdt = bdt_ref[0]
+    dma.wait()
+    s = scratch[...][:, :, :TY + 4]       # [6, zsz, TY+4, xp]
+
+    def hllc6(wl, wr, d):
+        ivx = d
+        ivy = (d % 3) + 1
+        ivz = ((d + 1) % 3) + 1
+        F, pf, vf = _hllc(tuple(wl[c] for c in range(6)),
+                          tuple(wr[c] for c in range(6)), ivx, ivy, ivz, gamma)
+        return F, pf, vf
+
+    zc = slice(2, 2 + tz) if active_z else slice(0, 1)
+
+    def ax(a, axis, s0, s1):
+        sl = [slice(None)] * a.ndim
+        sl[axis] = slice(s0, s1)
+        return a[tuple(sl)]
+
+    # ---- X fluxes: [tz, TY, nx+1] on interior z planes / y rows
+    wx = s[:, zc, 2:2 + TY, :]
+    wl, wr = _lr_faces(wx, 3, ng, nx + 1, pcm)
+    Fx, pfx, vfx = hllc6(wl, wr, 1)
+
+    # ---- Y fluxes: [tz, TY+1, nx]
+    wy = s[:, zc, :, ng:ng + nx]
+    wl, wr = _lr_faces(wy, 2, 2, TY + 1, pcm)
+    Fy, pfy, vfy = hllc6(wl, wr, 2)
+
+    # ---- Z fluxes: [tz+1, TY, nx]
+    if active_z:
+        wz = s[:, :, 2:2 + TY, ng:ng + nx]
+        wl, wr = _lr_faces(wz, 1, 2, tz + 1, pcm)
+        Fz, pfz, vfz = hllc6(wl, wr, 3)
+
+    u0 = u0_ref[...]
+    u1 = u1_ref[...]
+    divf = [(ax(Fx[c], 2, 0, nx) - ax(Fx[c], 2, 1, nx + 1)) / dx
+            + (ax(Fy[c], 1, 0, TY) - ax(Fy[c], 1, 1, TY + 1)) / dy
+            for c in range(6)]
+    if active_z:
+        divf = [divf[c] + (ax(Fz[c], 0, 0, tz) - ax(Fz[c], 0, 1, tz + 1)) / dz
+                for c in range(6)]
+    u = [gam0 * u0[c] + gam1 * u1[c] + bdt * divf[c] for c in range(6)]
+
+    # pressure-gradient force + PdV work (FluxSourceImpl, Cartesian)
+    pxl, pxh = ax(pfx, 2, 0, nx), ax(pfx, 2, 1, nx + 1)
+    vxl, vxh = ax(vfx, 2, 0, nx), ax(vfx, 2, 1, nx + 1)
+    pyl, pyh = ax(pfy, 1, 0, TY), ax(pfy, 1, 1, TY + 1)
+    vyl, vyh = ax(vfy, 1, 0, TY), ax(vfy, 1, 1, TY + 1)
+    u[1] = u[1] + (bdt / dx) * (pxl - pxh)
+    u[2] = u[2] + (bdt / dy) * (pyl - pyh)
+    u[5] = u[5] - (bdt / dx) * 0.5 * (pxl + pxh) * (vxh - vxl)
+    u[5] = u[5] - (bdt / dy) * 0.5 * (pyl + pyh) * (vyh - vyl)
+    if active_z:
+        pzl, pzh = ax(pfz, 0, 0, tz), ax(pfz, 0, 1, tz + 1)
+        vzl, vzh = ax(vfz, 0, 0, tz), ax(vfz, 0, 1, tz + 1)
+        u[3] = u[3] + (bdt / dz) * (pzl - pzh)
+        u[5] = u[5] - (bdt / dz) * 0.5 * (pzl + pzh) * (vzh - vzl)
+
+    # dual-energy sync (SetAuxillaryFields)
+    rho = jnp.maximum(u[0], dfloor)
+    ke = 0.5 * (u[1] ** 2 + u[2] ** 2 + u[3] ** 2) / rho
+    ue = u[4] - ke
+    sie = jnp.where(ue > de_switch * u[4], ue / rho, u[5] / rho)
+    sie = jnp.maximum(sie, siefloor)
+    u[5] = jnp.maximum(sie * rho, siefloor * rho)
+
+    # C2P + P2C floor re-sync (fill_derived.cpp)
+    v1 = u[1] / rho
+    v2 = u[2] / rho
+    v3 = u[3] / rho
+    sie = jnp.maximum(u[5] / rho, siefloor)
+    p = (gamma - 1.0) * rho * sie
+    eint = sie * rho
+    etot = eint + 0.5 * rho * (v1 * v1 + v2 * v2 + v3 * v3)
+
+    u_ref[...] = jnp.stack([rho, rho * v1, rho * v2, rho * v3, etot, eint])
+    w_ref[...] = jnp.stack([rho, v1, v2, v3, p, sie])
+
+
+def stage(w_pad, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
+          interpret=False):
+    """Run one fused RK stage.  Returns (u_new, w_new) interior arrays."""
+    nx, ny, nz = grid.nx
+    g1, g2, g3 = grid.ng
+    active_z = nz > 1
+    wp = w_pad[0]          # [6, zp, yp, xp]
+    u0_ = u0[0]
+    u1_ = u1[0]
+    g = grid.geom
+    dx = float(g.xf1[1] - g.xf1[0])
+    dy = float(g.xf2[1] - g.xf2[0])
+    dz = float(g.xf3[1] - g.xf3[0])
+    pcm = force_pcm or cfg.recon == "pcm"
+
+    tz = TZ if active_z else 1
+    kern = functools.partial(
+        _stage_kernel, ng=g1, nx=nx, tz=tz, active_z=active_z, pcm=pcm,
+        gamma=cfg.gamma, gam0=gam0, gam1=gam1, dx=dx, dy=dy, dz=dz,
+        dfloor=cfg.dfloor, siefloor=cfg.siefloor, de_switch=cfg.de_switch)
+    dt = wp.dtype
+    zsz = tz + 4 if active_z else 1
+    # the y DMA slab is YS rows; give the padded array the 4 spare rows the
+    # top-edge block reads (values unused).  Mosaic also requires HBM DMA
+    # slices 128-aligned on the lane (x) dim, so pad x to the next multiple
+    # of 128 and DMA full rows (the tail lanes are unused).
+    xp_al = -(-wp.shape[-1] // 128) * 128
+    wp = jnp.pad(wp, [(0, 0), (0, 0), (0, YS - (TY + 4)),
+                      (0, xp_al - wp.shape[-1])])
+    blk = (6, tz, TY, nx)
+    imap = lambda i, j: (0, i, j, 0)
+    u_new, w_new = pl.pallas_call(
+        kern,
+        grid=(nz // tz, ny // TY),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # bdt (1,)
+            pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),   # u0
+            pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),   # u1
+            pl.BlockSpec(memory_space=pltpu.ANY),    # wp (manual DMA)
+        ],
+        out_specs=(
+            pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((6, nz, ny, nx), dt),
+            jax.ShapeDtypeStruct((6, nz, ny, nx), dt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((6, zsz, YS, wp.shape[-1]), dt),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(jnp.reshape(jnp.asarray(beta_dt, dt), (1,)), u0_, u1_, wp)
+    return u_new[None], w_new[None]
+
+
+def supported(grid, cfg) -> bool:
+    """Is the fused whole-stage path applicable?"""
+    import os
+
+    if os.environ.get("ARTEMIS_PALLAS", "1") == "0":
+        return False
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+    return (on_tpu and grid.coords == "cartesian" and cfg is not None
+            and cfg.fluid == "gas" and cfg.nspecies == 1
+            and cfg.rsolver == "hllc" and cfg.recon in ("plm", "pcm")
+            and grid.nghost == 2 and grid.nx[1] % TY == 0
+            and (grid.nx[2] == 1 or grid.nx[2] % TZ == 0)
+            and grid.nx[1] > 1 and grid.nx[0] > 1)
+
+
+# ---------------------------------------------------------------------------
+# periodic fast path: no padded array at all — each block gathers its own
+# (z, y) halos with 9 aligned DMAs from the unpadded interior array and
+# wraps x inside VMEM.  Removes the HBM pad round-trip entirely.
+# ---------------------------------------------------------------------------
+TZP = 4   # z planes per block (periodic kernel)
+TYP = 16  # y rows per block (periodic kernel)
+
+
+def _stage_kernel_periodic(bdt_ref, u0_ref, u1_ref, w_hbm, u_ref, w_ref,
+                           scratch, sems, *, nx, ny, nz, tz, ty, active_z,
+                           pcm, gamma, gam0, gam1, dx, dy, dz,
+                           dfloor, siefloor, de_switch):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    z0 = i * tz
+    y0 = j * ty
+
+    # (z-region, y-region) → contiguous slab DMA.  Halo regions are 2 planes
+    # in z (no alignment constraint) and 8 rows in y (sublane tiling).
+    if active_z:
+        zregs = [((z0 - 2) % nz, 2, 0), (z0, tz, 2), ((z0 + tz) % nz, 2, 2 + tz)]
+    else:
+        zregs = [(0, 1, 0)]
+    # modular halo offsets are all multiples of 8; Mosaic needs the hint
+    yregs = [(pl.multiple_of((y0 - 8) % ny, 8), 8, 0),
+             (pl.multiple_of(y0, 8), ty, 8),
+             (pl.multiple_of((y0 + ty) % ny, 8), 8, 8 + ty)]
+    dmas = []
+    for a, (zs, zn, zd) in enumerate(zregs):
+        for b, (ys, yn, yd) in enumerate(yregs):
+            dma = pltpu.make_async_copy(
+                w_hbm.at[:, pl.ds(zs, zn), pl.ds(ys, yn), :],
+                scratch.at[:, pl.ds(zd, zn), pl.ds(yd, yn), :],
+                sems.at[a, b])
+            dma.start()
+            dmas.append(dma)
+    bdt = bdt_ref[0]
+    for dma in dmas:
+        dma.wait()
+
+    # used window: y rows 6 .. ty+10 (2-halo), x wrapped in VMEM
+    s = scratch[...][:, :, 6:ty + 10]
+    s = jnp.concatenate([s[..., nx - 2:], s, s[..., :2]], axis=-1)
+
+    def hllc6(wl, wr, d):
+        ivx = d
+        ivy = (d % 3) + 1
+        ivz = ((d + 1) % 3) + 1
+        F, pf, vf = _hllc(tuple(wl[c] for c in range(6)),
+                          tuple(wr[c] for c in range(6)), ivx, ivy, ivz, gamma)
+        return F, pf, vf
+
+    zc = slice(2, 2 + tz) if active_z else slice(0, 1)
+
+    def ax(a, axis, s0, s1):
+        sl = [slice(None)] * a.ndim
+        sl[axis] = slice(s0, s1)
+        return a[tuple(sl)]
+
+    wx = s[:, zc, 2:2 + ty, :]
+    wl, wr = _lr_faces(wx, 3, 2, nx + 1, pcm)
+    Fx, pfx, vfx = hllc6(wl, wr, 1)
+
+    wy = s[:, zc, :, 2:2 + nx]
+    wl, wr = _lr_faces(wy, 2, 2, ty + 1, pcm)
+    Fy, pfy, vfy = hllc6(wl, wr, 2)
+
+    if active_z:
+        wz = s[:, :, 2:2 + ty, 2:2 + nx]
+        wl, wr = _lr_faces(wz, 1, 2, tz + 1, pcm)
+        Fz, pfz, vfz = hllc6(wl, wr, 3)
+
+    u0 = u0_ref[...]
+    u1 = u1_ref[...]
+    divf = [(ax(Fx[c], 2, 0, nx) - ax(Fx[c], 2, 1, nx + 1)) / dx
+            + (ax(Fy[c], 1, 0, ty) - ax(Fy[c], 1, 1, ty + 1)) / dy
+            for c in range(6)]
+    if active_z:
+        divf = [divf[c] + (ax(Fz[c], 0, 0, tz) - ax(Fz[c], 0, 1, tz + 1)) / dz
+                for c in range(6)]
+    u = [gam0 * u0[c] + gam1 * u1[c] + bdt * divf[c] for c in range(6)]
+
+    pxl, pxh = ax(pfx, 2, 0, nx), ax(pfx, 2, 1, nx + 1)
+    vxl, vxh = ax(vfx, 2, 0, nx), ax(vfx, 2, 1, nx + 1)
+    pyl, pyh = ax(pfy, 1, 0, ty), ax(pfy, 1, 1, ty + 1)
+    vyl, vyh = ax(vfy, 1, 0, ty), ax(vfy, 1, 1, ty + 1)
+    u[1] = u[1] + (bdt / dx) * (pxl - pxh)
+    u[2] = u[2] + (bdt / dy) * (pyl - pyh)
+    u[5] = u[5] - (bdt / dx) * 0.5 * (pxl + pxh) * (vxh - vxl)
+    u[5] = u[5] - (bdt / dy) * 0.5 * (pyl + pyh) * (vyh - vyl)
+    if active_z:
+        pzl, pzh = ax(pfz, 0, 0, tz), ax(pfz, 0, 1, tz + 1)
+        vzl, vzh = ax(vfz, 0, 0, tz), ax(vfz, 0, 1, tz + 1)
+        u[3] = u[3] + (bdt / dz) * (pzl - pzh)
+        u[5] = u[5] - (bdt / dz) * 0.5 * (pzl + pzh) * (vzh - vzl)
+
+    rho = jnp.maximum(u[0], dfloor)
+    ke = 0.5 * (u[1] ** 2 + u[2] ** 2 + u[3] ** 2) / rho
+    ue = u[4] - ke
+    sie = jnp.where(ue > de_switch * u[4], ue / rho, u[5] / rho)
+    sie = jnp.maximum(sie, siefloor)
+    u[5] = jnp.maximum(sie * rho, siefloor * rho)
+
+    v1 = u[1] / rho
+    v2 = u[2] / rho
+    v3 = u[3] / rho
+    sie = jnp.maximum(u[5] / rho, siefloor)
+    p = (gamma - 1.0) * rho * sie
+    eint = sie * rho
+    etot = eint + 0.5 * rho * (v1 * v1 + v2 * v2 + v3 * v3)
+
+    u_ref[...] = jnp.stack([rho, rho * v1, rho * v2, rho * v3, etot, eint])
+    w_ref[...] = jnp.stack([rho, v1, v2, v3, p, sie])
+
+
+def stage_periodic(w, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
+                   interpret=False):
+    """Fused RK stage for the all-periodic Cartesian case: consumes the
+    UNPADDED interior primitives; halos are gathered in-kernel."""
+    nx, ny, nz = grid.nx
+    active_z = nz > 1
+    w_ = w[0]
+    u0_ = u0[0]
+    u1_ = u1[0]
+    g = grid.geom
+    dx = float(g.xf1[1] - g.xf1[0])
+    dy = float(g.xf2[1] - g.xf2[0])
+    dz = float(g.xf3[1] - g.xf3[0])
+    pcm = force_pcm or cfg.recon == "pcm"
+    tz = TZP if active_z else 1
+    ty = TYP
+
+    kern = functools.partial(
+        _stage_kernel_periodic, nx=nx, ny=ny, nz=nz, tz=tz, ty=ty,
+        active_z=active_z, pcm=pcm, gamma=cfg.gamma, gam0=gam0, gam1=gam1,
+        dx=dx, dy=dy, dz=dz, dfloor=cfg.dfloor, siefloor=cfg.siefloor,
+        de_switch=cfg.de_switch)
+    dt = w_.dtype
+    zsz = tz + 4 if active_z else 1
+    blk = (6, tz, ty, nx)
+    imap = lambda i, j: (0, i, j, 0)
+    u_new, w_new = pl.pallas_call(
+        kern,
+        grid=(nz // tz, ny // ty),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((6, nz, ny, nx), dt),
+            jax.ShapeDtypeStruct((6, nz, ny, nx), dt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((6, zsz, ty + 16, nx), dt),
+            pltpu.SemaphoreType.DMA((3, 3)),
+        ],
+        interpret=interpret,
+    )(jnp.reshape(jnp.asarray(beta_dt, dt), (1,)), u0_, u1_, w_)
+    return u_new[None], w_new[None]
+
+
+def periodic_supported(grid, cfg) -> bool:
+    """Is the no-pad periodic whole-stage path applicable?"""
+    if not supported(grid, cfg):
+        return False
+    for d in range(3):
+        if grid.nx[d] > 1 and (grid.bc[d][0] != "periodic"
+                               or grid.bc[d][1] != "periodic"):
+            return False
+    return (grid.nx[1] % TYP == 0 and grid.nx[0] % 128 == 0
+            and (grid.nx[2] == 1 or grid.nx[2] % TZP == 0))

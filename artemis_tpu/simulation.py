@@ -26,6 +26,17 @@ def _enable_x64():
     jax.config.update("jax_enable_x64", True)
 
 
+def _set_precision(pin):
+    """<artemis> precision = float64 (default) | float32.  float32 enables
+    the fused Pallas fast path on TPU (pallas custom calls have no f64
+    lowering) and is the intended production mode on TPU hardware."""
+    prec = pin.get_or_add_str("artemis", "precision", "float64")
+    if prec == "float64":
+        _enable_x64()
+    elif prec != "float32":
+        raise ValueError(f"unknown precision {prec!r}")
+
+
 class _NBodyOutputs:
     """Writes the N-body .reb/.orb files at the <nbody> dt_output cadence
     (cf. NBody::Outputs, nbody_outputs.cpp)."""
@@ -60,11 +71,11 @@ class Simulation:
         nshards: int = 1,
         restart: Optional[str] = None,
     ):
-        _enable_x64()
         if is_path is None:
             is_path = os.path.exists(deck)
         pin = ParameterInput.from_file(deck) if is_path else ParameterInput.from_string(deck)
         pin.apply_overrides(overrides)
+        _set_precision(pin)
         self.pin = pin
         self.data_dir = data_dir
         os.makedirs(data_dir, exist_ok=True)
