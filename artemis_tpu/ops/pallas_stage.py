@@ -230,8 +230,8 @@ def supported(grid, cfg) -> bool:
 # (z, y) halos with 9 aligned DMAs from the unpadded interior array and
 # wraps x inside VMEM.  Removes the HBM pad round-trip entirely.
 # ---------------------------------------------------------------------------
-TZP = 4   # z planes per block (periodic kernel)
-TYP = 16  # y rows per block (periodic kernel)
+TZP = 8   # z planes per block (periodic kernel)
+TYP = 32  # y rows per block (periodic kernel)
 
 
 def _stage_kernel_periodic(bdt_ref, u0_ref, u1_ref, w_hbm, u_ref, w_ref,
@@ -388,6 +388,8 @@ def stage_periodic(w, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
             pltpu.VMEM((6, zsz, ty + 16, nx), dt),
             pltpu.SemaphoreType.DMA((3, 3)),
         ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(jnp.reshape(jnp.asarray(beta_dt, dt), (1,)), u0_, u1_, w_)
     return u_new[None], w_new[None]
