@@ -40,9 +40,8 @@ def make_device_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devs), (AXIS,))
 
 
-def _local_grid(grid: Grid, nshards: int) -> Grid:
-    """Shard-local Grid: x3 interior split evenly (metric is x3-independent,
-    so shard 0's coordinates stand in for every shard)."""
+def _local_grid_at(grid: Grid, nshards: int, shard: int) -> Grid:
+    """Shard-local Grid with the x3 window of the given shard."""
     nx3 = grid.nx[2]
     if nx3 % nshards != 0:
         raise ValueError(f"nx3={nx3} not divisible by {nshards} shards")
@@ -51,14 +50,56 @@ def _local_grid(grid: Grid, nshards: int) -> Grid:
     ng3 = grid.nghost if nx3 > 1 else 0
     if nz_l == 1 and nshards > 1:
         raise ValueError("need >= 2 x3 cells per shard")
-    xf3 = grid.xmin[2] + dz * np.arange(-ng3, nz_l + ng3 + 1, dtype=np.float64)
+    z0 = grid.xmin[2] + dz * nz_l * shard
+    xf3 = z0 + dz * np.arange(-ng3, nz_l + ng3 + 1, dtype=np.float64)
     geom = geo.build_geometry(grid.coords, grid.geom.xf1, grid.geom.xf2, xf3)
     return dataclasses.replace(
         grid,
         nx=(grid.nx[0], grid.nx[1], nz_l),
-        xmax=(grid.xmax[0], grid.xmax[1], grid.xmin[2] + dz * nz_l),
+        xmin=(grid.xmin[0], grid.xmin[1], z0),
+        xmax=(grid.xmax[0], grid.xmax[1], z0 + dz * nz_l),
         geom=geom,
     )
+
+
+def _local_grid(grid: Grid, nshards: int) -> Grid:
+    """Shard-local Grid: x3 interior split evenly (metric is x3-independent,
+    so shard 0's coordinates stand in for every shard)."""
+    return _local_grid_at(grid, nshards, 0)
+
+
+def _check_x3_independent(sources, factory, grid_shard1):
+    """Error out if any source precomputes an x3-dependent field — those
+    would need to be threaded through shard_map as sharded arguments
+    (planned) rather than closed over."""
+    def arrays(obj, prefix=""):
+        out = {}
+        if isinstance(obj, np.ndarray):
+            out[prefix] = obj
+        elif isinstance(obj, (list, tuple)):
+            for i, v in enumerate(obj):
+                out.update(arrays(v, f"{prefix}[{i}]"))
+        elif isinstance(obj, dict):
+            for k, v in obj.items():
+                out.update(arrays(v, f"{prefix}[{k!r}]"))
+        return out
+
+    others = factory(grid_shard1)
+    for s0, s1 in zip(sources, others):
+        d0 = {}
+        d1 = {}
+        for k, v in vars(s0).items():
+            d0.update(arrays(v, k))
+        for k, v in vars(s1).items():
+            d1.update(arrays(v, k))
+        for k in d0:
+            if k in d1 and d0[k].shape == d1[k].shape \
+                    and not np.array_equal(d0[k], d1[k]):
+                raise ValueError(
+                    f"source {type(s0).__name__}.{k} varies along x3; "
+                    "x3-dependent source fields are not supported in "
+                    "sharded runs yet (use single-device, or shard a "
+                    "different axis)")
 
 
 class ShardedDriver(Driver):
@@ -75,11 +116,23 @@ class ShardedDriver(Driver):
         mesh: Optional[Mesh] = None,
         omf: float = 0.0,
         diffusion=None,
+        sources_factory=None,
     ):
         self.mesh = mesh if mesh is not None else make_device_mesh()
         self.nshards = self.mesh.devices.size
         self.global_grid = grid
         local = _local_grid(grid, self.nshards)
+        if sources_factory is not None:
+            if sources:
+                raise ValueError("pass sources or sources_factory, not both")
+            # rebuild the sources against the shard-local grid, and verify
+            # their precomputed fields are x3-independent: shard_map traces
+            # ONE program, so a field that varies with the shard's x3 window
+            # would silently use shard 0's coordinates everywhere.
+            sources = sources_factory(local)
+            if self.nshards > 1:
+                _check_x3_independent(sources, sources_factory,
+                                      _local_grid_at(grid, self.nshards, 1))
         super().__init__(local, integrator, gas_cfg, dust_cfg, sources, bc_custom,
                          omf, diffusion)
 

@@ -206,19 +206,24 @@ class Simulation:
         elif nshards > 1:
             from .parallel.mesh import ShardedDriver, make_device_mesh
 
+            if self.nbody is not None:
+                raise ValueError("nbody + sharded runs not supported yet")
+            # sources precompute interior-shaped coordinate fields, so the
+            # sharded driver rebuilds them against each shard-local grid
+            src_factory = lambda g: (sources_from_input(
+                pin, g, gas_cfg, dust_cfg, self.constants)
+                + list(self.problem.sources))
             self.driver = ShardedDriver(
                 self.grid,
                 integrator,
                 gas_cfg,
                 dust_cfg,
-                sources=srcs,
+                sources_factory=src_factory,
                 bc_custom=self.problem.bc_custom,
                 mesh=make_device_mesh(nshards),
                 omf=omf,
                 diffusion=diffusion_factory,
             )
-            if self.nbody is not None:
-                raise ValueError("nbody + sharded runs not supported yet")
         else:
             self.driver = Driver(
                 self.grid,

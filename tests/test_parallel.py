@@ -48,3 +48,49 @@ def test_linwave_sharded_equivalence(tmp_path):
     assert np.all(np.isfinite(e4))
     # sharded and serial errors agree to roundoff-level differences
     assert np.allclose(e1, e4, rtol=1e-10), f"serial {e1} vs sharded {e4}"
+
+
+def test_sharded_with_source(tmp_path):
+    """Sharded run with an active source package (uniform gravity, an
+    x3-independent field) matches the single-device run."""
+    import artemis_tpu.simulation as sim_mod
+
+    args = _args(16) + [
+        "physics/gravity=true",
+        "gravity/uniform/gx1=1e-8",
+        "parthenon/time/nlim=20",
+    ]
+    d1 = str(tmp_path / "serial")
+    d4 = str(tmp_path / "shard4")
+    run_deck(DECK, args, d1)
+    sim = sim_mod.Simulation(DECK, overrides=args, data_dir=d4, nshards=4)
+    sim.run()
+    import jax.numpy as jnp
+
+    s1 = np.load(sorted(os.path.join(d1, f) for f in os.listdir(d1)
+                        if f.endswith(".rst.npz") or f.endswith("-errs.dat"))[0]) \
+        if False else None
+    # compare the final states directly
+    sim1 = sim_mod.Simulation(DECK, overrides=args, data_dir=str(tmp_path / "x"))
+    sim1.run()
+    w1 = np.asarray(sim1.state["gas"]["w"])
+    w4 = np.asarray(sim.state["gas"]["w"])
+    assert np.allclose(w1, w4, rtol=1e-10, atol=1e-14)
+
+
+def test_sharded_x3_dependent_source_rejected(tmp_path):
+    """x3-dependent precomputed source fields (z damping zones) are refused
+    with a clear error rather than silently using shard 0's coordinates."""
+    import pytest
+
+    import artemis_tpu.simulation as sim_mod
+
+    args = _args(16) + [
+        "physics/drag=true",
+        "drag/type=self",
+        "gas/damping/inner_x3=0.4",
+        "gas/damping/inner_x3_rate=1.0",
+    ]
+    with pytest.raises(ValueError, match="varies along x3"):
+        sim_mod.Simulation(DECK, overrides=args, data_dir=str(tmp_path),
+                           nshards=4)
