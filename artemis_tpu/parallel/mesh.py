@@ -68,38 +68,81 @@ def _local_grid(grid: Grid, nshards: int) -> Grid:
     return _local_grid_at(grid, nshards, 0)
 
 
-def _check_x3_independent(sources, factory, grid_shard1):
-    """Error out if any source precomputes an x3-dependent field — those
-    would need to be threaded through shard_map as sharded arguments
-    (planned) rather than closed over."""
-    def arrays(obj, prefix=""):
-        out = {}
-        if isinstance(obj, np.ndarray):
-            out[prefix] = obj
-        elif isinstance(obj, (list, tuple)):
-            for i, v in enumerate(obj):
-                out.update(arrays(v, f"{prefix}[{i}]"))
-        elif isinstance(obj, dict):
-            for k, v in obj.items():
-                out.update(arrays(v, f"{prefix}[{k!r}]"))
-        return out
+class ShardedZField:
+    """Lazy per-shard view of a global interior [z, y, x]-shaped field.
 
-    others = factory(grid_shard1)
-    for s0, s1 in zip(sources, others):
-        d0 = {}
-        d1 = {}
+    Sources read precomputed fields with ``jnp.asarray(field)``; inside the
+    shard_map trace this resolves (via ``__jax_array__``) to the local z
+    window selected by ``lax.axis_index`` — the TPU equivalent of each MPI
+    rank holding its own block of a global coefficient array."""
+
+    def __init__(self, global_arr: np.ndarray, nz_local: int):
+        self.g = np.ascontiguousarray(global_arr)
+        self.nzl = nz_local
+        self.zax = self.g.ndim - 3
+
+    def __jax_array__(self):
+        idx = lax.axis_index(AXIS)
+        return lax.dynamic_slice_in_dim(
+            jnp.asarray(self.g), idx * self.nzl, self.nzl, axis=self.zax)
+
+
+def _walk_arrays(obj, path=()):
+    """(path, array) pairs for nested ndarray fields; path items are
+    ('attr', name) / ('idx', i) / ('key', k)."""
+    out = []
+    if isinstance(obj, np.ndarray):
+        out.append((path, obj))
+    elif isinstance(obj, (list, tuple)):
+        for i, v in enumerate(obj):
+            out += _walk_arrays(v, path + (("idx", i),))
+    elif isinstance(obj, dict):
+        for k, v in obj.items():
+            out += _walk_arrays(v, path + (("key", k),))
+    return out
+
+
+def _get_path(src, path):
+    obj = src
+    for kind, k in path:
+        obj = getattr(obj, k) if kind == "attr" else obj[k]
+    return obj
+
+
+def _set_path(src, path, value):
+    obj = src
+    for kind, k in path[:-1]:
+        obj = getattr(obj, k) if kind == "attr" else obj[k]
+    kind, k = path[-1]
+    if kind == "attr":
+        setattr(obj, k, value)
+    else:
+        if isinstance(obj, tuple):
+            raise ValueError(f"x3-dependent field in immutable tuple at {path}")
+        obj[k] = value
+
+
+def _localize_x3_fields(sources, srcs_shard1, srcs_global, nz_local):
+    """Replace x3-dependent precomputed fields with ShardedZField views of
+    the global-grid build (x3-independent fields stay local constants)."""
+    for s0, s1, sg in zip(sources, srcs_shard1, srcs_global):
+        fields0 = []
         for k, v in vars(s0).items():
-            d0.update(arrays(v, k))
-        for k, v in vars(s1).items():
-            d1.update(arrays(v, k))
-        for k in d0:
-            if k in d1 and d0[k].shape == d1[k].shape \
-                    and not np.array_equal(d0[k], d1[k]):
-                raise ValueError(
-                    f"source {type(s0).__name__}.{k} varies along x3; "
-                    "x3-dependent source fields are not supported in "
-                    "sharded runs yet (use single-device, or shard a "
-                    "different axis)")
+            fields0 += _walk_arrays(v, (("attr", k),))
+        for path, a0 in fields0:
+            try:
+                a1 = _get_path(s1, path)
+                ag = _get_path(sg, path)
+            except (AttributeError, KeyError, IndexError, TypeError):
+                continue
+            if not isinstance(a1, np.ndarray):
+                continue
+            if a0.shape == a1.shape and not np.array_equal(a0, a1):
+                if ag.ndim < 3:
+                    raise ValueError(
+                        f"x3-dependent field {type(s0).__name__}{path} is "
+                        "not [z,y,x]-shaped; cannot shard it")
+                _set_path(s0, path, ShardedZField(ag, nz_local))
 
 
 class ShardedDriver(Driver):
@@ -125,16 +168,26 @@ class ShardedDriver(Driver):
         if sources_factory is not None:
             if sources:
                 raise ValueError("pass sources or sources_factory, not both")
-            # rebuild the sources against the shard-local grid, and verify
-            # their precomputed fields are x3-independent: shard_map traces
-            # ONE program, so a field that varies with the shard's x3 window
-            # would silently use shard 0's coordinates everywhere.
+            # Rebuild the sources against the shard-local grid.  shard_map
+            # traces ONE program, so precomputed fields that vary with the
+            # shard's x3 window cannot be closed over as constants: those
+            # are detected (shard-0 vs shard-1 build) and replaced by
+            # ShardedZField views of the global-grid build, which lazily
+            # dynamic-slice by lax.axis_index at trace time (sources read
+            # fields via jnp.asarray -> __jax_array__).
             sources = sources_factory(local)
             if self.nshards > 1:
-                _check_x3_independent(sources, sources_factory,
-                                      _local_grid_at(grid, self.nshards, 1))
+                _localize_x3_fields(
+                    sources,
+                    sources_factory(_local_grid_at(grid, self.nshards, 1)),
+                    sources_factory(grid),
+                    grid.nx[2] // self.nshards)
         super().__init__(local, integrator, gas_cfg, dust_cfg, sources, bc_custom,
                          omf, diffusion)
+        # the periodic no-pad fused kernel wraps halos locally, which is
+        # wrong under domain decomposition (halos come from ppermute)
+        if self.nshards > 1:
+            self._fused_periodic = False
 
     # -- sharding specs --------------------------------------------------
     def state_spec(self):

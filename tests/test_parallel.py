@@ -78,11 +78,10 @@ def test_sharded_with_source(tmp_path):
     assert np.allclose(w1, w4, rtol=1e-10, atol=1e-14)
 
 
-def test_sharded_x3_dependent_source_rejected(tmp_path):
-    """x3-dependent precomputed source fields (z damping zones) are refused
-    with a clear error rather than silently using shard 0's coordinates."""
-    import pytest
-
+def test_sharded_x3_dependent_source(tmp_path):
+    """x3-dependent precomputed source fields (z damping zones) shard
+    correctly: the ShardedZField views select each shard's z window
+    (parallel/mesh.py), matching the single-device run."""
     import artemis_tpu.simulation as sim_mod
 
     args = _args(16) + [
@@ -90,7 +89,17 @@ def test_sharded_x3_dependent_source_rejected(tmp_path):
         "drag/type=self",
         "gas/damping/inner_x3=0.4",
         "gas/damping/inner_x3_rate=1.0",
+        "parthenon/time/nlim=20",
     ]
-    with pytest.raises(ValueError, match="varies along x3"):
-        sim_mod.Simulation(DECK, overrides=args, data_dir=str(tmp_path),
-                           nshards=4)
+    d1 = str(tmp_path / "serial")
+    d4 = str(tmp_path / "shard4")
+    run_deck(DECK, args, d1)
+    sim1 = sim_mod.Simulation(DECK, overrides=args, data_dir=d1 + "x")
+    sim1.run()
+    sim4 = sim_mod.Simulation(DECK, overrides=args, data_dir=d4, nshards=4)
+    sim4.run()
+    w1 = np.asarray(sim1.state["gas"]["w"])
+    w4 = np.asarray(sim4.state["gas"]["w"])
+    # the damping actually did something (field asymmetric in z)
+    assert not np.allclose(w1[..., 0, :, :], w1[..., -1, :, :])
+    assert np.allclose(w1, w4, rtol=1e-10, atol=1e-14)
