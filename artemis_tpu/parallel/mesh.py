@@ -110,38 +110,40 @@ def _get_path(src, path):
 
 
 def _set_path(src, path, value):
-    obj = src
-    for kind, k in path[:-1]:
-        obj = getattr(obj, k) if kind == "attr" else obj[k]
     kind, k = path[-1]
+    parent = _get_path(src, path[:-1]) if len(path) > 1 else src
     if kind == "attr":
-        setattr(obj, k, value)
+        setattr(parent, k, value)
+    elif isinstance(parent, tuple):
+        new = tuple(value if i == k else v for i, v in enumerate(parent))
+        _set_path(src, path[:-1], new)
     else:
-        if isinstance(obj, tuple):
-            raise ValueError(f"x3-dependent field in immutable tuple at {path}")
-        obj[k] = value
+        parent[k] = value
 
 
 def _localize_x3_fields(sources, srcs_shard1, srcs_global, nz_local):
-    """Replace x3-dependent precomputed fields with ShardedZField views of
-    the global-grid build (x3-independent fields stay local constants)."""
-    for s0, s1, sg in zip(sources, srcs_shard1, srcs_global):
+    """Replace interior-[z,y,x]-shaped precomputed fields with ShardedZField
+    views of the global-grid build.  This is unconditionally correct (the
+    per-shard dynamic slice of the global field IS the shard's field,
+    whether or not it varies with x3); each device then holds the global
+    coefficient array once — the same footprint the reference pays when a
+    rank-count-independent coefficient table is stored per rank."""
+    del srcs_shard1  # kept in the signature for the factory-consistency call
+    for s0, sg in zip(sources, srcs_global):
         fields0 = []
         for k, v in vars(s0).items():
             fields0 += _walk_arrays(v, (("attr", k),))
         for path, a0 in fields0:
             try:
-                a1 = _get_path(s1, path)
                 ag = _get_path(sg, path)
             except (AttributeError, KeyError, IndexError, TypeError):
                 continue
-            if not isinstance(a1, np.ndarray):
+            if not isinstance(ag, np.ndarray) or ag.ndim < 3:
                 continue
-            if a0.shape == a1.shape and not np.array_equal(a0, a1):
-                if ag.ndim < 3:
-                    raise ValueError(
-                        f"x3-dependent field {type(s0).__name__}{path} is "
-                        "not [z,y,x]-shaped; cannot shard it")
+            # interior-shaped along z on both builds -> localize
+            if (a0.ndim == ag.ndim and a0.shape[-3] == nz_local
+                    and ag.shape[-3] != a0.shape[-3]
+                    and ag.shape[-2:] == a0.shape[-2:]):
                 _set_path(s0, path, ShardedZField(ag, nz_local))
 
 
@@ -300,3 +302,33 @@ def _only3(grid: Grid, inner: bool) -> Grid:
     return dataclasses.replace(
         grid, bc=(("none", "none"), ("none", "none"), bc3)
     )
+
+
+def check_bc_x3_independent(bc0, bc1, local_grid, gas_cfg, dust_cfg):
+    """Verify custom BC fills don't depend on the shard's x3 window by
+    applying the shard-0 and shard-1 builds to the same sample state."""
+    rng = np.random.default_rng(7)
+    shape = tuple(local_grid.shape_entire)
+    samples = {}
+    if gas_cfg is not None:
+        w = 1.0 + 0.1 * rng.random((gas_cfg.nspecies, 6) + shape)
+        samples["gas"] = jnp.asarray(w)
+    if dust_cfg is not None:
+        w = 1.0 + 0.1 * rng.random((dust_cfg.nspecies, 4) + shape)
+        samples["dust"] = jnp.asarray(w)
+    for d in (1, 2, 3):
+        if not local_grid.active(d):
+            continue
+        for side in (0, 1):
+            name = local_grid.bc[d - 1][side]
+            if name not in bc0:
+                continue
+            for fluid, w in samples.items():
+                a = bc0[name](w, local_grid, fluid, d, side)
+                b = bc1[name](w, local_grid, fluid, d, side)
+                if not np.allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-13, atol=1e-300):
+                    raise ValueError(
+                        f"custom BC {name!r} ({fluid}, d={d}, side={side}) "
+                        "varies along x3; x3-dependent custom boundaries "
+                        "are not supported in sharded runs yet")

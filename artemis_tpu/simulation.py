@@ -213,13 +213,29 @@ class Simulation:
             src_factory = lambda g: (sources_from_input(
                 pin, g, gas_cfg, dust_cfg, self.constants)
                 + list(self.problem.sources))
+            # custom BCs likewise close over grid-shaped caches: rebuild the
+            # problem's BC set against the shard-local grid, and verify the
+            # fills are x3-independent (shard_map traces one program)
+            bc_custom = self.problem.bc_custom
+            if bc_custom:
+                from .parallel.mesh import _local_grid_at, check_bc_x3_independent
+
+                loc0 = _local_grid_at(self.grid, nshards, 0)
+                loc1 = _local_grid_at(self.grid, nshards, 1)
+                p0 = build_problem(problem_name, ParameterInput.from_string(repr(pin)),
+                                   loc0, gas_cfg, dust_cfg)
+                p1 = build_problem(problem_name, ParameterInput.from_string(repr(pin)),
+                                   loc1, gas_cfg, dust_cfg)
+                check_bc_x3_independent(p0.bc_custom, p1.bc_custom, loc0,
+                                        gas_cfg, dust_cfg)
+                bc_custom = p0.bc_custom
             self.driver = ShardedDriver(
                 self.grid,
                 integrator,
                 gas_cfg,
                 dust_cfg,
                 sources_factory=src_factory,
-                bc_custom=self.problem.bc_custom,
+                bc_custom=bc_custom,
                 mesh=make_device_mesh(nshards),
                 omf=omf,
                 diffusion=diffusion_factory,

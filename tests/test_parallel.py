@@ -103,3 +103,21 @@ def test_sharded_x3_dependent_source(tmp_path):
     # the damping actually did something (field asymmetric in z)
     assert not np.allclose(w1[..., 0, :, :], w1[..., -1, :, :])
     assert np.allclose(w1, w4, rtol=1e-10, atol=1e-14)
+
+
+def test_sharded_disk_with_custom_bcs(tmp_path):
+    """Sharded 3-D spherical disk (x3 = phi): gravity + damping sources and
+    the problem's custom ic boundaries rebuilt per shard-local grid match
+    the single-device run."""
+    import artemis_tpu.simulation as sim_mod
+
+    deck = os.path.join(os.path.dirname(__file__), "..", "inputs", "disk_sph.in")
+    args = ["parthenon/time/nlim=5", "parthenon/mesh/nx3=16"]
+    s1 = sim_mod.Simulation(deck, overrides=args, data_dir=str(tmp_path / "a"))
+    s1.run()
+    s4 = sim_mod.Simulation(deck, overrides=args, data_dir=str(tmp_path / "b"),
+                            nshards=4)
+    s4.run()
+    w1 = np.asarray(s1.state["gas"]["w"])
+    w4 = np.asarray(s4.state["gas"]["w"])
+    assert np.allclose(w1, w4, rtol=1e-8, atol=1e-12)
