@@ -30,3 +30,33 @@ def test_binary_planet_disk(tmp_path):
     assert abs(pi_ - p0i) / p0i <= 0.03, f"inner wake {pi_:g} vs {p0i:g}"
     assert abs(po_ - p0o) / p0o <= 0.03, f"outer wake {po_:g} vs {p0o:g}"
     assert not np.isnan(w).any()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("rsolver,de_switch", [
+    ("llf", 1.0), ("hlle", 0.2), ("hllc", 0.2)])
+def test_binary_adiabatic(tmp_path, rsolver, de_switch):
+    """Adiabatic (gamma=1.4, no cooling) binary wake across Riemann solvers
+    and dual-energy switches (reference: tst/scripts/binary_adi/
+    binary_adi.py — same spiral-position check, flux x de_switch sweep)."""
+    sim = run_deck(DECK, [
+        f"parthenon/time/tlim={2 * math.pi:.16f}",
+        "gas/gamma=1.4",
+        f"gas/riemann={rsolver}",
+        f"gas/de_switch={de_switch:.1e}",
+        "physics/cooling=false",
+    ], str(tmp_path))
+    w = np.asarray(sim.state["gas"]["w"][0])
+    d = w[0][0]
+    x1v, x2v, _ = sim.grid.cell_centers()
+    rc = x1v[0, 0]
+    pc = x2v[0, :, 0]
+    sig = d - d.mean(axis=0)
+    ii = np.argwhere(rc >= 1 - 0.1)[0][0]
+    io = np.argwhere(rc >= 1 + 0.1)[0][0]
+    pi_ = pc[np.argmax(sig[:, ii])]
+    po_ = pc[np.argmax(sig[:, io])]
+    p0i, p0o = spiral_pos(float(rc[ii])), spiral_pos(float(rc[io]))
+    assert abs(pi_ - p0i) / p0i <= 0.05, f"inner wake {pi_:g} vs {p0i:g}"
+    assert abs(po_ - p0o) / p0o <= 0.05, f"outer wake {po_:g} vs {p0o:g}"
+    assert not np.isnan(w).any()

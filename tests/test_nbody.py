@@ -199,3 +199,40 @@ def test_disk_nbody_temp(tmp_path):
     assert r.col("active")[-1].sum() == 5
     # star + 4 planets: total GM stays 1+4*2e-4 (no accretion this early)
     assert np.isclose(r.col("mass")[-1].sum(), 1.0 + 4 * 2.0e-4, rtol=1e-8)
+
+
+def test_disk_collision_merge(tmp_path):
+    """Collision handling inside the full disk-coupling stack (reference:
+    tst/scripts/collisions/collisions.py): an overlapping bound particle
+    pair merges during the run; the .reb output shows the active-count drop
+    with total mass conserved to roundoff."""
+    d = str(tmp_path)
+    # two extra bodies co-located near R=1 with matched velocities: bound,
+    # overlapping -> merged by the native integrator on the first advance
+    run_deck(os.path.join(INPUTS_DIR, "disk_nbody_cyl.in"), [
+        "parthenon/time/tlim=0.2", "parthenon/mesh/nx1=48",
+        "parthenon/mesh/nx2=64", "nbody/dt_output=0.1",
+        "nbody/particle2/mass=1e-3",
+        "nbody/particle2/radius=0.01",
+        "nbody/particle2/couple=1",
+        "nbody/particle2/initialize/x=1.9",
+        "nbody/particle2/initialize/vy=0.725",
+        "nbody/particle3/mass=1e-3",
+        "nbody/particle3/radius=0.01",
+        "nbody/particle3/couple=1",
+        "nbody/particle3/initialize/x=1.905",
+        "nbody/particle3/initialize/vy=0.725",
+    ], d)
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "analysis"))
+    from anbody import areb
+
+    r = areb(os.path.join(d, "disk_nbody.reb"))
+    assert r.N == 7
+    active0 = r.col("active")[0].sum()
+    active1 = r.col("active")[-1].sum()
+    assert active1 == active0 - 1, f"{active0} -> {active1}"
+    # mass conservation across the merge (collisions.py:84-89)
+    m0 = r.col("mass")[0].sum()
+    m1 = (r.col("mass")[-1] * r.col("active")[-1]).sum()
+    assert abs(m1 - m0) < 1e-12 * m0
