@@ -128,6 +128,9 @@ class Driver:
     def _estimate_dt(self, state):
         dts = []
         for name, cfg in self._fluids():
+            if name == "gas" and "dtden" in state["gas"]:
+                dts.append(cfg.cfl / jnp.max(state["gas"]["dtden"]))
+                continue
             dt = self.hydro.estimate_dt(state[name]["w"], cfg)
             if name == "gas" and self.diffusion is not None:
                 # cfl * min(advective, diffusive) (gas.cpp:435-468)
@@ -164,16 +167,18 @@ class Driver:
             from .ops import pallas_stage as _ps
 
             if self._fused_periodic:
-                u, w = _ps.stage_periodic(
+                u, w, dmax = _ps.stage_periodic(
                     state["gas"]["w"], state["gas"]["u"], u1["gas"],
                     self.grid, self.gas_cfg, gam0, gam1, bdt, force_pcm)
             else:
                 w_pad = self.fill_ghosts(state["gas"]["w"], "gas")
-                u, w = _ps.stage(w_pad, state["gas"]["u"], u1["gas"],
-                                 self.grid, self.gas_cfg, gam0, gam1, bdt,
-                                 force_pcm)
+                u, w, dmax = _ps.stage(w_pad, state["gas"]["u"], u1["gas"],
+                                       self.grid, self.gas_cfg, gam0, gam1,
+                                       bdt, force_pcm)
             new_state = dict(state)
-            new_state["gas"] = {"u": u, "w": w}
+            # dtden: fused CFL denominator blocks (estimate_dt uses the max,
+            # skipping a full extra pass over w each cycle)
+            new_state["gas"] = {"u": u, "w": w, "dtden": dmax}
             return new_state, None
         new_state = dict(state)
         fluxes = {}
@@ -310,7 +315,26 @@ class Driver:
         for name, cfg in self._fluids():
             u, w = self.hydro.prim_to_cons(state[name]["w"], cfg)
             new[name] = {"u": u, "w": w}
-        return new
+        return self.prepare_state(new)
+
+    def prepare_state(self, state):
+        """Make the state loop-carry-compatible with the fused fast path:
+        seed the dtden blocks so the while_loop carry structure is stable
+        (also applied after restart loads)."""
+        if not (self._fused_stage and state["gas"]["w"].dtype == jnp.float32):
+            return state
+        if "dtden" in state["gas"]:
+            return state
+        from .ops import pallas_stage as _ps
+
+        cfg = self.gas_cfg
+        dt0 = self.hydro.estimate_dt(state["gas"]["w"], cfg)
+        shape = _ps.dt_block_shape(self.grid, self._fused_periodic)
+        state = dict(state)
+        state["gas"] = dict(state["gas"])
+        state["gas"]["dtden"] = jnp.full(shape, cfg.cfl / dt0,
+                                         dtype=state["gas"]["w"].dtype)
+        return state
 
     def step(self, state, dt, time):
         if self.host_coupled:

@@ -59,7 +59,7 @@ def _lr_faces(q, axis, lo, count, pcm):
     return sl(ql, lo - 2, count), sl(qr, lo - 1, count)
 
 
-def _stage_kernel(bdt_ref, u0_ref, u1_ref, wp_hbm, u_ref, w_ref,
+def _stage_kernel(bdt_ref, u0_ref, u1_ref, wp_hbm, u_ref, w_ref, dm_ref,
                   scratch, sem, *, ng, nx, tz, active_z, pcm, gamma,
                   gam0, gam1, dx, dy, dz, dfloor, siefloor, de_switch):
     i = pl.program_id(0)
@@ -149,6 +149,14 @@ def _stage_kernel(bdt_ref, u0_ref, u1_ref, wp_hbm, u_ref, w_ref,
     u_ref[...] = jnp.stack([rho, rho * v1, rho * v2, rho * v3, etot, eint])
     w_ref[...] = jnp.stack([rho, v1, v2, v3, p, sie])
 
+    # fused CFL denominator (EstimateTimestepMesh): block max of
+    # sum_d (|v_d|+cs)/dx_d -> dt = cfl / global max
+    cs = jnp.sqrt(gamma * (gamma - 1.0) * sie)
+    den = (jnp.abs(v1) + cs) / dx + (jnp.abs(v2) + cs) / dy
+    if active_z:
+        den = den + (jnp.abs(v3) + cs) / dz
+    dm_ref[pl.program_id(0), pl.program_id(1)] = jnp.max(den)
+
 
 def stage(w_pad, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
           interpret=False):
@@ -181,7 +189,7 @@ def stage(w_pad, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
                       (0, xp_al - wp.shape[-1])])
     blk = (6, tz, TY, nx)
     imap = lambda i, j: (0, i, j, 0)
-    u_new, w_new = pl.pallas_call(
+    u_new, w_new, dmax = pl.pallas_call(
         kern,
         grid=(nz // tz, ny // TY),
         in_specs=[
@@ -193,10 +201,12 @@ def stage(w_pad, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
         out_specs=(
             pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
             pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # dmax, full blocks array
         ),
         out_shape=(
             jax.ShapeDtypeStruct((6, nz, ny, nx), dt),
             jax.ShapeDtypeStruct((6, nz, ny, nx), dt),
+            jax.ShapeDtypeStruct((nz // tz, ny // TY), dt),
         ),
         scratch_shapes=[
             pltpu.VMEM((6, zsz, YS, wp.shape[-1]), dt),
@@ -204,7 +214,7 @@ def stage(w_pad, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
         ],
         interpret=interpret,
     )(jnp.reshape(jnp.asarray(beta_dt, dt), (1,)), u0_, u1_, wp)
-    return u_new[None], w_new[None]
+    return u_new[None], w_new[None], dmax
 
 
 def supported(grid, cfg) -> bool:
@@ -235,8 +245,8 @@ TYP = 32  # y rows per block (periodic kernel)
 
 
 def _stage_kernel_periodic(bdt_ref, u0_ref, u1_ref, w_hbm, u_ref, w_ref,
-                           scratch, sems, *, nx, ny, nz, tz, ty, active_z,
-                           pcm, gamma, gam0, gam1, dx, dy, dz,
+                           dm_ref, scratch, sems, *, nx, ny, nz, tz, ty,
+                           active_z, pcm, gamma, gam0, gam1, dx, dy, dz,
                            dfloor, siefloor, de_switch):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -340,6 +350,12 @@ def _stage_kernel_periodic(bdt_ref, u0_ref, u1_ref, w_hbm, u_ref, w_ref,
     u_ref[...] = jnp.stack([rho, rho * v1, rho * v2, rho * v3, etot, eint])
     w_ref[...] = jnp.stack([rho, v1, v2, v3, p, sie])
 
+    cs = jnp.sqrt(gamma * (gamma - 1.0) * sie)
+    den = (jnp.abs(v1) + cs) / dx + (jnp.abs(v2) + cs) / dy
+    if active_z:
+        den = den + (jnp.abs(v3) + cs) / dz
+    dm_ref[pl.program_id(0), pl.program_id(1)] = jnp.max(den)
+
 
 def stage_periodic(w, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
                    interpret=False):
@@ -367,7 +383,7 @@ def stage_periodic(w, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
     zsz = tz + 4 if active_z else 1
     blk = (6, tz, ty, nx)
     imap = lambda i, j: (0, i, j, 0)
-    u_new, w_new = pl.pallas_call(
+    u_new, w_new, dmax = pl.pallas_call(
         kern,
         grid=(nz // tz, ny // ty),
         in_specs=[
@@ -379,10 +395,12 @@ def stage_periodic(w, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
         out_specs=(
             pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
             pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # dmax, full blocks array
         ),
         out_shape=(
             jax.ShapeDtypeStruct((6, nz, ny, nx), dt),
             jax.ShapeDtypeStruct((6, nz, ny, nx), dt),
+            jax.ShapeDtypeStruct((nz // tz, ny // ty), dt),
         ),
         scratch_shapes=[
             pltpu.VMEM((6, zsz, ty + 16, nx), dt),
@@ -392,7 +410,17 @@ def stage_periodic(w, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(jnp.reshape(jnp.asarray(beta_dt, dt), (1,)), u0_, u1_, w_)
-    return u_new[None], w_new[None]
+    return u_new[None], w_new[None], dmax
+
+
+def dt_block_shape(grid, periodic: bool):
+    """Shape of the fused-kernel dt-denominator block grid."""
+    nx, ny, nz = grid.nx
+    if periodic:
+        tz = TZP if nz > 1 else 1
+        return (nz // tz, ny // TYP)
+    tz = TZ if nz > 1 else 1
+    return (nz // tz, ny // TY)
 
 
 def periodic_supported(grid, cfg) -> bool:

@@ -283,7 +283,12 @@ class ShardedDriver(Driver):
 
     def _estimate_dt(self, state):
         def dt_local(state):
-            dts = [self.hydro.estimate_dt(state[n]["w"], c) for n, c in self._fluids()]
+            dts = []
+            for n, c in self._fluids():
+                if n == "gas" and "dtden" in state["gas"]:
+                    dts.append(c.cfl / jnp.max(state["gas"]["dtden"]))
+                else:
+                    dts.append(self.hydro.estimate_dt(state[n]["w"], c))
             return lax.pmin(jnp.min(jnp.stack(dts)), AXIS)
 
         return jax.shard_map(

@@ -269,6 +269,8 @@ class Simulation:
                 name: {k: jnp.asarray(v) for k, v in kinds.items()}
                 for name, kinds in arrays.items()
             }
+            if hasattr(self.driver, "prepare_state"):
+                self.state = self.driver.prepare_state(self.state)
             self._restart_in_payloads = payloads
             if self.nbody is not None and "nbody" in payloads:
                 self.nbody.load_restart(payloads["nbody"])

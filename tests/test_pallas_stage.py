@@ -58,8 +58,10 @@ def test_fused_stage_matches_jnp(pcm):
     u1 = u * 1.0
     ur, wr = _ref_stage(hyd, grid, cfg, u, w, u1, 0.5, 0.5, 1e-3, pcm)
     wp = bc_mod.pad_and_fill(w, grid, "gas", {})
-    uf, wf = pallas_stage.stage(wp, u, u1, grid, cfg, 0.5, 0.5, 1e-3, pcm,
-                                interpret=True)
+    uf, wf, dmax = pallas_stage.stage(wp, u, u1, grid, cfg, 0.5, 0.5, 1e-3,
+                                      pcm, interpret=True)
+    assert abs(cfg.cfl / float(jnp.max(dmax))
+               - float(hyd.estimate_dt(wf, cfg))) < 1e-12
     assert float(jnp.max(jnp.abs(uf - ur))) < 1e-12
     assert float(jnp.max(jnp.abs(wf - wr))) < 1e-12
 
@@ -71,8 +73,10 @@ def test_fused_periodic_stage_matches_jnp(pcm):
     grid, cfg, hyd, u, w = _setup(128, 32, 16)
     u1 = u * 1.0
     ur, wr = _ref_stage(hyd, grid, cfg, u, w, u1, 0.5, 0.5, 1e-3, pcm)
-    uf, wf = pallas_stage.stage_periodic(w, u, u1, grid, cfg, 0.5, 0.5,
-                                         1e-3, pcm, interpret=True)
+    uf, wf, dmax = pallas_stage.stage_periodic(w, u, u1, grid, cfg, 0.5,
+                                               0.5, 1e-3, pcm, interpret=True)
+    assert abs(cfg.cfl / float(jnp.max(dmax))
+               - float(hyd.estimate_dt(wf, cfg))) < 1e-12
     assert float(jnp.max(jnp.abs(uf - ur))) < 1e-12
     assert float(jnp.max(jnp.abs(wf - wr))) < 1e-12
 
@@ -84,7 +88,7 @@ def test_fused_stage_2d():
     u1 = u * 1.0
     ur, wr = _ref_stage(hyd, grid, cfg, u, w, u1, 0.0, 1.0, 2e-3, False)
     wp = bc_mod.pad_and_fill(w, grid, "gas", {})
-    uf, wf = pallas_stage.stage(wp, u, u1, grid, cfg, 0.0, 1.0, 2e-3, False,
-                                interpret=True)
+    uf, wf, _ = pallas_stage.stage(wp, u, u1, grid, cfg, 0.0, 1.0, 2e-3,
+                                   False, interpret=True)
     assert float(jnp.max(jnp.abs(uf - ur))) < 1e-12
     assert float(jnp.max(jnp.abs(wf - wr))) < 1e-12
