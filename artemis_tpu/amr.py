@@ -79,11 +79,15 @@ def _refine_grid(coarse: Grid, lo: Tuple[int, int, int], n: Tuple[int, int, int]
     )
 
 
-def prolong_minmod(wc, active):
+def prolong_minmod(wc, active, spacings=None):
     """MinMod-limited prolongation coarse->fine (factor 2 per active dim).
 
     ``wc``: coarse array [..., z, y, x]; returns the 2x-refined array.
-    (cf. ProlongateSharedMinMod: fine child values = parent + limited slope/4)
+    Uniform grids (``spacings=None``): fine child = parent +/- slope/4
+    (ProlongateSharedMinMod, prolongation.hpp:39-66 with constant dx).
+    Curvilinear: ``spacings[d-1] = (dxm, dxp, dxfm, dxfp)`` 1-D arrays of
+    centroid distances along axis d (GetGridSpacings, prolongation.hpp:36-67)
+    so gradients and child offsets use the true volume-averaged centers.
     """
     out = wc
     for d in (1, 2, 3):
@@ -97,11 +101,25 @@ def prolong_minmod(wc, active):
                               out.take(jnp.array([-1]), axis=ax)], axis=ax)
         dl = out - lo
         dr = hi - out
-        slope = jnp.where(dl * dr > 0.0,
-                          jnp.sign(dl) * jnp.minimum(jnp.abs(dl), jnp.abs(dr)),
-                          0.0)
-        minus = out - 0.25 * slope
-        plus = out + 0.25 * slope
+        if spacings is None:
+            slope = jnp.where(dl * dr > 0.0,
+                              jnp.sign(dl) * jnp.minimum(jnp.abs(dl), jnp.abs(dr)),
+                              0.0)
+            minus = out - 0.25 * slope
+            plus = out + 0.25 * slope
+        else:
+            def bcast(a):
+                shp = [1] * out.ndim
+                shp[ax] = -1
+                return jnp.asarray(np.asarray(a).reshape(shp))
+
+            dxm, dxp, dxfm, dxfp = spacings[d - 1]
+            gxm = dl / bcast(dxm)
+            gxp = dr / bcast(dxp)
+            g = 0.5 * (jnp.sign(gxm) + jnp.sign(gxp)) * jnp.minimum(
+                jnp.abs(gxm), jnp.abs(gxp))
+            minus = out - g * bcast(dxfm)
+            plus = out + g * bcast(dxfp)
         st = jnp.stack([minus, plus], axis=ax + 1)
         shape = list(out.shape)
         shape[ax] *= 2
@@ -109,19 +127,47 @@ def prolong_minmod(wc, active):
     return out
 
 
-def restrict_average(wf, active):
-    """Volume-weighted restriction fine->coarse (plain average in Cartesian;
-    cf. RestrictAverage, restriction.hpp)."""
-    out = wf
-    for d in (1, 2, 3):
-        if not active[d - 1]:
-            continue
-        ax = out.ndim - d
-        shape = list(out.shape)
-        shape[ax] //= 2
-        shape.insert(ax + 1, 2)
-        out = out.reshape(shape).mean(axis=ax + 1)
-    return out
+def centroid_spacings(xc, xf):
+    """(dxm, dxp, dxfm, dxfp) per-cell arrays from coarse centroids ``xc``
+    and the fine centroids ``xf`` (2x length) they split into.  Edge cells
+    get clamped one-sided spacings (gradient -> 0 through the minmod)."""
+    xc = np.asarray(xc)
+    xf = np.asarray(xf)
+    xm = np.concatenate([[xc[0] - 1.0], xc[:-1]])
+    xp = np.concatenate([xc[1:], [xc[-1] + 1.0]])
+    return (xc - xm, xp - xc, xc - xf[0::2], xf[1::2] - xc)
+
+
+def restrict_average(wf, active, volf=None):
+    """Volume-weighted restriction fine->coarse (RestrictAverage,
+    restriction.hpp:30-80: sum(u_child V_child)/sum(V_child); plain average
+    when ``volf`` is None — exact for Cartesian)."""
+
+    def down(a):
+        out = a
+        for d in (1, 2, 3):
+            if not active[d - 1]:
+                continue
+            ax = out.ndim - d
+            shape = list(out.shape)
+            shape[ax] //= 2
+            shape.insert(ax + 1, 2)
+            out = out.reshape(shape).sum(axis=ax + 1)
+        return out
+
+    if volf is None:
+        out = wf
+        for d in (1, 2, 3):
+            if not active[d - 1]:
+                continue
+            ax = out.ndim - d
+            shape = list(out.shape)
+            shape[ax] //= 2
+            shape.insert(ax + 1, 2)
+            out = out.reshape(shape).mean(axis=ax + 1)
+        return out
+    v = jnp.asarray(volf)
+    return down(wf * v) / down(v)
 
 
 class TwoLevelSMR:
@@ -129,8 +175,6 @@ class TwoLevelSMR:
 
     def __init__(self, coarse_grid: Grid, integrator: Integrator,
                  gas_cfg: FluidCfg, patch_lo, patch_n):
-        if not geo.is_cartesian(coarse_grid.coords):
-            raise ValueError("SMR round-1 scope is Cartesian")
         self.cg = coarse_grid
         self.fg = _refine_grid(coarse_grid, patch_lo, patch_n)
         self.integ = integrator
@@ -143,6 +187,41 @@ class TwoLevelSMR:
         ngf = self.fg.ng
         self.rim = tuple(max(1, -(-ngf[d] // 2)) if self.active[d] else 0
                          for d in range(3))
+        # Curvilinear: geometry weights are position-dependent, so the fine
+        # patch is STATIC (retag/moves are Cartesian-only) and restriction /
+        # flux correction / prolongation use exact volume / area / centroid
+        # weights precomputed here.
+        self.curv = not geo.is_cartesian(coarse_grid.coords)
+        self.volf = None
+        self.volc_patch = None
+        self.ghost_spacings = None
+        self.areas_c = None
+        self.areas_f = None
+        if self.curv:
+            cg, fg = self.cg, self.fg
+            psl = self._patch_slices()
+            self.volf = np.ascontiguousarray(np.broadcast_to(
+                fg.geom.volume(), fg.shape_entire)[fg.int_slices])
+            # centroid spacings for ghost prolongation: coarse region =
+            # patch +/- rim; prolonged extent == the padded fine grid
+            cxv = (cg.geom.xv1, cg.geom.xv2, cg.geom.xv3)
+            fxv = (fg.geom.xv1, fg.geom.xv2, fg.geom.xv3)
+            sp = []
+            for d in range(3):
+                if not self.active[d]:
+                    sp.append(None)
+                    continue
+                ngc = cg.ng[d]
+                lo = self.patch_lo[d]
+                n = self.patch_n[d]
+                rim = self.rim[d]
+                xc = cxv[d][ngc + lo - rim: ngc + lo + n + rim]
+                xf = fxv[d][fg.ng[d] - 2 * rim: fg.ng[d] + fg.nx[d] + 2 * rim]
+                sp.append(centroid_spacings(xc, xf))
+            self.ghost_spacings = tuple(sp)
+            # face areas for flux correction
+            self.areas_c = {d: self.hc.area[d] for d in self.hc.dims}
+            self.areas_f = {d: self.hf.area[d] for d in self.hf.dims}
         self._step = jax.jit(self._build_step())
         self._dt = jax.jit(self._estimate_dt)
 
@@ -174,7 +253,8 @@ class TwoLevelSMR:
                 sizes.append(1)
         starts = [jnp.asarray(v, jnp.int32) for v in starts]
         wc_region = jax.lax.dynamic_slice(wc, tuple(starts), tuple(sizes))
-        fine_region = prolong_minmod(wc_region, self.active)
+        fine_region = prolong_minmod(wc_region, self.active,
+                                     spacings=self.ghost_spacings)
         # embed fine interior into the prolongated field
         pads = [(0, 0)] * (wf.ndim - 3) + [
             (ngf[2], ngf[2]), (ngf[1], ngf[1]), (ngf[0], ngf[0])]
@@ -207,8 +287,16 @@ class TwoLevelSMR:
                 cidx = lo[d - 1] + side * n[d - 1]  # traced scalar
                 fidx = side * 2 * n[d - 1]          # static
                 f_face = jnp.take(Ff, fidx, axis=Ff.ndim - d)
+                if self.curv:
+                    # area-weighted: sum(F_f A_f children) / A_c at this face
+                    af = jnp.asarray(np.take(self.areas_f[d], fidx,
+                                             axis=self.areas_f[d].ndim - d))
+                    ac_full = np.take(self.areas_c[d],
+                                      self.patch_lo[d - 1] + side * n[d - 1],
+                                      axis=self.areas_c[d].ndim - d)
+                    f_face = f_face * af
                 # restrict the fine face values over the transverse dims
-                # (area-weighted sum / coarse area = plain mean in cartesian);
+                # (area-weighted sum / coarse area; plain mean in cartesian);
                 # after take(), spatial axes remaining are the dims != d in
                 # descending order (..., then x for d!=1, etc.)
                 f_res = f_face
@@ -220,7 +308,22 @@ class TwoLevelSMR:
                     shp = list(f_res.shape)
                     shp[ax] //= 2
                     shp.insert(ax + 1, 2)
-                    f_res = f_res.reshape(shp).mean(axis=ax + 1)
+                    if self.curv:
+                        f_res = f_res.reshape(shp).sum(axis=ax + 1)
+                    else:
+                        f_res = f_res.reshape(shp).mean(axis=ax + 1)
+                if self.curv:
+                    # coarse area at this face over the transverse patch
+                    # extent (trailing two axes are rem_dims outer->inner)
+                    acs = ac_full
+                    sl = [slice(None)] * acs.ndim
+                    for j, c in enumerate(rem_dims):
+                        if self.active[c - 1]:
+                            sl[acs.ndim - 2 + j] = slice(
+                                self.patch_lo[c - 1],
+                                self.patch_lo[c - 1] + n[c - 1])
+                    f_res = f_res / jnp.asarray(np.ascontiguousarray(
+                        acs[tuple(sl)]))
                 # scatter into the coarse flux face over the patch extent
                 # (traced patch position -> dynamic_update_slice)
                 update = jnp.expand_dims(f_res, axis=-d)
@@ -262,11 +365,13 @@ class TwoLevelSMR:
         uc = self.hc.set_auxiliary(uc, cfg)
         uf = self.hf.set_auxiliary(uf, cfg)
 
-        # restrict fine cons onto the covered coarse cells
+        # restrict fine cons onto the covered coarse cells (volume-weighted
+        # in curvilinear geometry; plain average is exact in Cartesian)
         starts = [jnp.asarray(v, jnp.int32)
                   for v in [0] * (uc.ndim - 3) + [lo[2], lo[1], lo[0]]]
         uc = jax.lax.dynamic_update_slice(
-            uc, restrict_average(uf, self.active), tuple(starts))
+            uc, restrict_average(uf, self.active, volf=self.volf),
+            tuple(starts))
 
         wc = self.hc.cons_to_prim(uc, cfg)
         uc, wc = self.hc.prim_to_cons(wc, cfg)
@@ -314,6 +419,9 @@ class TwoLevelSMR:
 
     # -- adaptive retagging ---------------------------------------------
     def retag(self, sc, sf, lo, criterion):
+        if self.curv:
+            raise ValueError("adaptive patch moves are Cartesian-only "
+                             "(curvilinear geometry weights are static)")
         """Re-center the fine patch on the refinement-tagged cells
         (ScalarFirstDerivative / ScalarMagnitude, amr_criteria.hpp;
         selection keys per gas.cpp:304-383).  Coarse cells under the old

@@ -152,3 +152,76 @@ def test_deck_driven_adaptive(tmp_path):
     assert hst
     data = np.loadtxt(os.path.join(tmp_path, hst[0]), ndmin=2)
     assert np.isfinite(data).all()
+
+
+@pytest.mark.slow
+def test_blast_smr_cylindrical(tmp_path):
+    """Static two-level refinement in cylindrical geometry (the reference's
+    blast_amr.in configuration): volume-weighted restriction, area-weighted
+    flux correction, and centroid-aware prolongation keep the off-axis blast
+    conservative and matching the sedov2d profile."""
+    import math
+
+    pin = ParameterInput.from_file(DECK)
+    pin.apply_overrides([
+        "artemis/coordinates=cylindrical",
+        "parthenon/mesh/nx1=128", "parthenon/mesh/nx2=128",
+        "parthenon/mesh/x1min=1.0", "parthenon/mesh/x1max=5.0",
+        "parthenon/mesh/x2min=0.0",
+        f"parthenon/mesh/x2max={0.5 * math.pi:.16f}",
+        "parthenon/mesh/ix1_bc=outflow", "parthenon/mesh/ox1_bc=outflow",
+        "parthenon/mesh/ix2_bc=outflow", "parthenon/mesh/ox2_bc=outflow",
+        "gas/reconstruct=plm", "gas/riemann=hlle", "gas/gamma=1.4",
+        "problem/radius=0.1", "problem/height=1.0",
+        "problem/symmetry=cylindrical", "problem/samples=0",
+        "problem/x1=2.5", f"problem/x2={0.25 * math.pi:.16f}",
+    ])
+    grid = grid_from_input(pin)
+    cfg = FluidCfg(fluid="gas", recon="plm", rsolver="hlle",
+                   gamma=pin.get_real("gas", "gamma"),
+                   cfl=pin.get_real("gas", "cfl"),
+                   dfloor=pin.get_real("gas", "dfloor"),
+                   siefloor=pin.get_real("gas", "siefloor"))
+    # fine patch over the blast (cells r~2.0-3.1, phi around pi/4)
+    lo = (32, 32, 0)
+    n = (64, 64, 1)
+    smr = TwoLevelSMR(grid, Integrator.make("rk2"), cfg, lo, n)
+    assert smr.curv
+
+    prob_c = build_problem("blast", pin, grid, cfg)
+    pin_f = ParameterInput.from_string(repr(pin))
+    prob_f = build_problem("blast", pin_f, smr.fg, cfg)
+    sc, sf = smr.initialize(prob_c.prims["gas"], prob_f.prims["gas"])
+
+    volc = np.broadcast_to(smr.cg.geom.volume(), smr.cg.shape_entire)[
+        smr.cg.int_slices]
+
+    def mass(sc):
+        return float((np.asarray(sc[0][:, 0]) * volc).sum())
+
+    m0 = mass(sc)
+    sc, sf, t, nc = smr.run(sc, sf, tlim=0.1)
+    # blast stays inside the domain -> exact conservation across the
+    # refinement boundary (flux correction + volume-weighted restriction)
+    m1 = mass(sc)
+    assert abs(m1 - m0) / m0 < 1e-12, f"mass drift {m1 - m0:.3e}"
+
+    # composite solution vs the semi-analytic sedov2d profile (same table
+    # and threshold as the unrefined coords test: pressure L2 < 1.0)
+    from scipy.interpolate import interp1d
+
+    w = np.asarray(sc[1][0])
+    rho, p = w[0, 0], w[4, 0]
+    x1 = smr.cg.geom.xv1[smr.cg.int_slices[2]][None, :]
+    x2 = smr.cg.geom.xv2[smr.cg.int_slices[1]][:, None]
+    x = x1 * np.cos(x2)
+    y = x1 * np.sin(x2)
+    xc, yc = 2.5 * math.cos(0.25 * math.pi), 2.5 * math.sin(0.25 * math.pi)
+    rr = np.hypot(x - xc, y - yc)
+    pf = interp1d(DAT2[:, 0], DAT2[:, 3])
+    inb = rr <= DAT2[:, 0].max()
+    pans = pf(np.clip(rr, DAT2[0, 0], DAT2[:, 0].max()))
+    l2 = float(np.sqrt(((p - pans)[inb] ** 2).mean()))
+    assert l2 < 1.0, f"pressure L2 {l2:g}"
+    assert np.isfinite(p).all() and p.min() > 0
+    assert rho.max() > 2.0  # a strong cylindrical shock formed
