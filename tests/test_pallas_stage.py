@@ -92,3 +92,34 @@ def test_fused_stage_2d():
                                    False, interpret=True)
     assert float(jnp.max(jnp.abs(uf - ur))) < 1e-12
     assert float(jnp.max(jnp.abs(wf - wr))) < 1e-12
+
+
+@pytest.mark.parametrize("integ_name,nz", [("rk2", 16), ("vl2", 16), ("rk2", 1)])
+def test_fused_full_step_matches_jnp(integ_name, nz):
+    """Whole-step (two-stage) kernel vs two sequential jnp stages.
+    (Kept behind ARTEMIS_STEP2 at runtime — VPU-bound on v5e — but the
+    kernel must stay exact for bandwidth-starved parts.)"""
+    import jax.numpy as jnp
+
+    from artemis_tpu.driver import Integrator
+
+    grid, cfg, hyd, u, w = _setup(128, 32, nz)
+    integ = Integrator.make(integ_name)
+    dt = 1e-3
+    ur, wr, u1 = u, w, u
+    for st in (1, 2):
+        pcm = integ_name == "vl2" and st == 1
+        wp = bc_mod.pad_and_fill(wr, grid, "gas", {})
+        fx = hyd.compute_fluxes(wp, cfg, pcm)
+        un = hyd.apply_update(ur, u1, fx, integ.gam0[st - 1],
+                              integ.gam1[st - 1], integ.beta[st - 1] * dt)
+        un = hyd.flux_source(un, wr, fx, integ.beta[st - 1] * dt)
+        un = hyd.set_auxiliary(un, cfg)
+        wn = hyd.cons_to_prim(un, cfg)
+        ur, wr = hyd.prim_to_cons(wn, cfg)
+    uf, wf, dmax = pallas_stage.step2_periodic(w, grid, cfg, integ_name, dt,
+                                               interpret=True)
+    assert float(jnp.max(jnp.abs(uf - ur))) < 1e-12
+    assert float(jnp.max(jnp.abs(wf - wr))) < 1e-12
+    assert abs(cfg.cfl / float(jnp.max(dmax))
+               - float(hyd.estimate_dt(wr, cfg))) < 1e-12
