@@ -331,8 +331,11 @@ def check_bc_x3_independent(bc0, bc1, local_grid, gas_cfg, dust_cfg):
             for fluid, w in samples.items():
                 a = bc0[name](w, local_grid, fluid, d, side)
                 b = bc1[name](w, local_grid, fluid, d, side)
+                # corner-ghost cells may hold NaNs that a later BC pass in
+                # another direction overwrites (e.g. theta-ghosts of an ic
+                # fill past the pole) — compare them as equal
                 if not np.allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-13, atol=1e-300):
+                                   rtol=1e-13, atol=1e-300, equal_nan=True):
                     raise ValueError(
                         f"custom BC {name!r} ({fluid}, d={d}, side={side}) "
                         "varies along x3; x3-dependent custom boundaries "
