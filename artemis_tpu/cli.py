@@ -23,6 +23,19 @@ def main(argv=None) -> int:
 
     from .simulation import Simulation
 
+    # graceful SIGTERM: stop at the next chunk boundary and checkpoint
+    import signal
+
+    from . import driver as _driver
+
+    def _on_term(signum, frame):  # noqa: ARG001
+        _driver.STOP_REQUESTED = True
+
+    try:
+        signal.signal(signal.SIGTERM, _on_term)
+    except ValueError:  # not the main thread
+        pass
+
     try:
         sim = Simulation(args.input, overrides=args.overrides, data_dir=args.data,
                          restart=args.restart)

@@ -22,6 +22,11 @@ from .ops.hydro import FluidCfg, Hydro
 
 BIG = 1.0e308
 
+# set by the CLI's SIGTERM handler: evolve() finishes the current chunk,
+# returns status "timeout", and the CLI writes a resumable checkpoint
+# (the reference relies on Parthenon's signal handling; src/main.cpp)
+STOP_REQUESTED = False
+
 
 @dataclass(frozen=True)
 class Integrator:
@@ -416,13 +421,12 @@ def evolve(driver: Driver, state, tm: SimTime, observers=None, log_every: int = 
         else:
             target = next_target()
             # compiled multi-step march to the next event (no host sync/step).
-            # With a walltime deadline active, bound each chunk to a few
-            # hundred cycles so the deadline is actually checked (the
-            # reference checks per-cycle; per-chunk is the compiled analogue).
-            nlim = tm.nlim
-            if deadline is not None:
-                chunk = tm.ncycle + 256
-                nlim = chunk if nlim < 0 else min(nlim, chunk)
+            # Chunks are bounded to a few hundred cycles so walltime
+            # deadlines and SIGTERM are honored promptly (the reference
+            # checks per-cycle; per-chunk is the compiled analogue — one
+            # host sync per 256 steps is noise).
+            chunk = tm.ncycle + 256
+            nlim = chunk if tm.nlim < 0 else min(tm.nlim, chunk)
             state, t, dt, nc = driver._advance(
                 state, jnp.asarray(tm.time), jnp.asarray(tm.dt),
                 jnp.asarray(tm.ncycle), jnp.asarray(target),
@@ -436,7 +440,9 @@ def evolve(driver: Driver, state, tm: SimTime, observers=None, log_every: int = 
             print(f"cycle={tm.ncycle} time={tm.time:.6e} dt={tm.dt:.6e}")
         unfinished = (tm.time < tm.tlim * (1.0 - 1e-12)
                       and (tm.nlim < 0 or tm.ncycle < tm.nlim))
-        if deadline is not None and _time.perf_counter() > deadline and unfinished:
+        timed_out = (deadline is not None
+                     and _time.perf_counter() > deadline)
+        if (timed_out or STOP_REQUESTED) and unfinished:
             elapsed = _time.perf_counter() - t0
             zcps = ncells * (tm.ncycle - cycles0) / max(elapsed, 1e-30)
             return state, tm, zcps, "timeout"
