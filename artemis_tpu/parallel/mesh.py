@@ -2,16 +2,18 @@
 
 TPU-native replacement for the reference's MPI rank decomposition + Parthenon
 ghost-buffer exchange (SURVEY.md §2.7): the global grid is block-sharded
-along x3 over the device mesh; each step runs under ``shard_map`` and fills
-its ghost slabs with ``lax.ppermute`` neighbor collectives over ICI
+along one axis over the device mesh; each step runs under ``shard_map`` and
+fills its ghost slabs with ``lax.ppermute`` neighbor collectives over ICI
 (vs. ``StartReceiveBoundBufs``/``SendBoundBufs``, artemis_driver.cpp:177-261).
 Global reductions (CFL dt) use ``lax.pmin`` (vs. MPI allreduce).
 
-Geometry note: in every supported coordinate system the metric is
-x3-independent (``geometry::x3dep() == false``), and x3 spacing is uniform,
-so all shards share identical geometry constants — the local Hydro is built
-once and closed over (no per-shard geometry arrays needed).  Sharding along
-x1/x2 (x-dependent metrics) will pass geometry as sharded arguments instead.
+Shard-axis choice: x3 works in EVERY coordinate system (the metric is
+x3-independent, ``geometry::x3dep() == false``, so all shards share the
+same geometry constants); x1/x2 sharding is supported for Cartesian grids
+(translation-invariant metric).  Curvilinear x1/x2 sharding would need the
+geometry passed as sharded arguments — planned.  Precomputed source /
+coefficient fields that vary along the sharded axis are handled by lazy
+per-shard views (``ShardedZField``).
 """
 
 from __future__ import annotations
@@ -30,7 +32,7 @@ from ..driver import Driver, Integrator
 from ..geometry import geometry as geo
 from ..grid import Grid
 
-AXIS = "x3"
+AXIS = "shard"
 
 
 def make_device_mesh(n_devices: Optional[int] = None) -> Mesh:
@@ -40,46 +42,51 @@ def make_device_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devs), (AXIS,))
 
 
-def _local_grid_at(grid: Grid, nshards: int, shard: int) -> Grid:
-    """Shard-local Grid with the x3 window of the given shard."""
-    nx3 = grid.nx[2]
-    if nx3 % nshards != 0:
-        raise ValueError(f"nx3={nx3} not divisible by {nshards} shards")
-    nz_l = nx3 // nshards
-    dz = (grid.xmax[2] - grid.xmin[2]) / nx3
-    ng3 = grid.nghost if nx3 > 1 else 0
-    if nz_l == 1 and nshards > 1:
-        raise ValueError("need >= 2 x3 cells per shard")
-    z0 = grid.xmin[2] + dz * nz_l * shard
-    xf3 = z0 + dz * np.arange(-ng3, nz_l + ng3 + 1, dtype=np.float64)
-    geom = geo.build_geometry(grid.coords, grid.geom.xf1, grid.geom.xf2, xf3)
+def _local_grid_at(grid: Grid, nshards: int, shard: int, d: int = 3) -> Grid:
+    """Shard-local Grid with the x_d window of the given shard."""
+    nd = grid.nx[d - 1]
+    if nd % nshards != 0:
+        raise ValueError(f"nx{d}={nd} not divisible by {nshards} shards")
+    n_l = nd // nshards
+    dxd = (grid.xmax[d - 1] - grid.xmin[d - 1]) / nd
+    ngd = grid.nghost if nd > 1 else 0
+    if nshards > 1 and n_l < max(2, ngd):
+        raise ValueError(
+            f"need >= max(2, nghost)={max(2, ngd)} x{d} cells per shard for "
+            f"single-hop halo exchange, got {n_l}")
+    x0 = grid.xmin[d - 1] + dxd * n_l * shard
+    xf = x0 + dxd * np.arange(-ngd, n_l + ngd + 1, dtype=np.float64)
+    faces = [grid.geom.xf1, grid.geom.xf2, grid.geom.xf3]
+    faces[d - 1] = xf
+    geom = geo.build_geometry(grid.coords, *faces)
+    nx = list(grid.nx)
+    nx[d - 1] = n_l
+    xmin = list(grid.xmin)
+    xmax = list(grid.xmax)
+    xmin[d - 1] = x0
+    xmax[d - 1] = x0 + dxd * n_l
     return dataclasses.replace(
-        grid,
-        nx=(grid.nx[0], grid.nx[1], nz_l),
-        xmin=(grid.xmin[0], grid.xmin[1], z0),
-        xmax=(grid.xmax[0], grid.xmax[1], z0 + dz * nz_l),
-        geom=geom,
-    )
+        grid, nx=tuple(nx), xmin=tuple(xmin), xmax=tuple(xmax), geom=geom)
 
 
-def _local_grid(grid: Grid, nshards: int) -> Grid:
-    """Shard-local Grid: x3 interior split evenly (metric is x3-independent,
-    so shard 0's coordinates stand in for every shard)."""
-    return _local_grid_at(grid, nshards, 0)
+def _local_grid(grid: Grid, nshards: int, d: int = 3) -> Grid:
+    """Shard-local Grid: x_d interior split evenly (shard 0's coordinates
+    stand in for every shard; per-shard-varying fields are localized)."""
+    return _local_grid_at(grid, nshards, 0, d)
 
 
 class ShardedZField:
     """Lazy per-shard view of a global interior [z, y, x]-shaped field.
 
     Sources read precomputed fields with ``jnp.asarray(field)``; inside the
-    shard_map trace this resolves (via ``__jax_array__``) to the local z
-    window selected by ``lax.axis_index`` — the TPU equivalent of each MPI
-    rank holding its own block of a global coefficient array."""
+    shard_map trace this resolves (via ``__jax_array__``) to the local
+    window along the sharded axis, selected by ``lax.axis_index`` — the TPU
+    equivalent of each MPI rank holding its block of a global table."""
 
-    def __init__(self, global_arr: np.ndarray, nz_local: int):
+    def __init__(self, global_arr: np.ndarray, n_local: int, d: int = 3):
         self.g = np.ascontiguousarray(global_arr)
-        self.nzl = nz_local
-        self.zax = self.g.ndim - 3
+        self.nzl = n_local
+        self.zax = self.g.ndim - d
 
     def __jax_array__(self):
         idx = lax.axis_index(AXIS)
@@ -121,7 +128,7 @@ def _set_path(src, path, value):
         parent[k] = value
 
 
-def _localize_x3_fields(sources, srcs_shard1, srcs_global, nz_local):
+def _localize_x3_fields(sources, srcs_shard1, srcs_global, nz_local, d=3):
     """Replace interior-[z,y,x]-shaped precomputed fields with ShardedZField
     views of the global-grid build.  This is unconditionally correct (the
     per-shard dynamic slice of the global field IS the shard's field,
@@ -140,15 +147,21 @@ def _localize_x3_fields(sources, srcs_shard1, srcs_global, nz_local):
                 continue
             if not isinstance(ag, np.ndarray) or ag.ndim < 3:
                 continue
-            # interior-shaped along z on both builds -> localize
-            if (a0.ndim == ag.ndim and a0.shape[-3] == nz_local
-                    and ag.shape[-3] != a0.shape[-3]
-                    and ag.shape[-2:] == a0.shape[-2:]):
-                _set_path(s0, path, ShardedZField(ag, nz_local))
+            # interior-shaped along the sharded axis on both builds
+            ax = -d
+            others = [a for a in (-3, -2, -1) if a != ax]
+            if (a0.ndim == ag.ndim and a0.shape[ax] == nz_local
+                    and ag.shape[ax] != a0.shape[ax]
+                    and all(ag.shape[a] == a0.shape[a] for a in others)):
+                _set_path(s0, path, ShardedZField(ag, nz_local, d))
 
 
 class ShardedDriver(Driver):
-    """Driver whose step runs under shard_map over a 1-D device mesh."""
+    """Driver whose step runs under shard_map over a 1-D device mesh.
+
+    ``axis``: the sharded grid dimension (1..3).  x3 is valid in every
+    coordinate system; x1/x2 require a Cartesian grid (the local Hydro's
+    geometry constants must be shard-independent)."""
 
     def __init__(
         self,
@@ -162,45 +175,61 @@ class ShardedDriver(Driver):
         omf: float = 0.0,
         diffusion=None,
         sources_factory=None,
+        axis: int = 3,
     ):
         self.mesh = mesh if mesh is not None else make_device_mesh()
         self.nshards = self.mesh.devices.size
         self.global_grid = grid
-        local = _local_grid(grid, self.nshards)
+        self.axis_d = int(axis)
+        if self.axis_d not in (1, 2, 3):
+            raise ValueError(f"shard axis {axis} not in 1..3")
+        if self.axis_d != 3 and not geo.is_cartesian(grid.coords):
+            raise ValueError("x1/x2 sharding requires Cartesian geometry "
+                             "(curvilinear metrics vary along those axes)")
+        local = _local_grid(grid, self.nshards, self.axis_d)
         if sources_factory is not None:
             if sources:
                 raise ValueError("pass sources or sources_factory, not both")
             # Rebuild the sources against the shard-local grid.  shard_map
             # traces ONE program, so precomputed fields that vary with the
-            # shard's x3 window cannot be closed over as constants: those
-            # are detected (shard-0 vs shard-1 build) and replaced by
-            # ShardedZField views of the global-grid build, which lazily
-            # dynamic-slice by lax.axis_index at trace time (sources read
-            # fields via jnp.asarray -> __jax_array__).
+            # shard's window cannot be closed over as constants: interior-
+            # shaped fields become ShardedZField views of the global-grid
+            # build, which lazily dynamic-slice by lax.axis_index at trace
+            # time (sources read fields via jnp.asarray -> __jax_array__).
             sources = sources_factory(local)
             if self.nshards > 1:
                 _localize_x3_fields(
                     sources,
-                    sources_factory(_local_grid_at(grid, self.nshards, 1)),
+                    sources_factory(_local_grid_at(grid, self.nshards, 1,
+                                                   self.axis_d)),
                     sources_factory(grid),
-                    grid.nx[2] // self.nshards)
+                    grid.nx[self.axis_d - 1] // self.nshards,
+                    d=self.axis_d)
         super().__init__(local, integrator, gas_cfg, dust_cfg, sources, bc_custom,
                          omf, diffusion)
-        # the periodic no-pad fused kernel wraps halos locally, which is
-        # wrong under domain decomposition (halos come from ppermute)
+        # fused pallas paths are single-device for now: the periodic kernel
+        # wraps halos locally (wrong under decomposition) and the padded
+        # kernel's dtden carry is not yet wired through the shard_map specs
         if self.nshards > 1:
             self._fused_periodic = False
+            self._fused_stage = False
 
     # -- sharding specs --------------------------------------------------
+    def _arr_spec(self):
+        # [ns, C, z, y, x]: sharded dim d sits at array axis 2 + (3 - d)
+        parts = [None, None, None, None, None]
+        parts[2 + (3 - self.axis_d)] = AXIS
+        return P(*parts)
+
     def state_spec(self):
-        spec_arr = P(None, None, AXIS, None, None)  # [ns, C, z, y, x]
+        spec_arr = self._arr_spec()
         return {name: {"u": spec_arr, "w": spec_arr} for name, _ in self._fluids()}
 
     def shard_state(self, state):
         """Place a host/global state onto the device mesh."""
         out = {}
         for name, _ in self._fluids():
-            sh = NamedSharding(self.mesh, P(None, None, AXIS, None, None))
+            sh = NamedSharding(self.mesh, self._arr_spec())
             out[name] = {
                 k: jax.device_put(jnp.asarray(v), sh) for k, v in state[name].items()
             }
@@ -209,7 +238,7 @@ class ShardedDriver(Driver):
     def initialize(self, state):
         """Shard the pgen's global primitive arrays, then run P2C under
         shard_map (PostInitialization equivalent)."""
-        sh = NamedSharding(self.mesh, P(None, None, AXIS, None, None))
+        sh = NamedSharding(self.mesh, self._arr_spec())
         ws = {
             name: jax.device_put(jnp.asarray(state[name]["w"]), sh)
             for name, _ in self._fluids()
@@ -222,7 +251,7 @@ class ShardedDriver(Driver):
                 out[name] = {"u": u, "w": w}
             return out
 
-        spec_w = {name: P(None, None, AXIS, None, None) for name, _ in self._fluids()}
+        spec_w = {name: self._arr_spec() for name, _ in self._fluids()}
         return jax.jit(
             jax.shard_map(
                 init_local,
@@ -236,35 +265,53 @@ class ShardedDriver(Driver):
     # -- ghost fill with halo exchange ----------------------------------
     def fill_ghosts(self, w_int, fluid: str):
         grid = self.grid  # local grid
+        d = self.axis_d
         if self.nshards == 1:
             return bc_mod.pad_and_fill(w_int, grid, fluid, self.bc_custom)
-        g3 = grid.ng[2]
+        gd = grid.ng[d - 1]
         w_pad = bc_mod.pad_prims(w_int, grid)
         n = self.nshards
-        if g3 > 0 and n > 1:
+        if gd > 0 and n > 1:
             up = [(i, (i + 1) % n) for i in range(n)]
             down = [(i, (i - 1) % n) for i in range(n)]
+
+            def axsl(a, sl_d):
+                sl = [slice(None)] * a.ndim
+                sl[a.ndim - d] = sl_d
+                return tuple(sl)
+
             # my top interior slab -> neighbor above's lower ghosts
-            top = w_int[..., -g3:, :, :]
-            bot = w_int[..., :g3, :, :]
+            top = w_int[axsl(w_int, slice(-gd, None))]
+            bot = w_int[axsl(w_int, slice(0, gd))]
             from_below = lax.ppermute(top, AXIS, up)
             from_above = lax.ppermute(bot, AXIS, down)
-            nz_l = grid.nx[2]
-            s2 = slice(grid.ng[1], grid.ng[1] + grid.nx[1])
-            s1 = slice(grid.ng[0], grid.ng[0] + grid.nx[0])
-            w_pad = w_pad.at[..., 0:g3, s2, s1].set(from_below)
-            w_pad = w_pad.at[..., g3 + nz_l:, s2, s1].set(from_above)
+            n_l = grid.nx[d - 1]
+            # interior slices of the two unsharded dims
+            sl = [slice(None)] * w_pad.ndim
+            for c in (1, 2, 3):
+                if c == d:
+                    continue
+                sl[w_pad.ndim - c] = slice(grid.ng[c - 1],
+                                           grid.ng[c - 1] + grid.nx[c - 1])
+            lo_sl = list(sl)
+            lo_sl[w_pad.ndim - d] = slice(0, gd)
+            hi_sl = list(sl)
+            hi_sl[w_pad.ndim - d] = slice(gd + n_l, None)
+            w_pad = w_pad.at[tuple(lo_sl)].set(from_below)
+            w_pad = w_pad.at[tuple(hi_sl)].set(from_above)
 
-        # physical BCs: unsharded dims normally; x3 edges masked per shard
-        inner3, outer3 = grid.bc[2]
-        grid_no3 = dataclasses.replace(grid, bc=(grid.bc[0], grid.bc[1], ("none", "none")))
-        w_pad = bc_mod.fill_ghosts(w_pad, grid_no3, fluid, self.bc_custom)
-        if grid.active(3) and inner3 != "periodic":
+        # physical BCs: unsharded dims normally; sharded-axis edges masked
+        inner_d, outer_d = grid.bc[d - 1]
+        bc = list(grid.bc)
+        bc[d - 1] = ("none", "none")
+        grid_nod = dataclasses.replace(grid, bc=tuple(bc))
+        w_pad = bc_mod.fill_ghosts(w_pad, grid_nod, fluid, self.bc_custom)
+        if grid.active(d) and inner_d != "periodic":
             idx = lax.axis_index(AXIS)
             lo = bc_mod.fill_ghosts(
-                w_pad, _only3(grid, inner=True), fluid, self.bc_custom)
+                w_pad, _only_d(grid, d, inner=True), fluid, self.bc_custom)
             hi = bc_mod.fill_ghosts(
-                w_pad, _only3(grid, inner=False), fluid, self.bc_custom)
+                w_pad, _only_d(grid, d, inner=False), fluid, self.bc_custom)
             w_pad = jnp.where(idx == 0, lo, w_pad)
             w_pad = jnp.where(idx == self.nshards - 1, hi, w_pad)
         return w_pad
@@ -300,13 +347,13 @@ class ShardedDriver(Driver):
         )(state)
 
 
-def _only3(grid: Grid, inner: bool) -> Grid:
-    """Grid with only the requested x3 physical boundary active."""
-    b3 = grid.bc[2]
-    bc3 = (b3[0], "none") if inner else ("none", b3[1])
-    return dataclasses.replace(
-        grid, bc=(("none", "none"), ("none", "none"), bc3)
-    )
+def _only_d(grid: Grid, d: int, inner: bool) -> Grid:
+    """Grid with only the requested x_d physical boundary active."""
+    bd = grid.bc[d - 1]
+    bcd = (bd[0], "none") if inner else ("none", bd[1])
+    bc = [("none", "none")] * 3
+    bc[d - 1] = bcd
+    return dataclasses.replace(grid, bc=tuple(bc))
 
 
 def check_bc_x3_independent(bc0, bc1, local_grid, gas_cfg, dust_cfg):

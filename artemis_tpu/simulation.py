@@ -204,10 +204,29 @@ class Simulation:
             prob_f = _bp(problem_name, pin_f, self.driver.smr.fg, gas_cfg, dust_cfg)
             self.driver._fine_prims = prob_f.prims["gas"]
         elif nshards > 1:
+            from .geometry import geometry as _geo
             from .parallel.mesh import ShardedDriver, make_device_mesh
 
             if self.nbody is not None:
                 raise ValueError("nbody + sharded runs not supported yet")
+            # shard-axis selection: x3 whenever it works (metric is always
+            # x3-independent); Cartesian grids may shard x2/x1 (translation-
+            # invariant metric) — lets 2-D decks decompose too
+            axis_key = pin.get_or_add_str("parthenon/mesh", "shard_axis", "auto")
+            if axis_key == "auto":
+                shard_axis = None
+                cands = [3] + ([2, 1] if _geo.is_cartesian(self.grid.coords)
+                               else [])
+                for d in cands:
+                    nd = self.grid.nx[d - 1]
+                    if nd > 1 and nd % nshards == 0 and nd // nshards >= 2:
+                        shard_axis = d
+                        break
+                if shard_axis is None:
+                    raise ValueError(
+                        f"no grid axis divisible into {nshards} shards")
+            else:
+                shard_axis = {"x1": 1, "x2": 2, "x3": 3}[axis_key]
             # sources precompute interior-shaped coordinate fields, so the
             # sharded driver rebuilds them against each shard-local grid
             src_factory = lambda g: (sources_from_input(
@@ -215,13 +234,13 @@ class Simulation:
                 + list(self.problem.sources))
             # custom BCs likewise close over grid-shaped caches: rebuild the
             # problem's BC set against the shard-local grid, and verify the
-            # fills are x3-independent (shard_map traces one program)
+            # fills don't vary along the sharded axis
             bc_custom = self.problem.bc_custom
             if bc_custom:
                 from .parallel.mesh import _local_grid_at, check_bc_x3_independent
 
-                loc0 = _local_grid_at(self.grid, nshards, 0)
-                loc1 = _local_grid_at(self.grid, nshards, 1)
+                loc0 = _local_grid_at(self.grid, nshards, 0, shard_axis)
+                loc1 = _local_grid_at(self.grid, nshards, 1, shard_axis)
                 p0 = build_problem(problem_name, ParameterInput.from_string(repr(pin)),
                                    loc0, gas_cfg, dust_cfg)
                 p1 = build_problem(problem_name, ParameterInput.from_string(repr(pin)),
@@ -239,6 +258,7 @@ class Simulation:
                 mesh=make_device_mesh(nshards),
                 omf=omf,
                 diffusion=diffusion_factory,
+                axis=shard_axis,
             )
         else:
             self.driver = Driver(

@@ -8,6 +8,8 @@ threshold and the single-device result.
 
 import os
 
+import pytest
+
 import numpy as np
 
 from .utils import load_errs, run_deck
@@ -121,3 +123,25 @@ def test_sharded_disk_with_custom_bcs(tmp_path):
     w1 = np.asarray(s1.state["gas"]["w"])
     w4 = np.asarray(s4.state["gas"]["w"])
     assert np.allclose(w1, w4, rtol=1e-8, atol=1e-12)
+
+
+@pytest.mark.parametrize("axis", ["x1", "x2"])
+def test_linwave_sharded_other_axes(tmp_path, axis):
+    """Cartesian grids also decompose along x1/x2 (translation-invariant
+    metric): same linear-wave equivalence as the x3 default."""
+    import artemis_tpu.simulation as sim_mod
+
+    args = _args(16) + [f"parthenon/mesh/shard_axis={axis}",
+                        "parthenon/mesh/nx2=16",  # >= nghost per shard
+                        "parthenon/time/nlim=30"]
+    d1 = str(tmp_path / "serial")
+    run_deck(DECK, args, d1)
+    sim1 = sim_mod.Simulation(DECK, overrides=args, data_dir=d1 + "b")
+    sim1.run()
+    sim4 = sim_mod.Simulation(DECK, overrides=args, data_dir=str(tmp_path / "s"),
+                              nshards=4)
+    assert sim4.driver.axis_d == int(axis[1])
+    sim4.run()
+    w1 = np.asarray(sim1.state["gas"]["w"])
+    w4 = np.asarray(sim4.state["gas"]["w"])
+    assert np.allclose(w1, w4, rtol=1e-10, atol=1e-14)
