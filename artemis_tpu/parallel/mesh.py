@@ -176,6 +176,7 @@ class ShardedDriver(Driver):
         diffusion=None,
         sources_factory=None,
         axis: int = 3,
+        radiation=None,
     ):
         self.mesh = mesh if mesh is not None else make_device_mesh()
         self.nshards = self.mesh.devices.size
@@ -206,7 +207,10 @@ class ShardedDriver(Driver):
                     grid.nx[self.axis_d - 1] // self.nshards,
                     d=self.axis_d)
         super().__init__(local, integrator, gas_cfg, dust_cfg, sources, bc_custom,
-                         omf, diffusion)
+                         omf, diffusion, radiation=radiation)
+        if self.radiation is not None:
+            # CG dot products -> psum; stencil shifts -> ppermute halos
+            self.radiation.enable_sharding(self.axis_d, AXIS, self.nshards)
         # fused pallas paths are single-device for now: the periodic kernel
         # wraps halos locally (wrong under decomposition) and the padded
         # kernel's dtden carry is not yet wired through the shard_map specs
@@ -223,7 +227,13 @@ class ShardedDriver(Driver):
 
     def state_spec(self):
         spec_arr = self._arr_spec()
-        return {name: {"u": spec_arr, "w": spec_arr} for name, _ in self._fluids()}
+        spec = {name: {"u": spec_arr, "w": spec_arr} for name, _ in self._fluids()}
+        if self.radiation is not None:
+            # Er: [ns, z, y, x] -> sharded dim at axis 1 + (3 - d)
+            parts = [None, None, None, None]
+            parts[1 + (3 - self.axis_d)] = AXIS
+            spec["rad"] = {"Er": P(*parts)}
+        return spec
 
     def shard_state(self, state):
         """Place a host/global state onto the device mesh."""
@@ -252,12 +262,15 @@ class ShardedDriver(Driver):
             return out
 
         spec_w = {name: self._arr_spec() for name, _ in self._fluids()}
+        spec_arr = self._arr_spec()
+        fluid_spec = {name: {"u": spec_arr, "w": spec_arr}
+                      for name, _ in self._fluids()}
         return jax.jit(
             jax.shard_map(
                 init_local,
                 mesh=self.mesh,
                 in_specs=(spec_w,),
-                out_specs=self.state_spec(),
+                out_specs=fluid_spec,
                 check_vma=False,
             )
         )(ws)
@@ -334,9 +347,16 @@ class ShardedDriver(Driver):
             for n, c in self._fluids():
                 if n == "gas" and "dtden" in state["gas"]:
                     dts.append(c.cfl / jnp.max(state["gas"]["dtden"]))
-                else:
-                    dts.append(self.hydro.estimate_dt(state[n]["w"], c))
-            return lax.pmin(jnp.min(jnp.stack(dts)), AXIS)
+                    continue
+                dt = self.hydro.estimate_dt(state[n]["w"], c)
+                if n == "gas" and self.diffusion is not None:
+                    dt = jnp.minimum(dt, c.cfl * self.diffusion.estimate_dt(
+                        state[n]["w"]))
+                dts.append(dt)
+            dt = jnp.min(jnp.stack(dts))
+            if self.radiation is not None:
+                dt = jnp.minimum(dt, self.radiation.cfg.dt_rad)
+            return lax.pmin(dt, AXIS)
 
         return jax.shard_map(
             dt_local,

@@ -91,6 +91,61 @@ class Radiation:
         self.dims = hyd.dims
         # physical cell widths per dim (cartesian: uniform arrays)
         self.widths = hyd.widths
+        # multi-chip hooks (enable_sharding): neighbor shifts become
+        # ppermute halo exchanges along the sharded axis; CG dot products
+        # become psum reductions (the jaybenne equivalent is photon swarm
+        # migration + MPI reductions)
+        self._axis_name = None
+        self._axis_d = None
+        self._nshards = 1
+
+    def enable_sharding(self, axis_d: int, axis_name: str, nshards: int):
+        self._axis_d = axis_d
+        self._axis_name = axis_name
+        self._nshards = nshards
+
+    def _psum(self, x):
+        if self._axis_name is None:
+            return x
+        return lax.psum(x, self._axis_name)
+
+    def _shift(self, E, d, sign):
+        """jnp.roll(E, -sign, axis=-d) with the wrapped plane replaced by
+        the neighbor shard's boundary plane when d is the sharded axis."""
+        out = jnp.roll(E, -sign, axis=-d)
+        if self._axis_name is None or d != self._axis_d:
+            return out
+        ax = E.ndim - d
+        n = E.shape[ax]
+
+        def take(i):
+            sl = [slice(None)] * E.ndim
+            sl[ax] = slice(i, i + 1)
+            return E[tuple(sl)]
+
+        perm = [(i, (i - sign) % self._nshards) for i in range(self._nshards)]
+        plane = take(0) if sign > 0 else take(n - 1)
+        recv = lax.ppermute(plane, self._axis_name, perm)
+        sl = [slice(None)] * E.ndim
+        sl[ax] = slice(n - 1, n) if sign > 0 else slice(0, 1)
+        return out.at[tuple(sl)].set(recv)
+
+    def _edge_masks(self, E, d):
+        """(first, last) boolean masks for the PHYSICAL domain edges along
+        d (per-shard aware)."""
+        ax = E.ndim - d
+        n = E.shape[ax]
+        idx = jnp.arange(n)
+        shape = [1] * E.ndim
+        shape[ax] = n
+        idx = idx.reshape(shape)
+        first = idx == 0
+        last = idx == n - 1
+        if self._axis_name is not None and d == self._axis_d:
+            sidx = lax.axis_index(self._axis_name)
+            first = jnp.logical_and(first, sidx == 0)
+            last = jnp.logical_and(last, sidx == self._nshards - 1)
+        return first, last
 
     # -- opacity ---------------------------------------------------------
     def kappa(self, rho, T):
@@ -136,7 +191,7 @@ class Radiation:
             g2 = 0.0
             for d in self.dims:
                 w = jnp.asarray(self.widths[d - 1])
-                gp = (jnp.roll(E, -1, axis=-d) - jnp.roll(E, 1, axis=-d)) / (2 * w)
+                gp = (self._shift(E, d, 1) - self._shift(E, d, -1)) / (2 * w)
                 g2 = g2 + gp * gp
             return jnp.sqrt(g2)
 
@@ -149,20 +204,15 @@ class Radiation:
             out = E
             for d in self.dims:
                 w = jnp.asarray(self.widths[d - 1])
-                ax = E.ndim - d
-                n = E.shape[ax]
                 # face D: harmonic-free arithmetic average of neighbors
-                D_hi = 0.5 * (Dcell + jnp.roll(Dcell, -1, axis=-d))
-                D_lo = 0.5 * (Dcell + jnp.roll(Dcell, 1, axis=-d))
-                F_hi = D_hi * (jnp.roll(E, -1, axis=-d) - E) / w
-                F_lo = D_lo * (E - jnp.roll(E, 1, axis=-d)) / w
-                # zero-flux at the domain edges
-                idx = jnp.arange(n)
-                shape = [1] * E.ndim
-                shape[ax] = n
-                idx = idx.reshape(shape)
-                F_hi = jnp.where(idx == n - 1, 0.0, F_hi)
-                F_lo = jnp.where(idx == 0, 0.0, F_lo)
+                D_hi = 0.5 * (Dcell + self._shift(Dcell, d, 1))
+                D_lo = 0.5 * (Dcell + self._shift(Dcell, d, -1))
+                F_hi = D_hi * (self._shift(E, d, 1) - E) / w
+                F_lo = D_lo * (E - self._shift(E, d, -1)) / w
+                # zero-flux at the physical domain edges
+                first, last = self._edge_masks(E, d)
+                F_hi = jnp.where(last, 0.0, F_hi)
+                F_lo = jnp.where(first, 0.0, F_lo)
                 out = out - dt * (F_hi - F_lo) / w
             return out
 
@@ -171,21 +221,22 @@ class Radiation:
         def cg(b, x0):
             r = b - matvec(x0)
             p = r
-            rs = jnp.sum(r * r)
+            rs = self._psum(jnp.sum(r * r))
+            bb = self._psum(jnp.sum(b * b))
 
             def body(carry):
                 x, r, p, rs, it = carry
                 Ap = matvec(p)
-                alpha = rs / jnp.maximum(jnp.sum(p * Ap), 1e-300)
+                alpha = rs / jnp.maximum(self._psum(jnp.sum(p * Ap)), 1e-300)
                 x = x + alpha * p
                 r = r - alpha * Ap
-                rs_new = jnp.sum(r * r)
+                rs_new = self._psum(jnp.sum(r * r))
                 p = r + (rs_new / jnp.maximum(rs, 1e-300)) * p
                 return (x, r, p, rs_new, it + 1)
 
             def cond(carry):
                 _, _, _, rs_c, it = carry
-                return jnp.logical_and(rs_c > self.cfg.cg_tol**2 * jnp.sum(b * b),
+                return jnp.logical_and(rs_c > self.cfg.cg_tol**2 * bb,
                                        it < self.cfg.cg_maxiter)
 
             x, *_ = lax.while_loop(cond, body, (x0, r, p, rs, 0))

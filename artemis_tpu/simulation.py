@@ -259,6 +259,7 @@ class Simulation:
                 omf=omf,
                 diffusion=diffusion_factory,
                 axis=shard_axis,
+                radiation=radiation_factory,
             )
         else:
             self.driver = Driver(
