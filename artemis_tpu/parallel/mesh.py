@@ -177,6 +177,7 @@ class ShardedDriver(Driver):
         sources_factory=None,
         axis: int = 3,
         radiation=None,
+        nbody=None,
     ):
         self.mesh = mesh if mesh is not None else make_device_mesh()
         self.nshards = self.mesh.devices.size
@@ -207,7 +208,36 @@ class ShardedDriver(Driver):
                     grid.nx[self.axis_d - 1] // self.nshards,
                     d=self.axis_d)
         super().__init__(local, integrator, gas_cfg, dust_cfg, sources, bc_custom,
-                         omf, diffusion, radiation=radiation)
+                         omf, diffusion, radiation=radiation, nbody=nbody)
+        if self.nbody is not None:
+            # particle force rows reduce across shards; the particle system
+            # itself is replicated (one host process drives all devices)
+            from ..sources import NBodyGravity
+
+            for src in self.sources:
+                if isinstance(src, NBodyGravity):
+                    src.psum = lambda x: lax.psum(x, AXIS)
+            spec = self.state_spec()
+            u1_spec = {name: self._arr_spec() for name, _ in self._fluids()}
+            self._stage_jits = [
+                jax.jit(jax.shard_map(
+                    self._make_stage_fn(s_),
+                    mesh=self.mesh,
+                    in_specs=(spec, u1_spec, P(), P(), P()),
+                    out_specs=(spec, P()),
+                    check_vma=False,
+                ))
+                for s_ in range(1, integrator.nstages + 1)
+            ]
+            if self.radiation is not None:
+                self._rad_jit = jax.jit(jax.shard_map(
+                    lambda st, dt: self.radiation.sync_gas(
+                        self.radiation.step(st, dt)),
+                    mesh=self.mesh,
+                    in_specs=(spec, P()),
+                    out_specs=spec,
+                    check_vma=False,
+                ))
         if self.radiation is not None:
             # CG dot products -> psum; stencil shifts -> ppermute halos
             self.radiation.enable_sharding(self.axis_d, AXIS, self.nshards)

@@ -207,8 +207,6 @@ class Simulation:
             from .geometry import geometry as _geo
             from .parallel.mesh import ShardedDriver, make_device_mesh
 
-            if self.nbody is not None:
-                raise ValueError("nbody + sharded runs not supported yet")
             # shard-axis selection: x3 whenever it works (metric is always
             # x3-independent); Cartesian grids may shard x2/x1 (translation-
             # invariant metric) — lets 2-D decks decompose too
@@ -230,7 +228,8 @@ class Simulation:
             # sources precompute interior-shaped coordinate fields, so the
             # sharded driver rebuilds them against each shard-local grid
             src_factory = lambda g: (sources_from_input(
-                pin, g, gas_cfg, dust_cfg, self.constants)
+                pin, g, gas_cfg, dust_cfg, self.constants,
+                nbody_sys=self.nbody)
                 + list(self.problem.sources))
             # custom BCs likewise close over grid-shaped caches: rebuild the
             # problem's BC set against the shard-local grid, and verify the
@@ -260,6 +259,7 @@ class Simulation:
                 diffusion=diffusion_factory,
                 axis=shard_axis,
                 radiation=radiation_factory,
+                nbody=self.nbody,
             )
         else:
             self.driver = Driver(

@@ -746,6 +746,10 @@ class NBodyGravity(SourceBase):
     """
 
     needs_ctx = True
+    # multi-chip hook: the sharded driver replaces this with lax.psum so
+    # each shard's partial volume-integral force rows reduce globally
+    # (the reference MPI_Reduces to rank 0, nbody_advance.cpp:123-131)
+    psum = staticmethod(lambda x: x)
 
     def __init__(self, pin, grid, nbody_sys, omf: float):
         self.grid = grid
@@ -800,7 +804,7 @@ class NBodyGravity(SourceBase):
         cx, cy, cz = [jnp.asarray(c) for c in self.cart]
         shape = cx.shape
         ex = self.ex
-        exj = [[jnp.asarray(np.ascontiguousarray(np.broadcast_to(ex[i][m], shape)))
+        exj = [[jnp.broadcast_to(jnp.asarray(ex[i][m]), shape)
                 for m in range(3)] for i in range(3)]
         active = jnp.logical_and(time >= self.tstart, time < self.tstop)
         dt_eff = jnp.where(active, dt, 0.0)
@@ -917,7 +921,7 @@ class NBodyGravity(SourceBase):
             pforce_rows.append(jnp.stack([jnp.asarray(r) + 0.0 for r in row]))
 
         if ctx is not None:
-            ctx["pforce"] = jnp.stack(pforce_rows)
+            ctx["pforce"] = self.psum(jnp.stack(pforce_rows))
         return {k: {"u": v["u"], "w": state[k]["w"]} for k, v in new.items()}
 
 

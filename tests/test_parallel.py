@@ -166,3 +166,70 @@ def test_sharded_radiation_shock(tmp_path):
             b = np.asarray(s4.state[k][kk])
             rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-300)
             assert rel < 1e-9, (k, kk, rel)
+
+
+def test_sharded_nbody(tmp_path):
+    """N-body coupling under domain decomposition: the particle system is
+    replicated on the host; per-stage grid-force rows psum across shards
+    (the reference MPI_Reduces to rank 0, nbody_advance.cpp:123-131)."""
+    import artemis_tpu.simulation as sim_mod
+
+    deck = """
+<artemis>
+problem = constant
+coordinates = cartesian
+<parthenon/job>
+problem_id = nbshard
+<parthenon/time>
+tlim = 0.5
+integrator = rk2
+<parthenon/mesh>
+nghost = 2
+nx1 = 16
+x1min = -1.0
+x1max = 1.0
+nx2 = 16
+x2min = -1.0
+x2max = 1.0
+nx3 = 16
+x3min = -1.0
+x3max = 1.0
+<physics>
+gravity = true
+nbody = true
+<gas>
+gamma = 1.4
+<gravity/nbody>
+<nbody>
+integrator = ias15
+<nbody/particle1>
+mass = 1.0
+live = 1
+couple = 1
+<nbody/particle1/soft>
+type = plummer
+radius = 0.2
+<nbody/particle2>
+mass = 0.5
+live = 1
+couple = 1
+<nbody/particle2/initialize>
+x = 0.5
+vy = 1.0
+<nbody/particle2/soft>
+type = plummer
+radius = 0.2
+<problem>
+rho = 1.0
+pres = 1.0
+"""
+    s1 = sim_mod.Simulation(deck, is_path=False, data_dir=str(tmp_path / "a"))
+    s1.run()
+    s4 = sim_mod.Simulation(deck, is_path=False, data_dir=str(tmp_path / "b"),
+                            nshards=4)
+    s4.run()
+    d = np.abs(np.asarray(s1.state["gas"]["w"])
+               - np.asarray(s4.state["gas"]["w"])).max()
+    assert d < 1e-11
+    assert np.abs(s1.nbody.pos - s4.nbody.pos).max() < 1e-12
+    assert np.abs(s1.nbody.vel - s4.nbody.vel).max() < 1e-12
