@@ -106,6 +106,30 @@ class Driver:
                              and self.diffusion is None)
         self._fused_periodic = (self._fused_stage and not self.bc_custom
                                 and _ps.periodic_supported(grid, gas_cfg))
+        # curvilinear fused stage (production disk path): full mode replaces
+        # the whole gas stage; partial mode (runs WITH sources) stops after
+        # the flux sources and hands off to the jnp source chain.  Sources
+        # that consume the stage fluxes (curvilinear RotatingFrame) force
+        # the jnp path for now.
+        self._curv = None
+        from .ops import pallas_stage_curv as _psc
+        from .sources import RotatingFrame as _RF
+
+        if _psc.supported_curv(grid, gas_cfg):
+            flux_srcs = [s_ for s_ in self.sources
+                         if getattr(s_, "uses_fluxes", False)]
+            # the curvilinear RotatingFrame torque is folded INTO the kernel;
+            # any other flux-consuming source forces the jnp path
+            foldable = all(isinstance(s_, _RF) and not s_.shearing_box
+                           for s_ in flux_srcs)
+            if foldable:
+                co = _psc.CurvCoeffs(grid, self.omf, dtype=np.float32)
+                self._curv = (co, co.pack())
+                self._curv_rf = flux_srcs[0].omega if flux_srcs else 0.0
+                self._curv_srcs = [s_ for s_ in self.sources
+                                   if s_ not in flux_srcs]
+                self._curv_full = (dust_cfg is None and not self.sources
+                                   and self.diffusion is None)
         self._step = jax.jit(self._build_step())
         self._dt_fn = jax.jit(self._estimate_dt)
         self._advance = jax.jit(self._build_advance())
@@ -168,6 +192,49 @@ class Driver:
         beta = integ.beta[stage - 1]
         bdt = beta * dt
         force_pcm = (integ.name == "vl2") and stage == 1
+        if self._curv is not None and state["gas"]["w"].dtype == jnp.float32:
+            from .ops import pallas_stage_curv as _psc
+
+            co, packed = self._curv
+            w_pad = self.fill_ghosts(state["gas"]["w"], "gas")
+            if self._curv_full:
+                u, w, dmax = _psc.stage_curv(
+                    w_pad, state["gas"]["u"], u1["gas"], self.grid,
+                    self.gas_cfg, gam0, gam1, bdt, force_pcm, co, packed,
+                    full=True)
+                new_state = dict(state)
+                new_state["gas"] = {"u": u, "w": w, "dtden": dmax}
+                return new_state, None
+            # partial: fused fluxes/update/flux-sources (+ folded rotating-
+            # frame torque), then the jnp source chain
+            u, _, _ = _psc.stage_curv(
+                w_pad, state["gas"]["u"], u1["gas"], self.grid, self.gas_cfg,
+                gam0, gam1, bdt, force_pcm, co, packed, full=False,
+                rf_omega=self._curv_rf)
+            w = state["gas"]["w"]
+            if self.diffusion is not None:
+                dfx = self.diffusion.fluxes(w_pad)
+                u = self.diffusion.update(u, w, dfx, bdt)
+            new_state = dict(state)
+            new_state["gas"] = {"u": u, "w": w}
+            if self.dust_cfg is not None:
+                # dust stays on the jnp path
+                ud, wd = state["dust"]["u"], state["dust"]["w"]
+                wd_pad = self.fill_ghosts(wd, "dust")
+                fxd = hyd.compute_fluxes(wd_pad, self.dust_cfg, force_pcm)
+                ud = hyd.apply_update(ud, u1["dust"], fxd, gam0, gam1, bdt)
+                ud = hyd.flux_source(ud, wd, fxd, bdt, omf=self.omf)
+                new_state["dust"] = {"u": ud, "w": wd}
+            ctx = {"particles": particles}
+            for src in self._curv_srcs:
+                if getattr(src, "needs_ctx", False):
+                    new_state = src.apply(new_state, None, time, bdt, hyd,
+                                          ctx=ctx)
+                else:
+                    new_state = src.apply(new_state, None, time, bdt, hyd)
+            u = hyd.set_auxiliary(new_state["gas"]["u"], self.gas_cfg)
+            new_state["gas"] = {"u": u, "w": new_state["gas"]["w"]}
+            return self._sync_prims(new_state), ctx.get("pforce")
         if self._fused_stage and state["gas"]["w"].dtype == jnp.float32:
             from .ops import pallas_stage as _ps
 
@@ -344,15 +411,24 @@ class Driver:
         """Make the state loop-carry-compatible with the fused fast path:
         seed the dtden blocks so the while_loop carry structure is stable
         (also applied after restart loads)."""
-        if not (self._fused_stage and state["gas"]["w"].dtype == jnp.float32):
+        if state["gas"]["w"].dtype != jnp.float32:
+            return state
+        curv_full = self._curv is not None and self._curv_full
+        if not (self._fused_stage or curv_full):
             return state
         if "dtden" in state["gas"]:
             return state
-        from .ops import pallas_stage as _ps
-
         cfg = self.gas_cfg
         dt0 = self.hydro.estimate_dt(state["gas"]["w"], cfg)
-        shape = _ps.dt_block_shape(self.grid, self._fused_periodic)
+        if curv_full:
+            from .ops import pallas_stage_curv as _psc
+
+            nx, ny, nz = self.grid.nx
+            shape = (nz // _psc.TZ if nz > 1 else 1, ny // _psc.TY)
+        else:
+            from .ops import pallas_stage as _ps
+
+            shape = _ps.dt_block_shape(self.grid, self._fused_periodic)
         state = dict(state)
         state["gas"] = dict(state["gas"])
         state["gas"]["dtden"] = jnp.full(shape, cfg.cfl / dt0,

@@ -76,11 +76,21 @@ class Hydro:
         self.nx = grid.nx
         s3, s2, s1 = grid.int_slices
 
-        # interior cell volume / widths / scale factors
-        self.vol = _int3(g.volume(), grid)
+        # interior cell volume / widths / scale factors.  Big 3-D geometry
+        # fields are device_put once: traced code then captures DEVICE
+        # arrays, which jax lifts to executable parameters instead of
+        # embedding multi-MB literal constants in the HLO (keeps compile
+        # payloads small at production grid sizes).
+        import jax as _jax
+
+        def _dev(a):
+            return _jax.device_put(np.asarray(a))
+
+        self.vol = _dev(_int3(g.volume(), grid))
         w1, w2, w3 = g.cell_widths()
-        self.widths = [_int3(w1, grid), _int3(w2, grid), _int3(w3, grid)]
-        self.hxv_int = [_int3(g.hv(c), grid) for c in (1, 2, 3)]
+        self.widths = [_dev(_int3(w1, grid)), _dev(_int3(w2, grid)),
+                       _dev(_int3(w3, grid))]
+        self.hxv_int = [_dev(_int3(g.hv(c), grid)) for c in (1, 2, 3)]
         # padded-grid scale factors (for P2C/C2P on padded prims if needed)
         self.hxv_pad = [g.hv(c) for c in (1, 2, 3)]
 
@@ -89,30 +99,31 @@ class Hydro:
         self.face_h = {}
         for d in (1, 2, 3):
             A = g.face_area(d)  # broadcastable over entire grid, faces along d
-            self.area[d] = self._faces_interior_np(A, d)
+            self.area[d] = _dev(self._faces_interior_np(A, d))
             if not self.cartesian:
                 self.face_h[d] = [
-                    self._faces_interior_np(g.face_h(c, d), d) for c in (1, 2, 3)
+                    _dev(self._faces_interior_np(g.face_h(c, d), d))
+                    for c in (1, 2, 3)
                 ]
 
         # interior coordinate widths per axis
         self.dxc = {
-            1: _int3(g.dx1[None, None, :], grid),
-            2: _int3(g.dx2[None, :, None], grid),
-            3: _int3(g.dx3[:, None, None], grid),
+            1: _dev(_int3(g.dx1[None, None, :], grid)),
+            2: _dev(_int3(g.dx2[None, :, None], grid)),
+            3: _dev(_int3(g.dx3[:, None, None], grid)),
         }
         # interior connection terms {dh(1,2,3)/dx1}, {dh(1,2,3)/dx2}
         zero1 = np.zeros_like(g.dh2dx1)
         self.conn1 = [
-            _int3(zero1[None, None, :], grid),
-            _int3(g.dh2dx1[None, None, :], grid),
-            _int3(g.dh3dx1[None, None, :], grid),
+            _dev(_int3(zero1[None, None, :], grid)),
+            _dev(_int3(g.dh2dx1[None, None, :], grid)),
+            _dev(_int3(g.dh3dx1[None, None, :], grid)),
         ]
         zero2 = np.zeros_like(g.dh3dx2)
         self.conn2 = [
-            _int3(zero2[None, :, None], grid),
-            _int3(zero2[None, :, None], grid),
-            _int3(g.dh3dx2[None, :, None], grid),
+            _dev(_int3(zero2[None, :, None], grid)),
+            _dev(_int3(zero2[None, :, None], grid)),
+            _dev(_int3(g.dh3dx2[None, :, None], grid)),
         ]
         self.x1dep = geo.x1dep(grid.coords)
         self.x2dep = geo.x2dep(grid.coords) and grid.active(2)

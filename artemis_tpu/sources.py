@@ -280,6 +280,8 @@ class RotatingFrame(SourceBase):
     torque + centrifugal energy in curvilinear systems
     (rotating_frame_impl.hpp:28-170)."""
 
+    uses_fluxes = True  # curvilinear torque consumes the stage mass fluxes
+
     def __init__(self, pin, grid):
         self.grid = grid
         self.omega = pin.get_or_add_real("rotating_frame", "omega", 0.0)
