@@ -1,0 +1,117 @@
+"""Curvilinear fused whole-stage kernel vs the composable jnp path
+(interpret mode; machine-precision across coordinate systems, both full
+and partial-with-sources modes, with the rotating-frame torque folded)."""
+
+import numpy as np
+import pytest
+
+from artemis_tpu import bc as bc_mod
+from artemis_tpu.config import ParameterInput
+from artemis_tpu.grid import grid_from_input
+from artemis_tpu.ops import pallas_stage_curv as psc
+from artemis_tpu.ops.hydro import FluidCfg, Hydro
+from artemis_tpu.sources import RotatingFrame
+
+MESHES = {
+    "cylindrical": dict(nx1=64, nx2=32, nx3=8, x1min=0.4, x1max=2.0,
+                        x2min=-3.14159, x2max=3.14159, x3min=-0.3, x3max=0.3),
+    "spherical": dict(nx1=48, nx2=32, nx3=8, x1min=0.4, x1max=2.0,
+                      x2min=0.8, x2max=2.3, x3min=-3.14159, x3max=3.14159),
+    "axisymmetric": dict(nx1=48, nx2=32, nx3=1, x1min=0.4, x1max=2.0,
+                         x2min=-0.6, x2max=0.6, x3min=-3.14, x3max=3.14),
+}
+
+
+def _setup(coords, rotating):
+    import jax.numpy as jnp
+
+    mesh = MESHES[coords]
+    deck = f"""
+<artemis>
+problem = constant
+coordinates = {coords}
+<parthenon/time>
+tlim = 1.0
+<parthenon/mesh>
+nghost = 2
+""" + "\n".join(f"{k} = {v}" for k, v in mesh.items()) + """
+ix1_bc = outflow
+ox1_bc = outflow
+ix2_bc = outflow
+ox2_bc = outflow
+ix3_bc = periodic
+ox3_bc = periodic
+<physics>
+rotating_frame = """ + ("true" if rotating else "false") + """
+<rotating_frame>
+omega = 1.0
+<gas>
+gamma = 1.4
+<problem>
+rho = 1.0
+pres = 1.0
+"""
+    pin = ParameterInput.from_string(deck)
+    grid = grid_from_input(pin)
+    cfg = FluidCfg(fluid="gas", recon="plm", rsolver="hllc", gamma=1.4,
+                   cfl=0.3)
+    hyd = Hydro(grid, cfg)
+    nz, ny, nx = tuple(reversed(grid.nx))
+    rng = np.random.default_rng(2)
+    w = np.empty((1, 6, nz, ny, nx))
+    w[:, 0] = 1 + 0.2 * rng.random((nz, ny, nx))
+    w[:, 1:4] = 0.3 * (rng.random((1, 3, nz, ny, nx)) - 0.5)
+    w[:, 5] = 1 + 0.2 * rng.random((nz, ny, nx))
+    w[:, 4] = 0.4 * w[:, 0] * w[:, 5]
+    u, w = hyd.prim_to_cons(jnp.asarray(w), cfg)
+    return pin, grid, cfg, hyd, u, w
+
+
+@pytest.mark.parametrize("coords", list(MESHES))
+@pytest.mark.parametrize("pcm", [False, True])
+def test_curv_stage_full(coords, pcm):
+    import jax.numpy as jnp
+
+    pin, grid, cfg, hyd, u, w = _setup(coords, rotating=False)
+    u1 = u * 1.0
+    gam0, gam1, bdt = 0.5, 0.5, 1e-3
+    omf = 0.7
+    wp = bc_mod.pad_and_fill(w, grid, "gas", {})
+    fx = hyd.compute_fluxes(wp, cfg, pcm)
+    ur = hyd.apply_update(u, u1, fx, gam0, gam1, bdt)
+    ur = hyd.flux_source(ur, w, fx, bdt, omf=omf)
+    ur = hyd.set_auxiliary(ur, cfg)
+    wr = hyd.cons_to_prim(ur, cfg)
+    ur, wr = hyd.prim_to_cons(wr, cfg)
+
+    co = psc.CurvCoeffs(grid, omf, dtype=np.float64)
+    uf, wf, dmax = psc.stage_curv(wp, u, u1, grid, cfg, gam0, gam1, bdt,
+                                  pcm, co, co.pack(), full=True,
+                                  interpret=True)
+    assert float(jnp.max(jnp.abs(uf - ur))) < 1e-11
+    assert float(jnp.max(jnp.abs(wf - wr))) < 1e-11
+    assert abs(cfg.cfl / float(jnp.max(dmax))
+               - float(hyd.estimate_dt(wr, cfg))) < 1e-11
+
+
+@pytest.mark.parametrize("coords", list(MESHES))
+def test_curv_stage_partial_with_rotating_frame(coords):
+    import jax.numpy as jnp
+
+    pin, grid, cfg, hyd, u, w = _setup(coords, rotating=True)
+    rfs = RotatingFrame(pin, grid)
+    u1 = u * 1.0
+    gam0, gam1, bdt = 0.5, 0.5, 1e-3
+    omf = 1.0
+    wp = bc_mod.pad_and_fill(w, grid, "gas", {})
+    fx = hyd.compute_fluxes(wp, cfg, False)
+    ur = hyd.apply_update(u, u1, fx, gam0, gam1, bdt)
+    ur = hyd.flux_source(ur, w, fx, bdt, omf=omf)
+    st = rfs.apply({"gas": {"u": ur, "w": w}}, {"gas": fx}, 0.0, bdt, hyd)
+    ur_mid = st["gas"]["u"]
+
+    co = psc.CurvCoeffs(grid, omf, dtype=np.float64)
+    up, _, _ = psc.stage_curv(wp, u, u1, grid, cfg, gam0, gam1, bdt, False,
+                              co, co.pack(), full=False, rf_omega=omf,
+                              interpret=True)
+    assert float(jnp.max(jnp.abs(up - ur_mid))) < 1e-11
