@@ -98,6 +98,23 @@ class Driver:
         self.radiation = None
         if radiation is not None:
             self.radiation = radiation(self.hydro)
+        # lift big precomputed coefficient fields to device arrays: traced
+        # code then captures executable PARAMETERS instead of multi-MB HLO
+        # literal constants (keeps compiles fast/small at production sizes)
+        from .parallel.mesh import _walk_arrays, _set_path
+
+        for obj in list(self.sources) + [self.diffusion]:
+            if obj is None:
+                continue
+            fields = []
+            for k, v in vars(obj).items():
+                fields += _walk_arrays(v, (("attr", k),))
+            for path, arr in fields:
+                if arr.size >= 65536:
+                    try:
+                        _set_path(obj, path, jax.device_put(arr))
+                    except ValueError:
+                        pass  # immutable container; keep as numpy
         # fused whole-stage pallas fast path (Cartesian source-free gas)
         from .ops import pallas_stage as _ps
 
@@ -122,7 +139,10 @@ class Driver:
             # any other flux-consuming source forces the jnp path
             foldable = all(isinstance(s_, _RF) and not s_.shearing_box
                            for s_ in flux_srcs)
-            if foldable:
+            # with diffusion in the stage, splitting the XLA program around
+            # the kernel costs more than the flux fusion saves (measured on
+            # v5e) — keep the fully-fused jnp path there
+            if foldable and self.diffusion is None:
                 co = _psc.CurvCoeffs(grid, self.omf, dtype=np.float32)
                 self._curv = (co, co.pack())
                 self._curv_rf = flux_srcs[0].omega if flux_srcs else 0.0
@@ -212,9 +232,6 @@ class Driver:
                 gam0, gam1, bdt, force_pcm, co, packed, full=False,
                 rf_omega=self._curv_rf)
             w = state["gas"]["w"]
-            if self.diffusion is not None:
-                dfx = self.diffusion.fluxes(w_pad)
-                u = self.diffusion.update(u, w, dfx, bdt)
             new_state = dict(state)
             new_state["gas"] = {"u": u, "w": w}
             if self.dust_cfg is not None:

@@ -37,9 +37,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..geometry import geometry as geo
 from .pallas_sweeps import _hllc
 
-TY = 16  # y rows per block
-TZ = 4   # z planes per block
-YS = 24  # DMA'd y-slab rows (TY + 4 halo, rounded to the 8-row tiling)
+TY = 32  # y rows per block
+TZ = 8   # z planes per block
+YS = 40  # DMA'd y-slab rows (TY + 4 halo, rounded to the 8-row tiling)
 
 
 # ---------------------------------------------------------------------------
