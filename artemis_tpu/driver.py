@@ -468,6 +468,11 @@ class SimTime:
     ncycle: int = 0
     tlim: float = 1.0
     nlim: int = -1
+    # True when (time, dt) came from a checkpoint: the stored dt already had
+    # the 2x growth limit applied when it was written, so the first resumed
+    # cycle must use it as-is (re-applying growth would double it twice
+    # across the restart whenever dt is growth-limited)
+    restored: bool = False
 
 
 def evolve(driver: Driver, state, tm: SimTime, observers=None, log_every: int = 0,
@@ -485,10 +490,10 @@ def evolve(driver: Driver, state, tm: SimTime, observers=None, log_every: int = 
     t0 = _time.perf_counter()
     cycles0 = tm.ncycle
 
-    def set_global_dt():
+    def set_global_dt(grow: bool = True):
         """Parthenon SetGlobalTimeStep semantics: at most doubles the previous
         dt, takes the global CFL minimum, clamps the next step to tlim."""
-        dt = 2.0 * tm.dt if tm.dt < 0.1 * BIG else tm.dt
+        dt = 2.0 * tm.dt if (grow and tm.dt < 0.1 * BIG) else tm.dt
         dt = min(dt, driver.estimate_dt(state))
         if tm.time < tm.tlim and (tm.tlim - tm.time) < dt:
             dt = tm.tlim - tm.time
@@ -503,7 +508,10 @@ def evolve(driver: Driver, state, tm: SimTime, observers=None, log_every: int = 
                 t = min(t, ev)
         return t
 
-    set_global_dt()
+    # a checkpointed dt was growth-limited at write time — use it as-is for
+    # the first resumed cycle (the min/clamp below are idempotent on it)
+    set_global_dt(grow=not tm.restored)
+    tm.restored = False
     while tm.time < tm.tlim * (1.0 - 1e-12) and (tm.nlim < 0 or tm.ncycle < tm.nlim):
         if driver.host_coupled:
             # per-step python loop: particle advances interleave the stages

@@ -33,7 +33,6 @@ class FieldOutput:
 
     def _arrays(self, state):
         out = {}
-        drv = self.sim.driver
         names = {"gas": ["density", "velocity_x1", "velocity_x2", "velocity_x3",
                          "pressure", "sie"],
                  "dust": ["density", "velocity_x1", "velocity_x2", "velocity_x3"]}
@@ -44,6 +43,12 @@ class FieldOutput:
             for n in range(w.shape[0]):
                 for c, nm in enumerate(names[fluid]):
                     out[f"{fluid}.prim.{nm}_{n}"] = w[n, c]
+        if "rad" in state:
+            # radiation energy density (reference dumps the analogous
+            # field.jaybenne.energy_tally)
+            Er = np.asarray(state["rad"]["Er"])
+            for n in range(Er.shape[0]):
+                out[f"rad.energy_density_{n}"] = Er[n]
         return out
 
     def _write(self, state, tm, tag=None):
@@ -70,13 +75,39 @@ class FieldOutput:
         self._write(state, tm)
         self.next_time = self.dt_out
 
+    def resume(self, state, tm):
+        """Restart: continue numbering after the original run's dumps and
+        fire at the first boundary strictly after tm.time."""
+        self.count = _next_count(self.basename, ".npz")
+        self.next_time = _next_boundary(tm.time, self.dt_out)
+
     def __call__(self, state, tm):
-        while tm.time >= self.next_time * (1.0 - 1e-12):
+        if tm.time >= self.next_time * (1.0 - 1e-12):
             self._write(state, tm)
-            self.next_time += self.dt_out
+            self.next_time = _next_boundary(tm.time, self.dt_out)
 
     def finish(self, state, tm):
         self._write(state, tm, tag="final")
+
+
+def _next_boundary(time: float, dt_out: float) -> float:
+    """First output boundary strictly after ``time``."""
+    return (np.floor(time / dt_out * (1.0 + 1e-12)) + 1) * dt_out
+
+
+def _next_count(basename: str, suffix: str) -> int:
+    """Resume the dump counter after the highest existing numbered file."""
+    import glob
+    import re
+
+    pat = re.compile(re.escape(os.path.basename(basename)) + r"\.(\d+)"
+                     + re.escape(suffix) + "$")
+    hi = -1
+    for f in glob.glob(f"{basename}.*{suffix}"):
+        m = pat.match(os.path.basename(f))
+        if m:
+            hi = max(hi, int(m.group(1)))
+    return hi + 1
 
 
 class RestartOutput:
@@ -107,10 +138,14 @@ class RestartOutput:
     def start(self, state, tm):
         self.next_time = self.dt_out
 
+    def resume(self, state, tm):
+        self.count = _next_count(self.basename, ".rst.npz")
+        self.next_time = _next_boundary(tm.time, self.dt_out)
+
     def __call__(self, state, tm):
-        while tm.time >= self.next_time * (1.0 - 1e-12):
+        if tm.time >= self.next_time * (1.0 - 1e-12):
             self._write(state, tm)
-            self.next_time += self.dt_out
+            self.next_time = _next_boundary(tm.time, self.dt_out)
 
     def finish(self, state, tm):
         self._write(state, tm, tag="final")

@@ -82,13 +82,20 @@ class HistoryOutput:
         self._write_row(state, tm)
         self.next_time = self.dt_out
 
+    def resume(self, state, tm):
+        """Restart: append to the existing .hst (reference Parthenon behavior)
+        and fire at the first output boundary strictly after tm.time."""
+        self._wrote_header = os.path.exists(self.path) and os.path.getsize(self.path) > 0
+        self.next_time = (np.floor(tm.time / self.dt_out * (1.0 + 1e-12)) + 1) * self.dt_out
+
     def __call__(self, state, tm):
-        wrote = False
-        while tm.time >= self.next_time * (1.0 - 1e-12):
+        # one row per trigger even if the step crossed several dt_out
+        # boundaries — duplicate rows at identical (time, state) are noise
+        if tm.time >= self.next_time * (1.0 - 1e-12):
             self._write_row(state, tm)
-            wrote = True
-            self.next_time += self.dt_out
-        return wrote
+            self.next_time = (np.floor(tm.time / self.dt_out * (1.0 + 1e-12)) + 1) * self.dt_out
+            return True
+        return False
 
     def finish(self, state, tm):
         # ensure the final state is recorded exactly once (Parthenon writes a

@@ -37,7 +37,11 @@ def _lib():
     if _LIB is None:
         here = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "native")
         so = os.path.join(here, "libnbody.so")
-        if not os.path.exists(so):
+        src = os.path.join(here, "nbody.cpp")
+        stale = (not os.path.exists(so)
+                 or (os.path.exists(src)
+                     and os.path.getmtime(src) > os.path.getmtime(so)))
+        if stale:
             subprocess.run(["make", "-C", here], check=True, capture_output=True)
         _LIB = ctypes.CDLL(so)
         _LIB.nb_integrate.restype = ctypes.c_int

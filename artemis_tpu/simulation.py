@@ -51,10 +51,17 @@ class _NBodyOutputs:
         self.sim.nbody.write_outputs(self.sim.data_dir, self.pid, tm.time)
         self.next = self.dt_out
 
+    def resume(self, state, tm):
+        import numpy as _np
+
+        self.next = (_np.floor(tm.time / self.dt_out * (1.0 + 1e-12)) + 1) * self.dt_out
+
     def __call__(self, state, tm):
-        while tm.time >= self.next * (1.0 - 1e-12):
+        import numpy as _np
+
+        if tm.time >= self.next * (1.0 - 1e-12):
             self.sim.nbody.write_outputs(self.sim.data_dir, self.pid, tm.time)
-            self.next += self.dt_out
+            self.next = (_np.floor(tm.time / self.dt_out * (1.0 + 1e-12)) + 1) * self.dt_out
 
     @property
     def next_time(self):
@@ -279,6 +286,7 @@ class Simulation:
         # checkpoint: doc/src/running.rst:198-206, `-r name.final.rst`)
         import jax.numpy as jnp
 
+        self.restarted = restart is not None
         self.restart_payloads = {}  # name -> fn() -> np.ndarray (rst extras)
         if self.nbody is not None:
             self.restart_payloads["nbody"] = self.nbody.restart_payload
@@ -301,6 +309,7 @@ class Simulation:
                 ncycle=meta["ncycle"],
                 tlim=pin.get_real("parthenon/time", "tlim"),
                 nlim=pin.get_or_add_int("parthenon/time", "nlim", -1),
+                restored=True,
             )
             if self.problem.on_restart is not None:
                 self.problem.on_restart(self, payloads)
@@ -373,7 +382,9 @@ class Simulation:
             base = os.path.join(self.data_dir, f"{pid}.out{n}")
             if ftype == "hst":
                 fname = base + ".hst"
-                if os.path.exists(fname):
+                # restarts append to the existing history (Parthenon
+                # behavior); fresh runs start clean
+                if not self.restarted and os.path.exists(fname):
                     os.remove(fname)
                 obs.append(HistoryOutput(self, dt_out, fname))
             elif ftype == "hdf5":
@@ -392,7 +403,11 @@ class Simulation:
         deadline = (_t.perf_counter() + walltime) if walltime else None
         observers = self._make_observers() + list(extra_observers)
         for ob in observers:
-            if hasattr(ob, "start"):
+            # restarts resume counters/boundaries instead of re-emitting t=0
+            # outputs (which would duplicate the original run's)
+            if self.restarted and hasattr(ob, "resume"):
+                ob.resume(self.state, self.tm)
+            elif hasattr(ob, "start"):
                 ob.start(self.state, self.tm)
         self.state, self.tm, zcps, self.status = evolve(
             self.driver, self.state, self.tm, observers=observers,
