@@ -69,20 +69,27 @@ def apply_reflecting(w, d: int, ng: int, n: int, side: int, vel_comp: int):
 CustomBC = Callable[..., object]
 
 
-def pad_prims(w_int, grid):
+def pad_prims(w_int, grid, extra=(0, 0)):
     """Pad an interior primitive array with ghost slabs (edge-replicated;
-    every ghost cell is overwritten by fill_ghosts / halo exchange)."""
+    every ghost cell is overwritten by fill_ghosts / halo exchange).
+
+    ``extra = (ey, ex)`` appends unused trailing rows/lanes so a fused
+    kernel's DMA-alignment padding is produced here in the same copy
+    instead of a second full-array pass."""
     ng = grid.ng
-    pads = [(0, 0)] * (w_int.ndim - 3) + [(ng[2], ng[2]), (ng[1], ng[1]), (ng[0], ng[0])]
+    ey, ex = extra
+    pads = [(0, 0)] * (w_int.ndim - 3) + [(ng[2], ng[2]), (ng[1], ng[1] + ey),
+                                          (ng[0], ng[0] + ex)]
     return jnp.pad(w_int, pads, mode="edge")
 
 
-def pad_and_fill(w_int, grid, fluid: str, custom: Optional[Dict[str, CustomBC]] = None):
+def pad_and_fill(w_int, grid, fluid: str, custom: Optional[Dict[str, CustomBC]] = None,
+                 extra=(0, 0)):
     """Interior prims -> ghost-padded prims with all BCs applied."""
-    if all(grid.bc[d - 1] == ("periodic", "periodic")
-           for d in (1, 2, 3) if grid.active(d)):
+    if extra == (0, 0) and all(grid.bc[d - 1] == ("periodic", "periodic")
+                               for d in (1, 2, 3) if grid.active(d)):
         return _periodic_concat(w_int, grid)
-    return fill_ghosts(pad_prims(w_int, grid), grid, fluid, custom)
+    return fill_ghosts(pad_prims(w_int, grid, extra), grid, fluid, custom)
 
 
 def _periodic_concat(w_int, grid):

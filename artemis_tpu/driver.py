@@ -8,6 +8,7 @@ graph collapses into XLA program order (SURVEY.md §7).
 
 from __future__ import annotations
 
+import os
 import time as _time
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Tuple
@@ -139,17 +140,52 @@ class Driver:
             # any other flux-consuming source forces the jnp path
             foldable = all(isinstance(s_, _RF) and not s_.shearing_box
                            for s_ in flux_srcs)
-            # with diffusion in the stage, splitting the XLA program around
-            # the kernel costs more than the flux fusion saves (measured on
-            # v5e) — keep the fully-fused jnp path there
-            if foldable and self.diffusion is None:
-                co = _psc.CurvCoeffs(grid, self.omf, dtype=np.float32)
+            co = None
+            if foldable:
+                try:
+                    # viscous/thermal diffusion is fused into the kernel
+                    # (separable coefficient rows); unsupported coefficient
+                    # models raise and fall back to the jnp path
+                    co = _psc.CurvCoeffs(grid, self.omf, dtype=np.float32,
+                                         diff=self.diffusion)
+                except ValueError:
+                    co = None
+            if co is not None:
                 self._curv = (co, co.pack())
                 self._curv_rf = flux_srcs[0].omega if flux_srcs else 0.0
                 self._curv_srcs = [s_ for s_ in self.sources
                                    if s_ not in flux_srcs]
-                self._curv_full = (dust_cfg is None and not self.sources
-                                   and self.diffusion is None)
+                # fold a central point-mass gravity into the kernel
+                # (sources.Gravity gtype=point at the origin, no sink)
+                from .geometry import geometry as _geo
+                from .sources import Gravity as _Gravity
+
+                self._curv_grav = None
+                if dust_cfg is None:
+                    for s_ in list(self._curv_srcs):
+                        if not (isinstance(s_, _Gravity)
+                                and s_.gtype == "point"
+                                and (s_.sink_rate <= 0.0
+                                     or s_.sink_rad <= 0.0)):
+                            continue
+                        c_ = grid.coords
+                        if (_geo.is_spherical(c_)
+                                and _geo.is_axisymmetric(c_)) \
+                                or c_ == "axisymmetric":
+                            # pure-radial branches (point_mass.cpp:70-105)
+                            gmode = "sph"
+                        elif (c_ in ("spherical3D", "cylindrical")
+                              and grid.nx[1] > 1 and grid.nx[2] > 1
+                              and s_.pos == (0.0, 0.0, 0.0)):
+                            # general cartesian branch at the origin
+                            gmode = "cart"
+                        else:
+                            continue
+                        self._curv_grav = (s_.gm, s_.soft2, gmode,
+                                           s_.tstart, s_.tstop)
+                        self._curv_srcs.remove(s_)
+                        break
+                self._curv_full = dust_cfg is None and not self._curv_srcs
         self._step = jax.jit(self._build_step())
         self._dt_fn = jax.jit(self._estimate_dt)
         self._advance = jax.jit(self._build_advance())
@@ -216,21 +252,30 @@ class Driver:
             from .ops import pallas_stage_curv as _psc
 
             co, packed = self._curv
+            grav = None
+            grav_dt = 0.0
+            if self._curv_grav is not None:
+                gm_, soft2_, gmode, tstart, tstop = self._curv_grav
+                grav = (gm_, soft2_, gmode)
+                grav_dt = jnp.where(
+                    jnp.logical_and(time >= tstart, time < tstop), bdt, 0.0)
             w_pad = self.fill_ghosts(state["gas"]["w"], "gas")
             if self._curv_full:
                 u, w, dmax = _psc.stage_curv(
                     w_pad, state["gas"]["u"], u1["gas"], self.grid,
                     self.gas_cfg, gam0, gam1, bdt, force_pcm, co, packed,
-                    full=True)
+                    full=True, rf_omega=self._curv_rf,
+                    grav=grav, grav_dt=grav_dt)
                 new_state = dict(state)
                 new_state["gas"] = {"u": u, "w": w, "dtden": dmax}
                 return new_state, None
             # partial: fused fluxes/update/flux-sources (+ folded rotating-
-            # frame torque), then the jnp source chain
+            # frame torque + point gravity + diffusion), then the jnp
+            # source chain
             u, _, _ = _psc.stage_curv(
                 w_pad, state["gas"]["u"], u1["gas"], self.grid, self.gas_cfg,
                 gam0, gam1, bdt, force_pcm, co, packed, full=False,
-                rf_omega=self._curv_rf)
+                rf_omega=self._curv_rf, grav=grav, grav_dt=grav_dt)
             w = state["gas"]["w"]
             new_state = dict(state)
             new_state["gas"] = {"u": u, "w": w}
@@ -383,7 +428,21 @@ class Driver:
     def fill_ghosts(self, w_int, fluid: str):
         """Interior prims -> padded prims.  Overridden by the sharded driver
         to insert ppermute halo exchange."""
-        return bc_mod.pad_and_fill(w_int, self.grid, fluid, self.bc_custom)
+        extra = (0, 0)
+        if (self._curv is not None and w_int.dtype == jnp.float32
+                and os.environ.get("ARTEMIS_ALIGNED_PAD") == "1"):
+            # produce the fused kernel's DMA-aligned extents in this same
+            # copy instead of a second pad pass.  Measured SLOWER on v5e
+            # (edge-mode pad to the aligned extent beats XLA's separate
+            # zero pad) — kept behind an env flag for other parts.
+            from .ops import pallas_stage_curv as _psc
+
+            nx = self.grid.nx[0]
+            g1 = self.grid.ng[0]
+            xp_al = -(-(nx + 2 * g1) // 128) * 128
+            extra = (_psc.YS - (_psc.TY + 4), xp_al - (nx + 2 * g1))
+        return bc_mod.pad_and_fill(w_int, self.grid, fluid, self.bc_custom,
+                                   extra=extra)
 
     def _build_advance(self):
         """Compiled multi-step advance: a lax.while_loop that marches the
@@ -437,6 +496,11 @@ class Driver:
             return state
         cfg = self.gas_cfg
         dt0 = self.hydro.estimate_dt(state["gas"]["w"], cfg)
+        if curv_full and self.diffusion is not None:
+            # the fused kernel folds the diffusive limit into dtden; the
+            # seed must too, or the first restarted/initial dt can exceed it
+            dt0 = jnp.minimum(dt0, cfg.cfl * self.diffusion.estimate_dt(
+                state["gas"]["w"]))
         if curv_full:
             from .ops import pallas_stage_curv as _psc
 

@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..geometry import geometry as geo
-from .pallas_sweeps import _hllc
+from .pallas_sweeps import RIEMANN
 
 TY = 32  # y rows per block
 TZ = 8   # z planes per block
@@ -139,28 +139,34 @@ def _rf_bundle(grid):
         weights[2] = (
             ((rv**2, stv2), (-rface**2, stm2)),
             ((-rv**2, stv2), (rface**2, stp2)))
-    # basis rows (phi-hat / R-hat components of the problem basis) and Rcyl
+    # basis rows (phi-hat / R-hat / z-hat components of the problem basis)
+    # and Rcyl
     if c in ("cylindrical",):
         phihat = [(z1, z2), (o1, o2), (z1, z2)]
         rhat = [(o1, o2), (z1, z2), (z1, z2)]
+        zhat = [(z1, z2), (z1, z2), (o1, o2)]
         Rcyl = (g.xv1, o2)
     elif c == "axisymmetric":
         phihat = [(z1, z2), (z1, z2), (o1, o2)]
         rhat = [(o1, o2), (z1, z2), (z1, z2)]
+        zhat = [(z1, z2), (o1, o2), (z1, z2)]
         Rcyl = (g.xv1, o2)
     elif c == "spherical1D":
         phihat = [(z1, z2), (z1, z2), (o1, o2)]
         rhat = [(o1, o2), (z1, z2), (z1, z2)]
+        zhat = [(z1, z2), (z1, z2), (z1, z2)]
         Rcyl = (g.xv1, o2)
     elif c in ("spherical2D", "spherical3D"):
         phihat = [(z1, z2), (z1, z2), (o1, o2)]
         rhat = [(o1, np.sin(g.xv2)), (o1, np.cos(g.xv2)), (z1, z2)]
+        zhat = [(o1, np.cos(g.xv2)), (o1, -np.sin(g.xv2)), (z1, z2)]
         Rcyl = (g.xv1, np.sin(g.xv2))
     else:
         phihat = [(z1, z2)] * 3
         rhat = [(z1, z2)] * 3
+        zhat = [(z1, z2)] * 3
         Rcyl = (z1, z2)
-    return weights, phihat, rhat, Rcyl
+    return weights, phihat, rhat, zhat, Rcyl
 
 
 def _rotation_factors(grid, omf):
@@ -183,10 +189,96 @@ def _rotation_factors(grid, omf):
     return [zero, zero, zero]
 
 
+def _delta_rows(xv, two_sided: bool):
+    """|x_i - x_{i-1}| (face-indexed at cell i) or |x_{i+1} - x_{i-1}|
+    (cell-centered, two_sided) rows; edge entries cloned (never used at
+    valid faces, mirrors the jnp path's np.roll wrap garbage)."""
+    d = np.empty_like(xv)
+    if two_sided:
+        d[1:-1] = xv[2:] - xv[:-2]
+        d[0], d[-1] = d[1], d[-2]
+    else:
+        d[1:] = xv[1:] - xv[:-1]
+        d[0] = d[1]
+    return np.abs(d)
+
+
+def _dist_factors(grid, d: int, two_sided: bool):
+    """Separable (f1, f2, f3) per-axis rows of the physical distance between
+    neighbor centroids along axis d (chord distances; exactly the Cartesian
+    centroid-to-centroid norms the jnp Diffusion computes, diffusion.py)."""
+    g = grid.geom
+    c = grid.coords
+    o1 = np.ones_like(g.xv1)
+    o2 = np.ones_like(g.xv2)
+    o3 = np.ones_like(g.xv3)
+    xv = {1: g.xv1, 2: g.xv2, 3: g.xv3}[d]
+    dlin = _delta_rows(xv, two_sided)
+    dang = 2.0 * np.sin(0.5 * dlin)  # chord of an angular separation
+    f1, f2, f3 = o1, o2, o3
+    if d == 1:
+        f1 = dlin
+    elif d == 2:
+        if c == "cylindrical":                      # x2 = phi
+            f1, f2 = g.xv1, dang
+        elif geo.is_spherical(c):                   # x2 = theta
+            f1, f2 = g.xv1, dang
+        else:                                        # axisymmetric x2 = z
+            f2 = dlin
+    else:
+        if c == "cylindrical":                       # x3 = z
+            f3 = dlin
+        elif geo.is_spherical(c):                    # x3 = phi
+            f1, f2, f3 = g.xv1, np.sin(g.xv2), dang
+        elif c == "axisymmetric":                    # x3 = phi
+            f1, f3 = g.xv1, dang
+        else:
+            f3 = dlin
+    return np.asarray(f1), np.asarray(f2), np.asarray(f3)
+
+
+def _zcart_factors(grid):
+    """Separable (f1, f2, f3) rows of the Cartesian z coordinate (for the
+    spherical radius used by alpha viscosity: r^2 = Rcyl^2 + z^2)."""
+    g = grid.geom
+    c = grid.coords
+    o1 = np.ones_like(g.xv1)
+    o2 = np.ones_like(g.xv2)
+    o3 = np.ones_like(g.xv3)
+    z1 = np.zeros_like(g.xv1)
+    if geo.is_spherical(c):
+        return g.xv1, np.cos(g.xv2) if geo.x2dep(c) else o2 * 0.0, o3
+    if c == "cylindrical":
+        return o1, o2, g.xv3
+    if c == "axisymmetric":
+        return o1, g.xv2, o3
+    return z1, o2, o3
+
+
+# viscosity/conduction models the fused kernel can evaluate from separable
+# coefficient rows (DiffusionCoeff<...>, diffusion_coeff.hpp)
+_DIFF_KINDS = ("viscosity_plaw", "viscosity_alpha", "conductivity_plaw",
+               "thermaldiff_plaw")
+
+
+def _dp_tuple(dp):
+    """Flatten DiffParams into the static tuple the kernel closes over:
+    (kind, avg, a, b, c, d, e, f) with per-kind slot meanings (see
+    mu_model in the kernel)."""
+    if dp is None:
+        return None
+    if dp.kind == "viscosity_plaw":
+        return (dp.kind, dp.avg, dp.nu_s, dp.eta, dp.r_exp, dp.R0, 0.0, 0.0)
+    if dp.kind == "viscosity_alpha":
+        return (dp.kind, dp.avg, dp.alpha, dp.eta, dp.R0, dp.Omega0, 0.0, 0.0)
+    coef = dp.hcond_0 if dp.kind == "conductivity_plaw" else dp.kappa_0
+    return (dp.kind, dp.avg, coef, 0.0, dp.temp_exp, dp.rho_exp, dp.T0, dp.d0)
+
+
 class CurvCoeffs:
     """Per-grid coefficient bundle for the curvilinear stage kernel."""
 
-    def __init__(self, grid, omf: float, dtype=np.float32):
+    def __init__(self, grid, omf: float, dtype=np.float32, diff=None):
         g = grid.geom
         c = grid.coords
         self.coords = c
@@ -255,6 +347,17 @@ class CurvCoeffs:
                 self.inv_w[d] = (1.0 / f1, 1.0 / f2)
         self.dx3 = g.dx3
         self.dtype = dtype
+        self.zc = _zcart_factors(grid)  # cartesian z rows (rsph, gravity)
+        # --- fused diffusion (viscosity/conduction) coefficient rows -----
+        self.diff = None
+        if diff is not None:
+            for dp in (diff.visc, diff.cond):
+                if dp is not None and dp.kind not in _DIFF_KINDS:
+                    raise ValueError(f"unsupported diffusion kind {dp.kind}")
+            self.diff = diff
+            self.dims = [d for d in (1, 2, 3) if grid.active(d)]
+            self.dist1 = {d: _dist_factors(grid, d, False) for d in self.dims}
+            self.dist2 = {d: _dist_factors(grid, d, True) for d in self.dims}
 
     def pack(self):
         """Pack every row into three matrices CX [*, n1], CY [*, n2],
@@ -286,14 +389,16 @@ class CurvCoeffs:
                              for cmp in range(3))
         ix["invw_1"] = tuple(add(rows_x, None, self.inv_w[d][0])
                              for d in (1, 2, 3))
-        weights, phihat, rhat, Rcyl = self.rf
+        weights, phihat, rhat, zhat, Rcyl = self.rf
         for d in (1, 2, 3):
             lo_t, hi_t = weights[d]
             ix[f"rfw{d}_lo_1"] = tuple(add(rows_x, None, t[0]) for t in lo_t)
             ix[f"rfw{d}_hi_1"] = tuple(add(rows_x, None, t[0]) for t in hi_t)
         ix["phihat_1"] = tuple(add(rows_x, None, phihat[c][0]) for c in range(3))
         ix["rhat_1"] = tuple(add(rows_x, None, rhat[c][0]) for c in range(3))
+        ix["zhat_1"] = tuple(add(rows_x, None, zhat[c][0]) for c in range(3))
         ix["rcyl_1"] = add(rows_x, None, Rcyl[0])
+        ix["zc_1"] = add(rows_x, None, self.zc[0])
 
         # Y rows
         xv, xlo, xhi, dx = self.recon[2]
@@ -313,14 +418,16 @@ class CurvCoeffs:
                              for cmp in range(3))
         ix["invw_2"] = tuple(add(rows_y, None, self.inv_w[d][1])
                              for d in (1, 2, 3))
-        weights, phihat, rhat, Rcyl = self.rf
+        weights, phihat, rhat, zhat, Rcyl = self.rf
         for d in (1, 2, 3):
             lo_t, hi_t = weights[d]
             ix[f"rfw{d}_lo_2"] = tuple(add(rows_y, None, t[1]) for t in lo_t)
             ix[f"rfw{d}_hi_2"] = tuple(add(rows_y, None, t[1]) for t in hi_t)
         ix["phihat_2"] = tuple(add(rows_y, None, phihat[c][1]) for c in range(3))
         ix["rhat_2"] = tuple(add(rows_y, None, rhat[c][1]) for c in range(3))
+        ix["zhat_2"] = tuple(add(rows_y, None, zhat[c][1]) for c in range(3))
         ix["rcyl_2"] = add(rows_y, None, Rcyl[1])
+        ix["zc_2"] = add(rows_y, None, self.zc[1])
 
         # Z rows
         xv, xlo, xhi, dx = self.recon[3]
@@ -332,6 +439,16 @@ class CurvCoeffs:
         for d in (1, 2):
             ix[f"upd{d}_t3"] = add(rows_z, None, self.upd[d]["t3"])
         ix["inv_dx3"] = add(rows_z, None, 1.0 / self.dx3)
+        ix["zc_3"] = add(rows_z, None, self.zc[2])
+
+        # diffusion rows (distance chords)
+        if self.diff is not None:
+            for d in self.dims:
+                for nm, bundle in (("d1", self.dist1), ("d2", self.dist2)):
+                    f1, f2, f3 = bundle[d]
+                    ix[f"{nm}_{d}_1"] = add(rows_x, None, f1)
+                    ix[f"{nm}_{d}_2"] = add(rows_y, None, f2)
+                    ix[f"{nm}_{d}_3"] = add(rows_z, None, f3)
 
         CX = np.stack(rows_x)
         CY = np.stack(rows_y)
@@ -356,8 +473,11 @@ def _plm_g(q, axis, lo, count, xv, xlo, xhi, dx, pcm):
         return r[start:start + num]
 
     def bc(r):
-        shp = [1] * q.ndim
-        shp[axis] = -1
+        # broadcast shape from ``axis`` to the end only: Mosaic cannot
+        # reshape a 1-D vector to rank 4, and leading singleton dims are
+        # supplied by broadcasting anyway
+        shp = [1] * (q.ndim - axis)
+        shp[0] = -1
         return r.reshape(shp)
 
     if pcm:
@@ -386,11 +506,12 @@ def _plm_g(q, axis, lo, count, xv, xlo, xhi, dx, pcm):
     return sl(ql, lo - 2, count), sl(qr, lo - 1, count)
 
 
-def _stage_kernel_curv(bdt_ref, u0_ref, u1_ref, wp_hbm, cx_ref, cy_ref,
-                       cz_ref, u_ref, w_ref, dm_ref, scratch, sem, *,
-                       ng, nx, tz, ty, active_z, pcm, gamma, gam0, gam1,
+def _stage_kernel_curv(bdt_ref, gdt_ref, u0_ref, u1_ref, wp_hbm, cx_ref,
+                       cyw_ref, czw_ref, u_ref, w_ref, dm_ref, scratch, sem,
+                       *, ng, nx, tz, ty, active_z, pcm, gamma, gam0, gam1,
                        dfloor, siefloor, de_switch, ix, full, x1dep, x2dep,
-                       has_rot, rf_omega):
+                       has_rot, rf_omega, rsolver="hllc", diff=None, cv=1.5,
+                       grav=None):
     i = pl.program_id(0)
     j = pl.program_id(1)
     zsz = tz + 4 if active_z else 1
@@ -400,8 +521,6 @@ def _stage_kernel_curv(bdt_ref, u0_ref, u1_ref, wp_hbm, cx_ref, cy_ref,
     dma.start()
     bdt = bdt_ref[0]
     CX = cx_ref[...]
-    CY = cy_ref[...]
-    CZ = cz_ref[...]
     dma.wait()
     s = scratch[...][:, :, :ty + 4]       # [6, zsz, ty+4, xp]
 
@@ -410,21 +529,27 @@ def _stage_kernel_curv(bdt_ref, u0_ref, u1_ref, wp_hbm, cx_ref, cy_ref,
     def rx(k):
         return CX[k]
 
-    # Y rows: padded rows [j*ty, j*ty + ty + 4) for recon-aligned windows,
-    # [j*ty + 2, +ty) for interior-cell windows
+    # Y/Z rows arrive pre-windowed per block via BlockSpec (cyw/czw hold
+    # the [ty+4]/[tz+4] window of every row for this block) so all
+    # in-kernel slices are static — Mosaic cannot lower dynamic unaligned
+    # lane-offset loads.
     def ry_pad(k):
-        return jax.lax.dynamic_slice_in_dim(CY[k], j * ty, ty + 4, 0)
+        return cyw_ref[0, k]
 
     def ry(k):
-        return jax.lax.dynamic_slice_in_dim(CY[k], j * ty + 2, ty, 0)
+        return cyw_ref[0, k, 2:2 + ty]
 
+    # Z rows load as 2-D (n, 1) — the trailing singleton is stored in the
+    # packed array because Mosaic cannot relayout a 1-D lane vector into the
+    # sublane/implicit dims ((n,) -> (n,1,1) reshape fails; (n,1) -> (n,1,1)
+    # is supported)
     def rz_pad(k):
-        return jax.lax.dynamic_slice_in_dim(CZ[k], i * tz, tz + 4, 0)
+        return czw_ref[0, k]
 
     def rz(k):
         if not active_z:
-            return CZ[k][:1]
-        return jax.lax.dynamic_slice_in_dim(CZ[k], i * tz + 2, tz, 0)
+            return czw_ref[0, k, 0:1]
+        return czw_ref[0, k, 2:2 + tz]
 
     Z = tz if active_z else 1
 
@@ -441,8 +566,9 @@ def _stage_kernel_curv(bdt_ref, u0_ref, u1_ref, wp_hbm, cx_ref, cy_ref,
         ivx = d
         ivy = (d % 3) + 1
         ivz = ((d + 1) % 3) + 1
-        return _hllc(tuple(wl[c] for c in range(6)),
-                     tuple(wr[c] for c in range(6)), ivx, ivy, ivz, gamma)
+        return RIEMANN[rsolver](tuple(wl[c] for c in range(6)),
+                                tuple(wr[c] for c in range(6)),
+                                ivx, ivy, ivz, gamma)
 
     zc = slice(2, 2 + Z) if active_z else slice(0, 1)
 
@@ -470,8 +596,7 @@ def _stage_kernel_curv(bdt_ref, u0_ref, u1_ref, wp_hbm, cx_ref, cy_ref,
     Fy, pfy, vfy = hllc6(wl, wr, 2)
     for c in range(3):
         f1 = b1(rx(ix[f"fh2_1"][c])[ng:ng + nx])
-        f2full = jax.lax.dynamic_slice_in_dim(CY[ix[f"fh2_2"][c]],
-                                              j * ty + 2, ty + 1, 0)
+        f2full = cyw_ref[0, ix[f"fh2_2"][c], 2:2 + ty + 1]
         Fy[1 + c] = Fy[1 + c] * (f2full.reshape(1, -1, 1) * f1)
 
     # ---- Z sweep -----------------------------------------------------
@@ -602,6 +727,381 @@ def _stage_kernel_curv(bdt_ref, u0_ref, u1_ref, wp_hbm, cx_ref, cy_ref,
         rcyl = b1(rx(ix["rcyl_1"])[ng:ng + nx]) * b2(ry(ix["rcyl_2"]))
         u[4] = u[4] + om2dt * rcyl * fdotr
 
+    # ---- folded central point-mass gravity (Gravity gtype=point at the
+    # origin, no sink; sources.py _point_accel/_kick).  The acceleration is
+    # -gm r_vec / norm, decomposed onto the problem basis from separable
+    # Rcyl/z and R-hat/z-hat rows; gdt carries the tstart/tstop window.
+    if grav is not None:
+        gm_, soft2_, gmode = grav
+        gdt = gdt_ref[0]
+        Rc_i = b1(rx(ix["rcyl_1"])[ng:ng + nx]) * b2(ry(ix["rcyl_2"]))
+        zc_i = b1(rx(ix["zc_1"])[ng:ng + nx]) * b2(ry(ix["zc_2"])) \
+            * b3(rz(ix["zc_3"]))
+        r2 = Rc_i * Rc_i + zc_i * zc_i
+        inv_r = jax.lax.rsqrt(r2)
+        if gmode == "sph":
+            # spherical/axisymmetric branch: g = -gm/(r^2+soft^2) r-hat
+            gmag = -gm_ / (r2 + soft2_) * inv_r
+        else:
+            # general (cylindrical-3D) branch: g = -gm r_vec/(r^2+soft^2)^1.5
+            rs2 = r2 + soft2_
+            gmag = -gm_ / (rs2 * jnp.sqrt(rs2))
+        wi_g = s[:, zc, 2:2 + ty, ng:ng + nx]
+        rho_g = wi_g[0]
+        hx_g = [b1(rx(ix["hv_1"][c])[ng:ng + nx]) * b2(ry(ix["hv_2"][c]))
+                for c in range(3)]
+        vdotg = 0.0
+        for c in range(3):
+            rh = b1(rx(ix["rhat_1"][c])[ng:ng + nx]) * b2(ry(ix["rhat_2"][c]))
+            zh = b1(rx(ix["zhat_1"][c])[ng:ng + nx]) * b2(ry(ix["zhat_2"][c]))
+            g_c = gmag * (Rc_i * rh + zc_i * zh)
+            u[1 + c] = u[1 + c] + gdt * rho_g * hx_g[c] * g_c
+            vdotg = vdotg + wi_g[1 + c] * g_c
+        u[4] = u[4] + gdt * rho_g * vdotg
+
+    # ---- fused viscous/thermal diffusion (Diffusion.fluxes/update,
+    # ops/diffusion.py; ref src/utils/diffusion/*.hpp).  All geometry
+    # enters as separable per-axis rows; the stress stencil fits the
+    # 2-cell slab halo exactly.
+    den_diff = None
+    if diff is not None:
+        visc, cond = diff
+        dims = [1, 2] + ([3] if active_z else [])
+        ndim = len(dims)
+        sW = s[:, :, :, :nx + 2 * ng]            # [6, Zw, ty+4, nx+4]
+        Zw = sW.shape[1]
+
+        def rxw(k):
+            return rx(k)[:nx + 2 * ng]
+
+        def _zsl(zr):
+            return slice(zr[0], zr[0] + zr[1]) if active_z else slice(0, 1)
+
+        def wv(a, zr, yr, xr):
+            """Slice a [Zw, Yw, Xw] window value."""
+            return a[_zsl(zr), yr[0]:yr[0] + yr[1], xr[0]:xr[0] + xr[1]]
+
+        def prow(base, zr, yr, xr, clamp=None):
+            """Product of per-axis rows (kx, ky, kz index keys) over the
+            given window ranges."""
+            kx, ky, kz = base
+            out = 1.0
+            if kx is not None:
+                out = out * b1(rxw(kx)[xr[0]:xr[0] + xr[1]])
+            if ky is not None:
+                out = out * b2(ryw(ky)[yr[0]:yr[0] + yr[1]])
+            if kz is not None:
+                rzr = rzw(kz)
+                out = out * b3(rzr[zr[0]:zr[0] + zr[1]] if active_z
+                               else rzr[0:1])
+            if clamp is not None:
+                out = jnp.maximum(out, clamp)
+            return out
+
+        def ryw(k):
+            return cyw_ref[0, k]
+
+        def rzw(k):
+            return czw_ref[0, k]
+
+        nsz = {1: nx, 2: ty, 3: tz if active_z else 1}
+        W_INT = {1: (2, nx), 2: (2, ty), 3: (2, tz) if active_z else (0, 1)}
+
+        def axr(d, what):
+            """(zr, yr, xr) with range builder `what` on axis d, interior
+            elsewhere."""
+            zr, yr, xr = W_INT[3], W_INT[2], W_INT[1]
+            n = nsz[d]
+            if d == 1:
+                xr = what(n)
+            elif d == 2:
+                yr = what(n)
+            else:
+                zr = what(n)
+            return zr, yr, xr
+
+        LO = lambda n: (1, n + 1)    # lower-neighbor cells of faces 0..n
+        HI = lambda n: (2, n + 1)    # upper cells of faces 0..n
+        INN = lambda n: (1, n + 2)   # cells with valid +/-1 neighbors
+
+        tiny = 1e-30 if sW.dtype == jnp.float32 else 1e-300
+
+        # window-wide fields -------------------------------------------
+        FULLR = {1: (0, nx + 4), 2: (0, ty + 4),
+                 3: (0, Zw) if active_z else (0, 1)}
+        fz, fy, fx = FULLR[3], FULLR[2], FULLR[1]
+        rho_w = sW[0]
+        sie_w = sW[5]
+        inv_h = []
+        for cc in range(3):
+            hcc = prow((ix["hv_1"][cc], ix["hv_2"][cc], None), fz, fy, fx)
+            inv_h.append(1.0 / hcc)
+        vcon = [sW[1 + cc] * inv_h[cc] for cc in range(3)]
+
+        def mu_model(dp):
+            kind, avg, a_, b_, c_, d_, e_, f_ = dp
+            if kind == "viscosity_plaw":
+                # a=nu_s, b=eta, c=r_exp, d=R0
+                Rc = prow((ix["rcyl_1"], ix["rcyl_2"], None), fz, fy, fx)
+                out = a_ * rho_w
+                if c_ != 0.0:
+                    out = out * (Rc / d_) ** c_
+                return out
+            if kind == "viscosity_alpha":
+                # a=alpha, b=eta, c=R0, d=Omega0
+                Rc = prow((ix["rcyl_1"], ix["rcyl_2"], None), fz, fy, fx)
+                zc_w = prow((ix["zc_1"], ix["zc_2"], ix["zc_3"]), fz, fy, fx)
+                rs = jnp.sqrt(Rc * Rc + zc_w * zc_w)
+                Omk = d_ * (rs / c_) ** -1.5
+                return a_ * gamma * (gamma - 1.0) * rho_w * sie_w / Omk
+            # conduction: a=coef, c=temp_exp, d=rho_exp, e=T0, f=d0
+            T = sie_w / cv
+            base = 1.0
+            if c_ != 0.0:
+                base = base * (T / e_) ** c_
+            if d_ != 0.0:
+                base = base * (rho_w / f_) ** d_
+            if kind == "conductivity_plaw":
+                return a_ * base
+            return a_ * base * rho_w * cv  # thermaldiff_plaw
+
+        if visc is not None:
+            mu_w = mu_model(visc)
+            eta_b = visc[3]
+            # divu on the inner window (cells with +/-1 neighbors)
+            zi_r, yi_r, xi_r = ((INN(tz) if active_z else (0, 1)),
+                                INN(ty), INN(nx))
+            divv = 0.0
+            upd_t = {1: (None, ix["upd1_t2"], ix["upd1_t3"]),
+                     2: (ix["upd2_t1"], None, ix["upd2_t3"]),
+                     3: (ix["upd3_t1"], ix["upd3_t2"], None)}
+            upd_own = {1: (ix["upd1_face"], ix["upd1_facep"], ix["upd1_iv"]),
+                       2: (ix["upd2_face"], ix["upd2_facep"], ix["upd2_iv"]),
+                       3: (ix["upd3_face"], ix["upd3_facep"], ix["upd3_iv"])}
+
+            def inn_shift(d, off):
+                """Inner-window cells shifted by off along d."""
+                zr, yr, xr = zi_r, yi_r, xi_r
+                if d == 1:
+                    xr = (xr[0] + off, xr[1])
+                elif d == 2:
+                    yr = (yr[0] + off, yr[1])
+                else:
+                    zr = (zr[0] + off, zr[1])
+                return zr, yr, xr
+
+            for d in dims:
+                v = sW[d]  # physical velocity component (as jnp _divu)
+                v0 = wv(v, *inn_shift(d, 0))
+                vp = wv(v, *inn_shift(d, +1))
+                vm = wv(v, *inn_shift(d, -1))
+                kf, kfp, kiv = upd_own[d]
+                zr, yr, xr = zi_r, yi_r, xi_r
+                own_r = {1: xr, 2: yr, 3: zr}[d]
+                rw = {1: rxw, 2: ryw, 3: rzw}[d]
+                bO = {1: b1, 2: b2, 3: b3}[d]
+
+                def own_row(k, rng):
+                    r = rw(k)
+                    if d == 3 and not active_z:
+                        return bO(r[0:1])
+                    return bO(r[rng[0]:rng[0] + rng[1]])
+
+                af_lo = own_row(kf, own_r)
+                af_hi = own_row(kfp, own_r)
+                iv_d = own_row(kiv, own_r)
+                tA, tB = [k for k in upd_t[d] if k is not None]
+                # transverse factors live on the other two axes
+                if d == 1:
+                    tfac = b2(ryw(tA)[yr[0]:yr[0] + yr[1]]) * (
+                        b3(rzw(tB)[zr[0]:zr[0] + zr[1]] if active_z
+                           else rzw(tB)[0:1]))
+                elif d == 2:
+                    tfac = b1(rxw(tA)[xr[0]:xr[0] + xr[1]]) * (
+                        b3(rzw(tB)[zr[0]:zr[0] + zr[1]] if active_z
+                           else rzw(tB)[0:1]))
+                else:
+                    tfac = b1(rxw(tA)[xr[0]:xr[0] + xr[1]]) \
+                        * b2(ryw(tB)[yr[0]:yr[0] + yr[1]])
+                divv = divv + (af_hi * (v0 + vp) - af_lo * (v0 + vm)) \
+                    * iv_d * tfac
+            divv = divv * 0.5
+            # src_i = v^k dh_i/dx_k on the full window
+            src2 = vcon[0] * prow((ix["conn1"][1], None, None), fz, fy, fx)
+            src3 = vcon[0] * prow((ix["conn1"][2], None, None), fz, fy, fx) \
+                + vcon[1] * prow((None, ix["conn2"], None), fz, fy, fx)
+            src = {1: jnp.zeros_like(rho_w), 2: src2, 3: src3}
+
+        if cond is not None:
+            kap_w = mu_model(cond)
+            T_w = sie_w / cv
+
+        def face_avg(dp, a, d):
+            lo = wv(a, *axr(d, LO))
+            hi = wv(a, *axr(d, HI))
+            if dp[1] == "harmonic":
+                return 2.0 * lo * hi / (lo + hi)
+            return 0.5 * (lo + hi)
+
+        def ddiff(a, d):
+            """a[hi cells] - a[lo cells] at faces along d."""
+            return wv(a, *axr(d, HI)) - wv(a, *axr(d, LO))
+
+        def fh_prod(d, comp, face_axis_rng):
+            """h_comp at faces along d (separable face_h factors)."""
+            kx = ix[f"fh{d}_1"][comp]
+            ky = ix[f"fh{d}_2"][comp]
+            if d == 1:
+                f1 = b1(rx(kx)[ng:ng + nx + 1])
+                f2 = b2(ryw(ky)[2:2 + ty])
+            elif d == 2:
+                f1 = b1(rx(kx)[ng:ng + nx])
+                f2 = b2(ryw(ky)[2:2 + ty + 1])
+            else:
+                f1 = b1(rx(kx)[ng:ng + nx])
+                f2 = b2(ryw(ky)[2:2 + ty])
+            return f1 * f2
+
+        dF = {}
+        diag_face = {}
+        for d in dims:
+            d1r = prow((ix[f"d1_{d}_1"], ix[f"d1_{d}_2"], ix[f"d1_{d}_3"]),
+                       *axr(d, HI), clamp=tiny)
+            rows_f = None
+            if visc is not None:
+                mus = face_avg(visc, mu_w, d)
+                hdf = fh_prod(d, d - 1, None)
+                rows_f = []
+                for comp in (1, 2, 3):
+                    if comp == d:
+                        t = (2.0 * ddiff(vcon[d - 1], d) / d1r
+                             + 0.5 * (wv(src[d], *axr(d, HI))
+                                      + wv(src[d], *axr(d, LO))))
+                        # divu lives on the inner window (offset -1)
+                        dz_, dy_, dx_ = axr(d, HI)
+                        davg_hi = divv[_zsl((dz_[0] - 1, dz_[1])),
+                                       dy_[0] - 1:dy_[0] - 1 + dy_[1],
+                                       dx_[0] - 1:dx_[0] - 1 + dx_[1]]
+                        lz_, ly_, lx_ = axr(d, LO)
+                        davg_lo = divv[_zsl((lz_[0] - 1, lz_[1])),
+                                       ly_[0] - 1:ly_[0] - 1 + ly_[1],
+                                       lx_[0] - 1:lx_[0] - 1 + lx_[1]]
+                        f = hdf * mus * (
+                            t - (1.0 / 3.0) * (1.0 - eta_b)
+                            * (davg_hi + davg_lo))
+                    else:
+                        t = ddiff(vcon[comp - 1], d) / d1r
+                        hcf = fh_prod(d, comp - 1, None)
+                        hdf_d = fh_prod(d, d - 1, None)
+                        ratio = (hcf / hdf_d) ** 2
+                        tt = 0.0
+                        if comp in dims:
+                            d2r = prow((ix[f"d2_{comp}_1"],
+                                        ix[f"d2_{comp}_2"],
+                                        ix[f"d2_{comp}_3"]),
+                                       *axr(d, HI), clamp=tiny)
+                            d2r_lo = prow((ix[f"d2_{comp}_1"],
+                                           ix[f"d2_{comp}_2"],
+                                           ix[f"d2_{comp}_3"]),
+                                          *axr(d, LO), clamp=tiny)
+
+                            def sh2(off_d, off_c):
+                                zr, yr, xr = axr(d, HI if off_d == 0 else LO)
+                                # off_d handled by HI/LO; apply off_c on axis comp
+                                rngs = {3: list(zr), 2: list(yr), 1: list(xr)}
+                                rngs[comp][0] += off_c
+                                return wv(vcon[d - 1],
+                                          tuple(rngs[3]), tuple(rngs[2]),
+                                          tuple(rngs[1]))
+
+                            tr_hi = (sh2(0, +1) - sh2(0, -1)) / d2r
+                            tr_lo = (sh2(1, +1) - sh2(1, -1)) / d2r_lo
+                            tt = 0.5 * (tr_hi + tr_lo)
+                        f = hdf * mus * (tt + ratio * t)
+                    rows_f.append(f)
+                fen = 0.0
+                for comp in range(3):
+                    vavg = 0.5 * (wv(vcon[comp], *axr(d, HI))
+                                  + wv(vcon[comp], *axr(d, LO)))
+                    fen = fen + vavg * rows_f[comp]
+                rows_f = rows_f + [fen]
+            if cond is not None:
+                kcond = face_avg(cond, kap_w, d)
+                qf = kcond * ddiff(T_w, d) / d1r
+                if rows_f is not None:
+                    rows_f[3] = rows_f[3] + qf
+                else:
+                    z_ = jnp.zeros_like(qf)
+                    rows_f = [z_, z_, z_, qf]
+            dF[d] = rows_f
+            if visc is not None:
+                diag_face[d] = rows_f[d - 1]
+
+        # divergence + connection sources (DiffusionUpdateImpl)
+        ddv = [0.0, 0.0, 0.0, 0.0]
+        afp = {1: (af1, af1p, c1), 2: (af2, af2p, c2)}
+        if active_z:
+            afp[3] = (af3, af3p, c3)
+        diag_avg = {}
+        for d in dims:
+            aflo, afhi, cfac = afp[d]
+            for r_ in range(4):
+                Fr = dF[d][r_]
+                lo_ = ax(Fr, 3 - d, 0, nsz[d])
+                hi_ = ax(Fr, 3 - d, 1, nsz[d] + 1)
+                ddv[r_] = ddv[r_] + (lo_ * aflo - hi_ * afhi) * cfac
+            if visc is not None:
+                diag_avg[d] = 0.5 * (ax(diag_face[d], 3 - d, 0, nsz[d])
+                                     + ax(diag_face[d], 3 - d, 1, nsz[d] + 1))
+        if visc is not None and (x1dep or x2dep):
+            for d in dims:
+                if x1dep and d >= 2:
+                    cr = b1(rx(ix["conn1"][d - 1])[ng:ng + nx])
+                    ddv[0] = ddv[0] + cr * diag_avg[d]
+                if x2dep and d == 3:
+                    ddv[1] = ddv[1] + b2(ry(ix["conn2"])) * diag_avg[d]
+        # apply (sign convention: subtract (A F_lo - A F_hi)/vol)
+        if visc is not None:
+            u[1] = u[1] - bdt * ddv[0]
+            u[2] = u[2] - bdt * ddv[1]
+            u[3] = u[3] - bdt * ddv[2]
+        u[4] = u[4] - bdt * ddv[3]
+        heat = -bdt * ddv[3]
+        if visc is not None:
+            wi = s[:, zc, 2:2 + ty, ng:ng + nx]
+            hvi = [prow((ix["hv_1"][cc], ix["hv_2"][cc], None),
+                        W_INT[3], W_INT[2], W_INT[1]) for cc in range(3)]
+            heat = heat + bdt * (ddv[0] * wi[1] / hvi[0]
+                                 + ddv[1] * wi[2] / hvi[1]
+                                 + ddv[2] * wi[3] / hvi[2])
+        u[5] = u[5] + heat
+
+        if full:
+            # diffusive CFL denominator: 2*ndim*nu_eff / min_dx^2
+            iw = []
+            for d in dims:
+                val = b1(rx(ix["invw_1"][d - 1])[ng:ng + nx]) \
+                    * b2(ry(ix["invw_2"][d - 1]))
+                if d == 3:
+                    val = val * b3(rz(ix["inv_dx3"]))
+                iw.append(val)
+            inv_mindx = iw[0]
+            for v_ in iw[1:]:
+                inv_mindx = jnp.maximum(inv_mindx, v_)
+            rho_i = wv(rho_w, W_INT[3], W_INT[2], W_INT[1])
+            den_diff = None
+            for dp, mw in ((visc, mu_w if visc is not None else None),
+                           (cond, kap_w if cond is not None else None)):
+                if dp is None:
+                    continue
+                m_i = wv(mw, W_INT[3], W_INT[2], W_INT[1])
+                if dp[0] == "conductivity_plaw":
+                    m_i = m_i / (rho_i * cv)
+                elif dp[0] in ("viscosity_plaw", "viscosity_alpha"):
+                    m_i = m_i * (1.0 + (dp[3] > 1.0) * (dp[3] - 1.0)) / rho_i
+                dd = 2.0 * ndim * m_i * inv_mindx * inv_mindx
+                den_diff = dd if den_diff is None else jnp.maximum(den_diff, dd)
+
     if not full:
         u_ref[...] = jnp.stack(u)
         w_ref[...] = s[:, zc, 2:2 + ty, ng:ng + nx]
@@ -637,11 +1137,16 @@ def _stage_kernel_curv(bdt_ref, u0_ref, u1_ref, wp_hbm, cx_ref, cy_ref,
         iw3 = b1(rx(ix["invw_1"][2])[ng:ng + nx]) \
             * b2(ry(ix["invw_2"][2])) * b3(rz(ix["inv_dx3"]))
         den = den + (jnp.abs(v3) + cs) * iw3
+    if den_diff is not None:
+        # diffusive dt limit folded into the same denominator
+        # (dt = cfl / max(den); Diffusion::EstimateTimestep)
+        den = jnp.maximum(den, den_diff)
     dm_ref[i, j] = jnp.max(den)
 
 
 def stage_curv(w_pad, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
-               coeffs, packed, full=True, rf_omega=0.0, interpret=False):
+               coeffs, packed, full=True, rf_omega=0.0, interpret=False,
+               grav=None, grav_dt=0.0):
     """One fused curvilinear RK stage.  ``coeffs``/``packed`` come from
     ``CurvCoeffs(grid, omf)`` / ``.pack()`` (precompute once per driver).
     full=True also applies dual-energy + C2P/P2C and returns (u, w, dmax);
@@ -656,25 +1161,43 @@ def stage_curv(w_pad, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
     pcm = force_pcm or cfg.recon == "pcm"
     tz = TZ if active_z else 1
 
+    diff_spec = None
+    if coeffs.diff is not None:
+        diff_spec = (_dp_tuple(coeffs.diff.visc), _dp_tuple(coeffs.diff.cond))
     kern = functools.partial(
         _stage_kernel_curv, ng=g1, nx=nx, tz=tz, ty=TY, active_z=active_z,
         pcm=pcm, gamma=cfg.gamma, gam0=gam0, gam1=gam1, dfloor=cfg.dfloor,
         siefloor=cfg.siefloor, de_switch=cfg.de_switch, ix=ix, full=full,
         x1dep=coeffs.x1dep, x2dep=coeffs.x2dep,
         has_rot=any(np.any(f1 != 0) for f1, _ in coeffs.vrot),
-        rf_omega=rf_omega)
+        rf_omega=rf_omega, rsolver=cfg.rsolver, diff=diff_spec, cv=cfg.cv,
+        grav=grav)
     dt = wp.dtype
     zsz = tz + 4 if active_z else 1
-    # alignment pads (same scheme as the Cartesian kernel)
-    xp_al = -(-wp.shape[-1] // 128) * 128
-    wp = jnp.pad(wp, [(0, 0), (0, 0), (0, YS - (TY + 4)),
-                      (0, xp_al - wp.shape[-1])])
+    # alignment pads (same scheme as the Cartesian kernel); skipped when
+    # the driver's ghost fill already produced aligned extents (one copy)
+    xp_al = -(-(nx + 2 * g1) // 128) * 128
+    y_tgt = ny + 4 + (YS - (TY + 4))
+    if wp.shape[-1] != xp_al or wp.shape[-2] != y_tgt:
+        wp = jnp.pad(wp, [(0, 0), (0, 0), (0, y_tgt - wp.shape[-2]),
+                          (0, xp_al - wp.shape[-1])])
     # pad coefficient matrices to the padded-extent lengths used in-kernel
     CXj = jnp.asarray(np.pad(CX, [(0, 0), (0, xp_al - CX.shape[1])]))
-    # Y/Z row windows never exceed the padded extents (max y index is
-    # (ny/TY-1)*TY + TY + 4 = ny + 4 = n2p): no padding needed
-    CYj = jnp.asarray(CY)
-    CZj = jnp.asarray(CZ)
+    # Y/Z rows: pre-window per block (window j covers padded rows
+    # [j*ty, j*ty + ty + 4), whose max exactly hits the padded extent) so
+    # the kernel only ever does static slices into its own window
+    nyb = ny // TY
+    CYW = np.stack([CY[:, jb * TY: jb * TY + TY + 4] for jb in range(nyb)])
+    if active_z:
+        nzb = nz // tz
+        CZW = np.stack([CZ[:, ib * tz: ib * tz + tz + 4] for ib in range(nzb)])
+    else:
+        nzb = 1
+        CZW = CZ[None, :, :1]
+    # trailing singleton: z rows must load as 2-D (see kernel comment)
+    CZW = CZW[..., None]
+    CYWj = jnp.asarray(CYW)
+    CZWj = jnp.asarray(CZW)
     blk = (6, tz, TY, nx)
     imap = lambda i, j: (0, i, j, 0)
     u_new, w_new, dmax = pl.pallas_call(
@@ -682,12 +1205,15 @@ def stage_curv(w_pad, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
         grid=(nz // tz if active_z else 1, ny // TY),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
             pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + CYW.shape[1:], lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + CZW.shape[1:], lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
@@ -706,8 +1232,9 @@ def stage_curv(w_pad, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.reshape(jnp.asarray(beta_dt, dt), (1,)), u0_, u1_, wp,
-      CXj, CYj, CZj)
+    )(jnp.reshape(jnp.asarray(beta_dt, dt), (1,)),
+      jnp.reshape(jnp.asarray(grav_dt, dt), (1,)), u0_, u1_, wp,
+      CXj, CYWj, CZWj)
     return u_new[None], w_new[None], dmax
 
 
@@ -723,7 +1250,7 @@ def supported_curv(grid, cfg) -> bool:
         return False
     return (on_tpu and not geo.is_cartesian(grid.coords) and cfg is not None
             and cfg.fluid == "gas" and cfg.nspecies == 1
-            and cfg.rsolver == "hllc" and cfg.recon in ("plm", "pcm")
+            and cfg.rsolver in ("hllc", "hlle") and cfg.recon in ("plm", "pcm")
             and grid.nghost == 2 and grid.nx[1] % TY == 0 and grid.nx[1] > 1
             and grid.nx[0] > 1
             and (grid.nx[2] == 1 or grid.nx[2] % TZ == 0))

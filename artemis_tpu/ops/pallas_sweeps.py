@@ -89,6 +89,64 @@ def _hllc(wl, wr, ivx, ivy, ivz, gamma):
     return out, pface, vface
 
 
+def _hlle(wl, wr, ivx, ivy, ivz, gamma):
+    """HLLE flux rows from L/R state tuples (cf. ops.riemann.hlle:
+    Roe-averaged wavespeeds, hlle.hpp:95-220)."""
+    dl, dr = wl[0], wr[0]
+    vxl, vxr = wl[ivx], wr[ivx]
+    vyl, vyr = wl[ivy], wr[ivy]
+    vzl, vzr = wl[ivz], wr[ivz]
+    pl_, pr_ = wl[4], wr[4]
+    sel, ser = wl[5], wr[5]
+
+    gm1 = gamma - 1.0
+    igm1 = 1.0 / gm1
+    sqrtdl = jnp.sqrt(dl)
+    sqrtdr = jnp.sqrt(dr)
+    isdlpdr = 1.0 / (sqrtdl + sqrtdr)
+    wroe_vx = (sqrtdl * vxl + sqrtdr * vxr) * isdlpdr
+    wroe_vy = (sqrtdl * vyl + sqrtdr * vyr) * isdlpdr
+    wroe_vz = (sqrtdl * vzl + sqrtdr * vzr) * isdlpdr
+    el = pl_ * igm1 + 0.5 * dl * (vxl**2 + vyl**2 + vzl**2)
+    er = pr_ * igm1 + 0.5 * dr * (vxr**2 + vyr**2 + vzr**2)
+    hroe = ((el + pl_) / sqrtdl + (er + pr_) / sqrtdr) * isdlpdr
+    qa = jnp.sqrt(gamma * pl_ / dl)
+    qb = jnp.sqrt(gamma * pr_ / dr)
+    a2 = hroe - 0.5 * (wroe_vx**2 + wroe_vy**2 + wroe_vz**2)
+    a = jnp.sqrt(gm1 * jnp.maximum(a2, 0.0))
+    sl = jnp.minimum(wroe_vx - a, vxl - qa)
+    sr = jnp.maximum(wroe_vx + a, vxr + qb)
+    bp = jnp.where(sr > 0.0, sr, TINY)
+    bm = jnp.where(sl < 0.0, sl, -TINY)
+    qa_ = vxl - bm
+    qb_ = vxr - bp
+    fl_d = dl * qa_
+    fr_d = dr * qb_
+    w = jnp.where(bp != bm, 0.5 * (bp + bm) / (bp - bm), 0.0)
+    frho = 0.5 * (fl_d + fr_d) + w * (fl_d - fr_d)
+    fmx = 0.5 * (fl_d * vxl + fr_d * vxr) + w * (fl_d * vxl - fr_d * vxr)
+    fmy = 0.5 * (fl_d * vyl + fr_d * vyr) + w * (fl_d * vyl - fr_d * vyr)
+    fmz = 0.5 * (fl_d * vzl + fr_d * vzr) + w * (fl_d * vzl - fr_d * vzr)
+    fl_e = el * qa_ + pl_ * vxl
+    fr_e = er * qb_ + pr_ * vxr
+    fen = 0.5 * (fl_e + fr_e) + w * (fl_e - fr_e)
+    upw = frho >= 0.0
+    feint = frho * jnp.where(upw, sel, ser)
+    vface = frho / jnp.where(upw, dl, dr)
+    pface = 0.5 * (pl_ + pr_) + w * (pl_ - pr_)
+    out = [None] * 6
+    out[0] = frho
+    out[ivx] = fmx
+    out[ivy] = fmy
+    out[ivz] = fmz
+    out[4] = fen
+    out[5] = feint
+    return out, pface, vface
+
+
+RIEMANN = {"hllc": _hllc, "hlle": _hlle}
+
+
 def _sweep_kernel(w_ref, f_ref, pf_ref, vf_ref, *, axis, ddir, ng, nfaces, pcm, gamma):
     """Fused PLM+HLLC sweep along ``axis`` of the VMEM block.
 

@@ -285,10 +285,15 @@ def disk_ic(dp: DiskParams, grid, cv, sl=None, do_dust=False, rt_fn=None):
 # boundary conditions
 # ---------------------------------------------------------------------------
 def _ghost_slices(grid, d, side):
-    """[z,y,x] slice tuple of the ghost slab for boundary (d, side)."""
+    """[z,y,x] slice tuple of the ghost slab for boundary (d, side).
+
+    Transverse dims use absolute extents (not slice(None)): the padded
+    array may carry trailing DMA-alignment rows beyond shape_entire that
+    the precomputed ghost caches must not be required to cover."""
     ng = grid.nghost
     n = grid.nx[d - 1]
-    sl = [slice(None), slice(None), slice(None)]
+    se = grid.shape_entire
+    sl = [slice(0, se[0]), slice(0, se[1]), slice(0, se[2])]
     sl[3 - d] = slice(0, ng) if side == 0 else slice(ng + n, n + 2 * ng)
     return tuple(sl)
 

@@ -182,6 +182,21 @@ class Simulation:
                     if do_cond else None)
             diffusion_factory = lambda hyd: _Diffusion(
                 hyd.grid, hyd, gas_cfg, visc, cond)
+            # damp_to_visc: the drag damping target is the viscous inflow
+            # of this viscosity model (drag.cpp:109-121)
+            from .sources import Drag as _Drag
+
+            for s in srcs:
+                if isinstance(s, _Drag) and s.gasp.damp_to_visc:
+                    s.set_viscosity(visc)
+
+        from .sources import Drag as _DragChk
+
+        for s in srcs:
+            if isinstance(s, _DragChk) and s.gasp.damp_to_visc \
+                    and s.visc_dp is None:
+                raise ValueError("damp_to_visc requires gas viscosity "
+                                 "(drag.cpp:109-121)")
 
         # radiation (gray FLD, replacing the reference's jaybenne IMC)
         radiation_factory = None

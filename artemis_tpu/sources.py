@@ -89,6 +89,7 @@ class Gravity(SourceBase):
             pos = (pin.get_or_add_real(blk, "x", 0.0),
                    pin.get_or_add_real(blk, "y", 0.0),
                    pin.get_or_add_real(blk, "z", 0.0))
+            self.pos = pos
             self._point_accel(grid, x1v, x2v, x3v, pos)
         else:  # binary
             blk = "gravity/binary"
@@ -632,8 +633,43 @@ class Drag(SourceBase):
                 self.grain_density = pin.get_or_add_real("dust", "grain_density", 1.0)
             else:
                 raise ValueError("bad type for stopping time model")
-        # target velocity (viscous inflow) — zero unless damp_to_visc
-        self.vt = None  # set up when viscosity lands
+        # damp_to_visc: gas damping target is the viscous inflow
+        # v_R = -3/2 mu/(R rho) (drag.hpp:240-245); wired to the gas
+        # viscosity model by Simulation via set_viscosity()
+        self.visc_dp = None
+        if self.gasp.damp_to_visc:
+            x1v, x2v, x3v = _interior_centers(grid)
+            shape = tuple(reversed(grid.nx))
+            xcyl = geo.convert_to_cyl(grid.coords, x1v, x2v, x3v)
+            xsph = geo.convert_to_sph(grid.coords, x1v, x2v, x3v)
+            self._Rcyl = np.ascontiguousarray(np.broadcast_to(xcyl[0], shape))
+            self._rsph = np.ascontiguousarray(np.broadcast_to(xsph[0], shape))
+            ex = geo.vec_to_cyl(grid.coords, x1v, x2v, x3v)
+            self._exR = [np.ascontiguousarray(
+                np.broadcast_to(ex[d][0], shape)) for d in range(3)]
+
+    def set_viscosity(self, dp):
+        """Attach the gas viscosity coefficient model for damp_to_visc
+        (DragSource dispatch, drag.cpp:109-121)."""
+        if dp is None or dp.kind not in ("viscosity_plaw", "viscosity_alpha"):
+            raise ValueError(
+                "The chosen viscosity model does not work with damping")
+        self.visc_dp = dp
+
+    def _visc_target(self, rho, sie):
+        """Per-direction gas target velocity components: the viscous inflow
+        v_R = -1.5 mu/(Rcyl rho) projected on the problem basis
+        (drag.hpp:240-245)."""
+        dp = self.visc_dp
+        cfg = self.gas_cfg
+        Rc = jnp.asarray(self._Rcyl)
+        if dp.kind == "viscosity_plaw":
+            mu = dp.nu_s * rho * (Rc / dp.R0) ** dp.r_exp
+        else:
+            Omk = dp.Omega0 * (jnp.asarray(self._rsph) / dp.R0) ** -1.5
+            mu = dp.alpha * cfg.gamma * (cfg.gamma - 1.0) * rho * sie / Omk
+        vR = -1.5 * mu / (Rc * rho)
+        return [jnp.asarray(self._exR[d]) * vR for d in range(3)]
 
     def apply(self, state, fluxes, time, dt, hyd):
         if self.coupling == "self":
@@ -642,17 +678,23 @@ class Drag(SourceBase):
 
     def _self_drag(self, state, dt, hyd):
         hx = _hxv_int(hyd)
+        cfg = self.gas_cfg
         new = dict(state)
         for name, ramps in (("gas", self.gas_ramps), ("dust", self.dust_ramps)):
             if name not in state or ramps is None:
                 continue
             u, w = state[name]["u"], state[name]["w"]
             rho = jnp.maximum(u[:, 0], 1e-300)
+            vt = [0.0, 0.0, 0.0]  # dust always damps to zero
+            if name == "gas" and self.visc_dp is not None:
+                sie = _sie_from_cons(u, hx, cfg.de_switch, cfg.dfloor,
+                                     cfg.siefloor)
+                vt = self._visc_target(rho, sie)
             dE = 0.0
             for d in range(3):
                 fx = dt * jnp.asarray(ramps[d])
                 v = u[:, 1 + d] / (hx[d] * rho)
-                dm = -fx * rho * v / (1.0 + fx)  # target velocity 0
+                dm = -fx * rho * (v - vt[d]) / (1.0 + fx)
                 u = u.at[:, 1 + d].add(hx[d] * dm)
                 if name == "gas":
                     dE = dE + dm * (v + 0.5 * dm / rho)
@@ -692,7 +734,9 @@ class Drag(SourceBase):
 
         rho_d = jnp.maximum(ud[:, 0], self.dust_cfg.dfloor)
         vd = [ud[:, 1 + d] / (hx[d] * rho_d) for d in range(3)]
-        vt = [0.0, 0.0, 0.0]   # gas target velocity (viscous inflow later)
+        # gas target velocity: viscous inflow when damp_to_visc
+        vt = (self._visc_target(dg, sieg) if self.visc_dp is not None
+              else [0.0, 0.0, 0.0])
         vdt = [0.0, 0.0, 0.0]  # dust target velocity
 
         # first pass: sum rho' and rho' v -> new gas velocity (drag.hpp:409-434)

@@ -1,11 +1,17 @@
-"""Performance benchmark: zone-cycles/sec/chip on the flagship config.
+"""Performance benchmark: zone-cycles/sec/chip.
 
-Current flagship: 3-D single-species gas hydro (rk2 + plm + hllc, periodic
-box) in float32 — the hot path of every artemis_tpu run (flux sweeps +
-update + c2p/p2c fused by XLA).  As subsystems land (AMR disk RHD), this
-bench switches to the full north-star deck (BASELINE.json).
+Two configs, both reported in ONE final JSON line:
+  * PRIMARY (the BASELINE.md north-star path): 3-D spherical viscous disk
+    (alpha viscosity + point-mass gravity + rotating frame, rk2+plm+hlle,
+    float32) — the production planet-forming-disk configuration the
+    reference is built for.  Runs on the fully-fused curvilinear Pallas
+    stage kernel (flux sweeps + update + flux/connection sources + folded
+    RF torque + point gravity + viscous diffusion + C2P/P2C in one VMEM
+    pass per stage).
+  * secondary: the flagship Cartesian box (rk2+plm+hllc periodic f32,
+    fused whole-stage kernel with in-kernel halo DMA) — reported as
+    ``cartesian_value``.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: 5e8 zone-cycles/sec/chip (BASELINE.md north star).
 """
 
@@ -19,43 +25,10 @@ import time
 import numpy as np
 
 
-def main() -> int:
+def _measure(sim_state, step, dt, grid_nx, nsteps, reps):
     import jax
     import jax.numpy as jnp
     from jax import lax
-
-    from artemis_tpu.config import ParameterInput
-    from artemis_tpu.driver import Driver, Integrator
-    from artemis_tpu.grid import grid_from_input
-    from artemis_tpu.ops.hydro import FluidCfg
-    from artemis_tpu.pgen import build_problem
-
-    nx = int(os.environ.get("BENCH_NX", "256"))
-    ny = int(os.environ.get("BENCH_NY", "256"))
-    nz = int(os.environ.get("BENCH_NZ", "128"))
-    nsteps = int(os.environ.get("BENCH_STEPS", "10"))
-
-    deck = os.path.join(os.path.dirname(os.path.abspath(__file__)), "inputs", "linwave.in")
-    pin = ParameterInput.from_file(deck)
-    pin.apply_overrides([
-        f"parthenon/mesh/nx1={nx}",
-        f"parthenon/mesh/nx2={ny}",
-        f"parthenon/mesh/nx3={nz}",
-        "parthenon/mesh/nghost=2",
-        "problem/amp=1.0e-3",
-    ])
-    grid = grid_from_input(pin)
-    gas_cfg = FluidCfg(fluid="gas", recon="plm", rsolver="hllc",
-                       gamma=pin.get_real("gas", "gamma"),
-                       cfl=pin.get_real("gas", "cfl"))
-    problem = build_problem("linear_wave", pin, grid, gas_cfg)
-    driver = Driver(grid, Integrator.make("rk2"), gas_cfg)
-
-    w0 = jnp.asarray(np.asarray(problem.prims["gas"], dtype=np.float32))
-    state = driver.initialize({"gas": {"u": None, "w": w0}})
-    dt = jnp.asarray(driver._dt_fn(state), dtype=w0.dtype)
-
-    step = driver._build_step()
 
     def multi(state, dt):
         def body(s, _):
@@ -71,30 +44,108 @@ def main() -> int:
         # execution completes; fetching a scalar is the reliable sync point.
         return float(jnp.sum(s["gas"]["u"][0, 0, 0, 0]))
 
-    # compile + warmup, fully drained
-    state = mstep(state, dt)
+    state = mstep(sim_state, dt)   # compile + warmup
     drain(state)
-
-    reps = int(os.environ.get("BENCH_REPS", "3"))
-    t0 = time.perf_counter()
-    out = state
+    best = 0.0
     for _ in range(reps):
-        out = mstep(out, dt)
-    drain(out)
-    elapsed = (time.perf_counter() - t0) / reps
-
-    zones = nx * ny * nz
-    zcps = zones * nsteps / elapsed
-    rho = np.asarray(out["gas"]["u"][0, 0])
+        t0 = time.perf_counter()
+        state = mstep(state, dt)
+        drain(state)
+        el = time.perf_counter() - t0
+        best = max(best, int(np.prod(grid_nx)) * nsteps / el)
+    rho = np.asarray(state["gas"]["u"][0, 0])
     assert np.all(np.isfinite(rho)), "bench produced non-finite density"
+    return best
 
+
+def bench_disk(nsteps, reps):
+    """North star: 3-D spherical viscous disk (inputs/disk_sph.in)."""
+    import jax.numpy as jnp
+
+    from artemis_tpu.simulation import Simulation
+
+    deck = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "inputs", "disk_sph.in")
+    nx = int(os.environ.get("BENCH_DISK_NX", "256"))
+    ny = int(os.environ.get("BENCH_DISK_NY", "64"))
+    nz = int(os.environ.get("BENCH_DISK_NZ", "64"))
+    sim = Simulation(deck, overrides=[
+        "artemis/precision=float32",
+        f"parthenon/mesh/nx1={nx}",
+        f"parthenon/mesh/nx2={ny}",
+        f"parthenon/mesh/nx3={nz}",
+    ], data_dir="/tmp/bench_disk")
+    drv = sim.driver
+    dt = jnp.asarray(0.3 * drv.estimate_dt(sim.state), dtype=jnp.float32)
+    return _measure(sim.state, drv._build_step(), dt, sim.grid.nx,
+                    nsteps, reps)
+
+
+def bench_cartesian(nsteps, reps):
+    """Flagship Cartesian periodic box (fused whole-stage kernel)."""
+    import jax.numpy as jnp
+
+    from artemis_tpu.config import ParameterInput
+    from artemis_tpu.driver import Driver, Integrator
+    from artemis_tpu.grid import grid_from_input
+    from artemis_tpu.ops.hydro import FluidCfg
+    from artemis_tpu.pgen import build_problem
+
+    nx = int(os.environ.get("BENCH_NX", "256"))
+    ny = int(os.environ.get("BENCH_NY", "256"))
+    nz = int(os.environ.get("BENCH_NZ", "128"))
+
+    deck = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "inputs", "linwave.in")
+    pin = ParameterInput.from_file(deck)
+    pin.apply_overrides([
+        f"parthenon/mesh/nx1={nx}",
+        f"parthenon/mesh/nx2={ny}",
+        f"parthenon/mesh/nx3={nz}",
+        "parthenon/mesh/nghost=2",
+        "problem/amp=1.0e-3",
+    ])
+    grid = grid_from_input(pin)
+    gas_cfg = FluidCfg(fluid="gas", recon="plm", rsolver="hllc",
+                       gamma=pin.get_real("gas", "gamma"),
+                       cfl=pin.get_real("gas", "cfl"))
+    problem = build_problem("linear_wave", pin, grid, gas_cfg)
+    driver = Driver(grid, Integrator.make("rk2"), gas_cfg)
+    w0 = jnp.asarray(np.asarray(problem.prims["gas"], dtype=np.float32))
+    state = driver.initialize({"gas": {"u": None, "w": w0}})
+    dt = jnp.asarray(driver._dt_fn(state), dtype=w0.dtype)
+    return _measure(state, driver._build_step(), dt, grid.nx, nsteps, reps)
+
+
+def main() -> int:
+    nsteps = int(os.environ.get("BENCH_STEPS", "10"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    which = os.environ.get("BENCH_CONFIG", "both")
     baseline = 5.0e8
-    print(json.dumps({
-        "metric": "zone-cycles/sec/chip (3D gas hydro rk2+plm+hllc f32)",
-        "value": zcps,
+
+    disk = cart = None
+    if which in ("both", "disk"):
+        disk = bench_disk(nsteps, reps)
+        print(f"# disk (3D spherical viscous, alpha+gravity+RF): "
+              f"{disk:.4e} z-c/s", file=sys.stderr)
+    if which in ("both", "cart"):
+        cart = bench_cartesian(nsteps, reps)
+        print(f"# cartesian flagship (periodic box): {cart:.4e} z-c/s",
+              file=sys.stderr)
+
+    primary = disk if disk is not None else cart
+    name = ("3D spherical viscous disk alpha+gravity+RF rk2+plm+hlle f32"
+            if disk is not None else "3D gas hydro rk2+plm+hllc f32")
+    out = {
+        "metric": f"zone-cycles/sec/chip ({name})",
+        "value": primary,
         "unit": "zone-cycles/s",
-        "vs_baseline": zcps / baseline,
-    }))
+        "vs_baseline": primary / baseline,
+    }
+    if cart is not None and disk is not None:
+        out["cartesian_value"] = cart
+        out["cartesian_vs_baseline"] = cart / baseline
+    print(json.dumps(out))
     return 0
 
 

@@ -22,7 +22,7 @@ MESHES = {
 }
 
 
-def _setup(coords, rotating):
+def _setup(coords, rotating, rsolver="hllc"):
     import jax.numpy as jnp
 
     mesh = MESHES[coords]
@@ -53,7 +53,7 @@ pres = 1.0
 """
     pin = ParameterInput.from_string(deck)
     grid = grid_from_input(pin)
-    cfg = FluidCfg(fluid="gas", recon="plm", rsolver="hllc", gamma=1.4,
+    cfg = FluidCfg(fluid="gas", recon="plm", rsolver=rsolver, gamma=1.4,
                    cfl=0.3)
     hyd = Hydro(grid, cfg)
     nz, ny, nx = tuple(reversed(grid.nx))
@@ -92,6 +92,119 @@ def test_curv_stage_full(coords, pcm):
     assert float(jnp.max(jnp.abs(wf - wr))) < 1e-11
     assert abs(cfg.cfl / float(jnp.max(dmax))
                - float(hyd.estimate_dt(wr, cfg))) < 1e-11
+
+
+def test_curv_stage_full_hlle():
+    """HLLE solver path of the fused kernel vs the jnp hlle path."""
+    import jax.numpy as jnp
+
+    pin, grid, cfg, hyd, u, w = _setup("spherical", rotating=False,
+                                       rsolver="hlle")
+    u1 = u * 1.0
+    gam0, gam1, bdt = 0.5, 0.5, 1e-3
+    wp = bc_mod.pad_and_fill(w, grid, "gas", {})
+    fx = hyd.compute_fluxes(wp, cfg, False)
+    ur = hyd.apply_update(u, u1, fx, gam0, gam1, bdt)
+    ur = hyd.flux_source(ur, w, fx, bdt, omf=0.0)
+    ur = hyd.set_auxiliary(ur, cfg)
+    wr = hyd.cons_to_prim(ur, cfg)
+    ur, wr = hyd.prim_to_cons(wr, cfg)
+
+    co = psc.CurvCoeffs(grid, 0.0, dtype=np.float64)
+    uf, wf, _ = psc.stage_curv(wp, u, u1, grid, cfg, gam0, gam1, bdt,
+                               False, co, co.pack(), full=True,
+                               interpret=True)
+    assert float(jnp.max(jnp.abs(uf - ur))) < 1e-11
+    assert float(jnp.max(jnp.abs(wf - wr))) < 1e-11
+
+
+@pytest.mark.parametrize("coords", list(MESHES))
+@pytest.mark.parametrize("model", ["plaw", "alpha"])
+def test_curv_stage_full_with_diffusion(coords, model):
+    """Viscous + conductive diffusion fused into the stage kernel vs the
+    jnp Diffusion pass (ops/diffusion.py; ref src/utils/diffusion/)."""
+    import jax.numpy as jnp
+
+    from artemis_tpu.ops.diffusion import DiffParams, Diffusion
+
+    pin, grid, cfg, hyd, u, w = _setup(coords, rotating=False)
+    if model == "plaw":
+        visc = DiffParams(kind="viscosity_plaw", nu_s=2.0e-3, eta=0.2,
+                          r_exp=0.5, R0=1.0)
+    else:
+        visc = DiffParams(kind="viscosity_alpha", alpha=1.0e-3, eta=0.0,
+                          R0=1.0, Omega0=1.0)
+    cond = DiffParams(kind="conductivity_plaw", hcond_0=1.0e-3,
+                      temp_exp=0.5, rho_exp=0.3, T0=1.0, d0=1.0)
+    diff = Diffusion(grid, hyd, cfg, visc, cond)
+
+    u1 = u * 1.0
+    gam0, gam1, bdt = 0.5, 0.5, 1e-3
+    wp = bc_mod.pad_and_fill(w, grid, "gas", {})
+    fx = hyd.compute_fluxes(wp, cfg, False)
+    ur = hyd.apply_update(u, u1, fx, gam0, gam1, bdt)
+    ur = hyd.flux_source(ur, w, fx, bdt, omf=0.0)
+    dfx = diff.fluxes(wp)
+    ur = diff.update(ur, w, dfx, bdt)
+    ur = hyd.set_auxiliary(ur, cfg)
+    wr = hyd.cons_to_prim(ur, cfg)
+    ur, wr = hyd.prim_to_cons(wr, cfg)
+
+    co = psc.CurvCoeffs(grid, 0.0, dtype=np.float64, diff=diff)
+    uf, wf, dmax = psc.stage_curv(wp, u, u1, grid, cfg, gam0, gam1, bdt,
+                                  False, co, co.pack(), full=True,
+                                  interpret=True)
+    err_u = float(jnp.max(jnp.abs(uf - ur)))
+    err_w = float(jnp.max(jnp.abs(wf - wr)))
+    assert err_u < 1e-10, f"u mismatch {err_u:g}"
+    assert err_w < 1e-10, f"w mismatch {err_w:g}"
+    # fused dt denominator folds the diffusive limit
+    dt_ref = min(float(hyd.estimate_dt(wr, cfg)),
+                 float(cfg.cfl * diff.estimate_dt(wr)))
+    dt_fused = cfg.cfl / float(jnp.max(dmax))
+    assert abs(dt_fused - dt_ref) < 1e-10 * abs(dt_ref) + 1e-13
+
+
+@pytest.mark.parametrize("coords", list(MESHES))
+def test_curv_stage_full_with_point_gravity(coords):
+    """Central point-mass gravity folded into the kernel vs sources.Gravity
+    (point_mass.cpp analogue)."""
+    import jax.numpy as jnp
+
+    from artemis_tpu.sources import Gravity
+    from artemis_tpu.units import Constants, Units
+
+    pin, grid, cfg, hyd, u, w = _setup(coords, rotating=False)
+    pin.apply_overrides(["gravity/point/mass=1.0", "gravity/point/soft=0.05"])
+    constants = Constants.from_units(Units.from_input(pin))
+    gsrc = Gravity(pin, grid, constants)
+
+    u1 = u * 1.0
+    gam0, gam1, bdt = 0.5, 0.5, 1e-3
+    wp = bc_mod.pad_and_fill(w, grid, "gas", {})
+    fx = hyd.compute_fluxes(wp, cfg, False)
+    ur = hyd.apply_update(u, u1, fx, gam0, gam1, bdt)
+    ur = hyd.flux_source(ur, w, fx, bdt, omf=0.0)
+    st = gsrc.apply({"gas": {"u": ur, "w": w}}, {"gas": fx},
+                    jnp.asarray(0.0), jnp.asarray(bdt), hyd)
+    ur = st["gas"]["u"]
+    ur = hyd.set_auxiliary(ur, cfg)
+    wr = hyd.cons_to_prim(ur, cfg)
+    ur, wr = hyd.prim_to_cons(wr, cfg)
+
+    # spherical3D/cylindrical use the general cartesian gravity branch;
+    # axisymmetric(-spherical) grids use the pure-radial branch
+    gmode = "sph" if coords == "axisymmetric" else "cart"
+    co = psc.CurvCoeffs(grid, 0.0, dtype=np.float64)
+    uf, wf, _ = psc.stage_curv(wp, u, u1, grid, cfg, gam0, gam1, bdt,
+                               False, co, co.pack(), full=True,
+                               interpret=True,
+                               grav=(gsrc.gm, gsrc.soft2, gmode),
+                               grav_dt=bdt)
+    err_u = float(jnp.max(jnp.abs(uf - ur)))
+    err_w = float(jnp.max(jnp.abs(wf - wr)))
+    assert err_u < 1e-10, f"u mismatch {err_u:g}"
+    assert err_w < 1e-10, f"w mismatch {err_w:g}"
 
 
 @pytest.mark.parametrize("coords", list(MESHES))
