@@ -1,46 +1,47 @@
-"""Static mesh refinement: level-synchronized block-structured AMR.
+"""Block-structured mesh refinement: level-synchronized patch hierarchy.
 
 TPU-native rebuild of the reference's Parthenon AMR capability (SURVEY.md
 §2.7, §7.7): instead of an oct-tree of MeshBlocks with per-block prolong /
-restrict / flux-correction comm, refinement is organized as *levels* of
+restrict / flux-correction comm, refinement is organized as a tree of
 fixed-shape rectangular patches (static shapes — XLA-friendly), advanced in
 lockstep with a shared global dt:
 
-per RK stage, per level pair (coarse, fine):
-  1. both levels compute fluxes from their stage-entry primitives
-  2. coarse fluxes on the patch boundary faces are replaced by the area sum
-     of the overlying fine fluxes (flux correction — conservation across the
-     refinement boundary; cf. SendBoundBufs<flxcor> / SetFluxCorrections,
-     artemis_driver.cpp:198-202)
-  3. both apply the update
-  4. fine cons are restricted (average) onto the coarse cells they cover
-     (cf. RestrictAverage, src/utils/refinement/restriction.hpp)
-  5. prims sync; fine ghost zones are filled by MinMod-limited prolongation
-     of coarse prims (cf. ProlongateSharedMinMod,
-     src/utils/refinement/prolongation.hpp:39-66)
+per RK stage, per (parent, child) pair:
+  1. every node computes fluxes from its stage-entry primitives (root
+     ghosts from physical BCs, patch ghosts from MinMod-prolonged parent
+     primitives; cf. ProlongateSharedMinMod, prolongation.hpp:39-66)
+  2. parent fluxes on the patch boundary faces are replaced by the area sum
+     of the overlying child fluxes (flux correction — conservation across
+     the refinement boundary; cf. SendBoundBufs<flxcor> /
+     SetFluxCorrections, artemis_driver.cpp:198-202)
+  3. every node applies the update + diffusion + external sources
+  4. child cons are restricted (volume-weighted average) onto the parent
+     cells they cover (cf. RestrictAverage, restriction.hpp)
+  5. prims re-sync per node
 
-Scope: 2 levels, one rectangular fine patch, Cartesian, gas-only, no
-external sources.  The patch POSITION is a traced argument of the compiled
-step (lax.dynamic_slice / dynamic_update_slice) so the adaptive mode —
-retagging via the criteria in ops/refinement.py and re-centering the
-fixed-shape patch on the tagged region (cf. <gas> refine_field /
-refine_type / refine_thr, gas.cpp:304-383) — moves the patch with NO
-recompilation: Cartesian geometry factors are translation invariant, so
-one compiled step serves every placement.
+Capabilities: N levels (factor-2 per level), multiple disjoint patches per
+level, gas + dust, external sources (gravity/RF/cooling/drag/nbody) and
+viscous/thermal diffusion on every level.  Patch POSITIONS are traced
+arguments of the compiled step on Cartesian grids (lax.dynamic_slice), so
+adaptive retagging — criteria re-centering (gas.cpp:304-383) or per-planet
+``refine_distance`` tracking (nbody.cpp:276-312) — moves patches with NO
+recompilation.  Curvilinear patches are static (geometry weights are
+position-dependent); production disks pin planets in the rotating frame, so
+static placement covers the reference's planet-refinement use.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import bc as bc_mod
-from .driver import Integrator, SimTime
+from .driver import Integrator, SimTime, nbody_coeffs
 from .grid import Grid
 from .geometry import geometry as geo
 from .ops.hydro import FluidCfg, Hydro
@@ -59,14 +60,13 @@ def _refine_grid(coarse: Grid, lo: Tuple[int, int, int], n: Tuple[int, int, int]
         xf.append((f0, f1))
     nxf = tuple(2 * nn if coarse.nx[d] > 1 else 1 for d, nn in enumerate(n))
     ngf = tuple(coarse.nghost if coarse.nx[d] > 1 else 0 for d in range(3))
-    import numpy as _np
 
     def faces_1d(d):
         f0, f1 = xf[d]
         nn = nxf[d]
         dxf = (f1 - f0) / nn
         ng = ngf[d]
-        return f0 + dxf * _np.arange(-ng, nn + ng + 1, dtype=_np.float64)
+        return f0 + dxf * np.arange(-ng, nn + ng + 1, dtype=np.float64)
 
     geom = geo.build_geometry(coarse.coords, faces_1d(0), faces_1d(1), faces_1d(2))
     return dataclasses.replace(
@@ -76,6 +76,9 @@ def _refine_grid(coarse: Grid, lo: Tuple[int, int, int], n: Tuple[int, int, int]
         xmax=tuple(xf[d][1] for d in range(3)),
         geom=geom,
         bc=(("amr", "amr"), ("amr", "amr"), ("amr", "amr")),
+        # domain-derived pgen quantities (wavevectors) use the ROOT extents
+        dom_min=coarse.dom_min,
+        dom_max=coarse.dom_max,
     )
 
 
@@ -170,77 +173,97 @@ def restrict_average(wf, active, volf=None):
     return down(wf * v) / down(v)
 
 
-class TwoLevelSMR:
-    """Two-level static-refinement driver for Cartesian gas hydro."""
+def _fine_centroid_row(fg: Grid, d: int, nextra: int):
+    """Volume-averaged fine centroids along axis d extended ``nextra`` cells
+    beyond the padded fine extent (fine patch faces are uniformly spaced by
+    construction, _refine_grid)."""
+    g = fg.geom
+    xf = {1: g.xf1, 2: g.xf2, 3: g.xf3}[d]
+    dxf = xf[1] - xf[0]
+    faces = np.concatenate([xf[0] + dxf * np.arange(-nextra, 0), xf,
+                            xf[-1] + dxf * np.arange(1, nextra + 1)])
+    xm, xp = faces[:-1], faces[1:]
+    if d == 1:
+        return geo._centroid_x1(fg.coords, xm, xp)
+    if d == 2:
+        return geo._centroid_x2(fg.coords, xm, xp)
+    return 0.5 * (xm + xp)
 
-    def __init__(self, coarse_grid: Grid, integrator: Integrator,
-                 gas_cfg: FluidCfg, patch_lo, patch_n):
-        self.cg = coarse_grid
-        self.fg = _refine_grid(coarse_grid, patch_lo, patch_n)
-        self.integ = integrator
-        self.cfg = gas_cfg
-        self.hc = Hydro(coarse_grid, gas_cfg)
-        self.hf = Hydro(self.fg, gas_cfg)
-        self.patch_lo = tuple(int(v) for v in patch_lo)
-        self.patch_n = tuple(int(v) for v in patch_n)
-        self.active = tuple(coarse_grid.nx[d] > 1 for d in range(3))
-        ngf = self.fg.ng
-        self.rim = tuple(max(1, -(-ngf[d] // 2)) if self.active[d] else 0
+
+class _Node:
+    """One mesh region: the root domain (level 0) or a refinement patch."""
+
+    def __init__(self, ml: "MultiLevelSMR", grid: Grid, parent: Optional["_Node"],
+                 lo, n, level: int):
+        self.grid = grid
+        self.parent = parent
+        self.children: List[_Node] = []
+        self.level = level
+        self.lo = tuple(int(v) for v in lo) if lo is not None else None
+        self.n = tuple(int(v) for v in n) if n is not None else None
+        self.index = len(ml.nodes)
+        ml.nodes.append(self)
+        if parent is not None:
+            parent.children.append(self)
+        self.hydro = Hydro(grid, ml.cfg, ml.dust_cfg)
+        self.sources = list(ml.sources_factory(grid)) if ml.sources_factory else []
+        self.diffusion = (ml.diffusion_factory(self.hydro)
+                          if ml.diffusion_factory else None)
+        self.active = tuple(grid.nx[d] > 1 for d in range(3))
+        ng = grid.ng
+        # rim: coarse cells beyond the patch feeding ghost prolongation.
+        # ceil(ng/2) coarse cells produce the ng fine ghosts; +1 more so
+        # every USED ghost's parent has both neighbors for its minmod slope
+        # (the prolongation region's edge cells get clamped one-sided
+        # slopes -> first-order ghosts otherwise)
+        self.rim = tuple(max(1, -(-ng[d] // 2)) + 1 if self.active[d] else 0
                          for d in range(3))
-        # Curvilinear: geometry weights are position-dependent, so the fine
-        # patch is STATIC (retag/moves are Cartesian-only) and restriction /
-        # flux correction / prolongation use exact volume / area / centroid
-        # weights precomputed here.
-        self.curv = not geo.is_cartesian(coarse_grid.coords)
+        self.curv = not geo.is_cartesian(grid.coords)
+        # curvilinear weights (static patch positions only)
         self.volf = None
-        self.volc_patch = None
         self.ghost_spacings = None
-        self.areas_c = None
-        self.areas_f = None
-        if self.curv:
-            cg, fg = self.cg, self.fg
-            psl = self._patch_slices()
+        if parent is not None and self.curv:
+            cg, fg = parent.grid, grid
             self.volf = np.ascontiguousarray(np.broadcast_to(
                 fg.geom.volume(), fg.shape_entire)[fg.int_slices])
-            # centroid spacings for ghost prolongation: coarse region =
-            # patch +/- rim; prolonged extent == the padded fine grid
             cxv = (cg.geom.xv1, cg.geom.xv2, cg.geom.xv3)
-            fxv = (fg.geom.xv1, fg.geom.xv2, fg.geom.xv3)
             sp = []
             for d in range(3):
                 if not self.active[d]:
                     sp.append(None)
                     continue
                 ngc = cg.ng[d]
-                lo = self.patch_lo[d]
-                n = self.patch_n[d]
+                lo_ = self.lo[d]
+                nn = self.n[d]
                 rim = self.rim[d]
-                xc = cxv[d][ngc + lo - rim: ngc + lo + n + rim]
-                xf = fxv[d][fg.ng[d] - 2 * rim: fg.ng[d] + fg.nx[d] + 2 * rim]
+                xc = cxv[d][ngc + lo_ - rim: ngc + lo_ + nn + rim]
+                # fine centroids over the full prolongation region (extends
+                # past the padded fine rows: rebuild from uniform fine faces)
+                xf = _fine_centroid_row(fg, d + 1,
+                                        2 * rim - fg.ng[d])
                 sp.append(centroid_spacings(xc, xf))
             self.ghost_spacings = tuple(sp)
-            # face areas for flux correction
-            self.areas_c = {d: self.hc.area[d] for d in self.hc.dims}
-            self.areas_f = {d: self.hf.area[d] for d in self.hf.dims}
-        self._step = jax.jit(self._build_step())
-        self._dt = jax.jit(self._estimate_dt)
 
-    # -- helpers --------------------------------------------------------
-    def _patch_slices(self):
-        """Coarse interior slices covered by the CURRENT fine patch
-        ([z,y,x]); analysis-side helper (position after run())."""
-        lo, n = self.patch_lo, self.patch_n
+    # -- helpers ---------------------------------------------------------
+    def fluids(self):
+        out = [("gas", self.hydro.gas)] if self.hydro.gas else []
+        if self.hydro.dust:
+            out.append(("dust", self.hydro.dust))
+        return out
+
+    def patch_slices(self):
+        """Parent interior slices covered by this patch ([z,y,x])."""
+        lo, n = self.lo, self.n
         return tuple(slice(lo[2 - i], lo[2 - i] + n[2 - i]) for i in range(3))
 
-    def _fill_fine_ghosts(self, wf, wc, lo):
-        """Pad fine prims; ghost zones from prolongated coarse prims."""
-        fg, cg = self.fg, self.cg
+    def fill_fine_ghosts(self, wf, wc, lo):
+        """Pad patch prims; ghost zones from prolongated parent prims.
+        ``lo`` is the (possibly traced) patch position in parent interior
+        cells."""
+        fg, cg = self.grid, self.parent.grid
         ngf = fg.ng
-        # coarse region covering the fine patch + enough surround:
-        # prolongating (patch + ceil(ng/2) coarse cells) of coarse data
-        # gives a >= nghost fine-cell rim.  Patch position lo is TRACED.
         rim = self.rim
-        n = self.patch_n
+        n = self.n
         starts = [0] * (wc.ndim - 3)
         sizes = list(wc.shape[:-3])
         for i in range(3):  # z, y, x ordering
@@ -255,11 +278,9 @@ class TwoLevelSMR:
         wc_region = jax.lax.dynamic_slice(wc, tuple(starts), tuple(sizes))
         fine_region = prolong_minmod(wc_region, self.active,
                                      spacings=self.ghost_spacings)
-        # embed fine interior into the prolongated field
         pads = [(0, 0)] * (wf.ndim - 3) + [
             (ngf[2], ngf[2]), (ngf[1], ngf[1]), (ngf[0], ngf[0])]
         w_pad = jnp.pad(wf, pads, mode="edge")
-        # offset of the fine padded array within fine_region coordinates
         offs = []
         for i in range(3):
             d = 2 - i
@@ -267,44 +288,38 @@ class TwoLevelSMR:
         reg = fine_region[(Ellipsis,
                            *[slice(offs[i], offs[i] + w_pad.shape[-3 + i])
                              for i in range(3)])]
-        s3 = slice(ngf[2], ngf[2] + self.fg.nx[2])
-        s2 = slice(ngf[1], ngf[1] + self.fg.nx[1])
-        s1 = slice(ngf[0], ngf[0] + self.fg.nx[0])
+        s3 = slice(ngf[2], ngf[2] + fg.nx[2])
+        s2 = slice(ngf[1], ngf[1] + fg.nx[1])
+        s1 = slice(ngf[0], ngf[0] + fg.nx[0])
         return reg.at[..., s3, s2, s1].set(wf)
 
-    def _flux_correct(self, fx_c, fx_f, lo):
-        """Replace coarse patch-boundary fluxes with summed fine fluxes."""
-        n = self.patch_n
+    def flux_correct(self, fx_c, fx_f, lo):
+        """Replace parent patch-boundary fluxes with summed child fluxes."""
+        n = self.n
+        hc = self.parent.hydro
         out = {}
-        for d in self.hc.dims:
+        for d in hc.dims:
             Fc = fx_c[d][0]
             Ff = fx_f[d][0]
-            # fine faces on the patch boundary along d: indices 0 and 2n_d
-            # coarse faces: lo[d-1] and lo[d-1]+n[d-1] (interior-face index)
-            # average fine face values over the transverse 2x2 (area-weighted
-            # = plain mean in cartesian)
             for side in (0, 1):
                 cidx = lo[d - 1] + side * n[d - 1]  # traced scalar
                 fidx = side * 2 * n[d - 1]          # static
                 f_face = jnp.take(Ff, fidx, axis=Ff.ndim - d)
                 if self.curv:
                     # area-weighted: sum(F_f A_f children) / A_c at this face
-                    af = jnp.asarray(np.take(self.areas_f[d], fidx,
-                                             axis=self.areas_f[d].ndim - d))
-                    ac_full = np.take(self.areas_c[d],
-                                      self.patch_lo[d - 1] + side * n[d - 1],
-                                      axis=self.areas_c[d].ndim - d)
+                    af_np = np.asarray(self.hydro.area[d])
+                    af = jnp.asarray(np.take(af_np, fidx, axis=af_np.ndim - d))
+                    ac_np = np.asarray(hc.area[d])
+                    ac_full = np.take(ac_np,
+                                      self.lo[d - 1] + side * n[d - 1],
+                                      axis=ac_np.ndim - d)
                     f_face = f_face * af
-                # restrict the fine face values over the transverse dims
-                # (area-weighted sum / coarse area; plain mean in cartesian);
-                # after take(), spatial axes remaining are the dims != d in
-                # descending order (..., then x for d!=1, etc.)
                 f_res = f_face
                 rem_dims = [c for c in (3, 2, 1) if c != d]  # outer->inner
                 for j, c in enumerate(rem_dims):
                     if not self.active[c - 1]:
                         continue
-                    ax = f_res.ndim - 2 + j  # two trailing spatial axes
+                    ax = f_res.ndim - 2 + j
                     shp = list(f_res.shape)
                     shp[ax] //= 2
                     shp.insert(ax + 1, 2)
@@ -313,19 +328,14 @@ class TwoLevelSMR:
                     else:
                         f_res = f_res.reshape(shp).mean(axis=ax + 1)
                 if self.curv:
-                    # coarse area at this face over the transverse patch
-                    # extent (trailing two axes are rem_dims outer->inner)
                     acs = ac_full
                     sl = [slice(None)] * acs.ndim
                     for j, c in enumerate(rem_dims):
                         if self.active[c - 1]:
                             sl[acs.ndim - 2 + j] = slice(
-                                self.patch_lo[c - 1],
-                                self.patch_lo[c - 1] + n[c - 1])
+                                self.lo[c - 1], self.lo[c - 1] + n[c - 1])
                     f_res = f_res / jnp.asarray(np.ascontiguousarray(
                         acs[tuple(sl)]))
-                # scatter into the coarse flux face over the patch extent
-                # (traced patch position -> dynamic_update_slice)
                 update = jnp.expand_dims(f_res, axis=-d)
                 starts = [0] * (Fc.ndim - 3)
                 for c in (3, 2, 1):
@@ -340,70 +350,397 @@ class TwoLevelSMR:
             out[d] = (Fc,) + fx_c[d][1:]
         return out
 
-    # -- stepping -------------------------------------------------------
-    def _stage(self, sc, sf, u1c, u1f, dt, stage, lo):
+
+class MultiLevelSMR:
+    """N-level / multi-patch static+adaptive refinement driver."""
+
+    def __init__(self, root_grid: Grid, integrator: Integrator, gas_cfg: FluidCfg,
+                 dust_cfg: Optional[FluidCfg] = None, sources_factory=None,
+                 diffusion_factory=None, bc_custom=None, omf: float = 0.0,
+                 patches: Optional[List[dict]] = None, nbody=None):
+        self.integ = integrator
+        self.cfg = gas_cfg
+        self.dust_cfg = dust_cfg
+        self.sources_factory = sources_factory
+        self.diffusion_factory = diffusion_factory
+        self.bc_custom = bc_custom or {}
+        self.omf = omf
+        self.nbody = nbody
+        self.nodes: List[_Node] = []
+        self.root = _Node(self, root_grid, None, None, None, 0)
+        # build the patch tree; each spec = {level, lo, n} with ``lo`` in
+        # ROOT-levels cells of its level (converted to parent coords here)
+        for spec in sorted(patches or [], key=lambda s: s["level"]):
+            self.add_patch(spec["level"], spec["lo"], spec["n"])
+        self._compile()
+
+    def add_patch(self, level: int, lo, n):
+        """Register a patch; ``lo``/``n`` are in the INTERIOR cells of its
+        (unique containing) parent at level-1."""
+        parents = [nd for nd in self.nodes if nd.level == level - 1]
+        if not parents:
+            raise ValueError(f"no level-{level - 1} parent for a level-{level} patch")
+        parent = None
+        for cand in parents:
+            ok = True
+            for d in range(3):
+                if cand.grid.nx[d] <= 1:
+                    continue
+                rim = max(1, -(-cand.grid.ng[d] // 2))
+                if lo[d] < rim or lo[d] + n[d] > cand.grid.nx[d] - rim:
+                    ok = False
+            if ok:
+                parent = cand
+                break
+        if parent is None:
+            raise ValueError(
+                f"level-{level} patch {lo}+{n} is not nested (with ghost rim) "
+                "inside any coarser patch")
+        # patches at the same level must be disjoint (ghosts come from the
+        # parent only; patch-patch exchange is not implemented).  Disjoint =
+        # separated along at least one active axis.
+        for sib in parent.children:
+            sep = any(parent.grid.nx[d] > 1
+                      and (lo[d] >= sib.lo[d] + sib.n[d]
+                           or sib.lo[d] >= lo[d] + n[d])
+                      for d in range(3))
+            if not sep:
+                raise ValueError("same-level patches must be disjoint")
+        grid = _refine_grid(parent.grid, lo, n)
+        return _Node(self, grid, parent, lo, n, level)
+
+    # -- compiled step ----------------------------------------------------
+    def _compile(self):
+        self._stage_jits = [jax.jit(self._make_stage(s))
+                            for s in range(1, self.integ.nstages + 1)] \
+            if self.nbody is not None else None
+        self._step = jax.jit(self._build_step())
+        self._dt = jax.jit(self._estimate_dt)
+
+    def _make_stage(self, stage):
+        def fn(states, u1s, dt, time, los, particles):
+            return self._stage(states, u1s, dt, time, stage, los, particles)
+
+        return fn
+
+    def _cover_mask(self, node: _Node, los):
+        """Interior [z,y,x] mask: 0 under this node's children, 1 elsewhere
+        (per-level force reductions must not double-count covered cells)."""
+        if not node.children:
+            return None
+        mask = jnp.ones(tuple(reversed(node.grid.nx)))
+        for ch in node.children:
+            lo = los[ch.index]
+            zeros = jnp.zeros(tuple(ch.n[2 - i] if node.grid.nx[2 - i] > 1
+                                    else 1 for i in range(3)))
+            starts = tuple(jnp.asarray(lo[2 - i] if node.grid.nx[2 - i] > 1
+                                       else 0, jnp.int32) for i in range(3))
+            mask = jax.lax.dynamic_update_slice(mask, zeros, starts)
+        return mask
+
+    def _stage(self, states, u1s, dt, time, stage, los, particles):
         integ = self.integ
-        cfg = self.cfg
         gam0 = integ.gam0[stage - 1]
         gam1 = integ.gam1[stage - 1]
         bdt = integ.beta[stage - 1] * dt
         force_pcm = (integ.name == "vl2") and stage == 1
 
-        uc, wc = sc
-        uf, wf = sf
-        wc_pad = bc_mod.pad_and_fill(wc, self.cg, "gas", {})
-        wf_pad = self._fill_fine_ghosts(wf, wc, lo)
-        fx_c = self.hc.compute_fluxes(wc_pad, cfg, force_pcm)
-        fx_f = self.hf.compute_fluxes(wf_pad, cfg, force_pcm)
-        fx_c = self._flux_correct(fx_c, fx_f, lo)
+        # 1. ghost fill (parents before children: prolongation reads the
+        # parent's stage-entry prims)
+        wpads = []
+        for node in self.nodes:
+            wp = {}
+            for fl, _ in node.fluids():
+                w = states[node.index][fl]["w"]
+                if node.parent is None:
+                    wp[fl] = bc_mod.pad_and_fill(w, node.grid, fl, self.bc_custom)
+                else:
+                    wp[fl] = node.fill_fine_ghosts(
+                        w, states[node.parent.index][fl]["w"], los[node.index])
+            wpads.append(wp)
 
-        uc = self.hc.apply_update(uc, u1c, fx_c, gam0, gam1, bdt)
-        uc = self.hc.flux_source(uc, wc, fx_c, bdt)
-        uf = self.hf.apply_update(uf, u1f, fx_f, gam0, gam1, bdt)
-        uf = self.hf.flux_source(uf, wf, fx_f, bdt)
+        # 2. fluxes per node per fluid
+        fxs = []
+        for node in self.nodes:
+            fx = {}
+            for fl, cfg in node.fluids():
+                fx[fl] = node.hydro.compute_fluxes(wpads[node.index][fl],
+                                                   cfg, force_pcm)
+            fxs.append(fx)
 
-        uc = self.hc.set_auxiliary(uc, cfg)
-        uf = self.hf.set_auxiliary(uf, cfg)
+        # 3. flux correction, deepest level first
+        for node in reversed(self.nodes):
+            if node.parent is None:
+                continue
+            p = node.parent.index
+            for fl, _ in node.fluids():
+                fxs[p][fl] = node.flux_correct(fxs[p][fl], fxs[node.index][fl],
+                                               los[node.index])
 
-        # restrict fine cons onto the covered coarse cells (volume-weighted
-        # in curvilinear geometry; plain average is exact in Cartesian)
-        starts = [jnp.asarray(v, jnp.int32)
-                  for v in [0] * (uc.ndim - 3) + [lo[2], lo[1], lo[0]]]
-        uc = jax.lax.dynamic_update_slice(
-            uc, restrict_average(uf, self.active, volf=self.volf),
-            tuple(starts))
+        # 4. update + diffusion + sources per node
+        new_states = []
+        pforce = None
+        for node in self.nodes:
+            i = node.index
+            st = {}
+            for fl, cfg in node.fluids():
+                u = node.hydro.apply_update(states[i][fl]["u"], u1s[i][fl],
+                                            fxs[i][fl], gam0, gam1, bdt)
+                u = node.hydro.flux_source(u, states[i][fl]["w"], fxs[i][fl],
+                                           bdt, omf=self.omf)
+                if fl == "gas" and node.diffusion is not None:
+                    dfx = node.diffusion.fluxes(wpads[i]["gas"])
+                    u = node.diffusion.update(u, states[i][fl]["w"], dfx, bdt)
+                st[fl] = {"u": u, "w": states[i][fl]["w"]}
+            ctx = {"particles": particles, "mask": self._cover_mask(node, los)}
+            for src in node.sources:
+                if getattr(src, "needs_ctx", False):
+                    st = src.apply(st, fxs[i], time, bdt, node.hydro, ctx=ctx)
+                else:
+                    st = src.apply(st, fxs[i], time, bdt, node.hydro)
+            if "pforce" in ctx:
+                pforce = ctx["pforce"] if pforce is None else pforce + ctx["pforce"]
+            if node.hydro.gas is not None:
+                st["gas"]["u"] = node.hydro.set_auxiliary(st["gas"]["u"], self.cfg)
+            new_states.append(st)
 
-        wc = self.hc.cons_to_prim(uc, cfg)
-        uc, wc = self.hc.prim_to_cons(wc, cfg)
-        wf = self.hf.cons_to_prim(uf, cfg)
-        uf, wf = self.hf.prim_to_cons(wf, cfg)
-        return (uc, wc), (uf, wf)
+        # 5. restriction, deepest level first
+        for node in reversed(self.nodes):
+            if node.parent is None:
+                continue
+            p = node.parent.index
+            lo = los[node.index]
+            for fl, _ in node.fluids():
+                up = new_states[p][fl]["u"]
+                starts = [jnp.asarray(v, jnp.int32)
+                          for v in [0] * (up.ndim - 3) + [lo[2], lo[1], lo[0]]]
+                up = jax.lax.dynamic_update_slice(
+                    up, restrict_average(new_states[node.index][fl]["u"],
+                                         node.active, volf=node.volf),
+                    tuple(starts))
+                new_states[p][fl]["u"] = up
+
+        # 6. prims re-sync per node
+        out = []
+        for node in self.nodes:
+            st = {}
+            for fl, cfg in node.fluids():
+                w = node.hydro.cons_to_prim(new_states[node.index][fl]["u"], cfg)
+                u, w = node.hydro.prim_to_cons(w, cfg)
+                st[fl] = {"u": u, "w": w}
+            out.append(st)
+        return out, pforce
 
     def _build_step(self):
-        def step(sc, sf, dt, lo):
-            u1c = sc[0]
-            u1f = sf[0]
+        def step(states, dt, time, los, particles):
+            u1s = [{fl: st[fl]["u"] for fl in st} for st in states]
             for stage in range(1, self.integ.nstages + 1):
-                sc, sf = self._stage(sc, sf, u1c, u1f, dt, stage, lo)
-            return sc, sf
+                states, _ = self._stage(states, u1s, dt, time, stage, los,
+                                        particles)
+            return states
 
         return step
 
-    def _estimate_dt(self, sc, sf):
-        return jnp.minimum(self.hc.estimate_dt(sc[1], self.cfg),
-                           self.hf.estimate_dt(sf[1], self.cfg))
+    def _estimate_dt(self, states):
+        dts = []
+        for node in self.nodes:
+            for fl, cfg in node.fluids():
+                dt = node.hydro.estimate_dt(states[node.index][fl]["w"], cfg)
+                if fl == "gas" and node.diffusion is not None:
+                    dt = jnp.minimum(dt, cfg.cfl * node.diffusion.estimate_dt(
+                        states[node.index][fl]["w"]))
+                dts.append(dt)
+        return jnp.min(jnp.stack(dts))
 
-    # -- public ---------------------------------------------------------
+    # -- state ------------------------------------------------------------
+    def initialize(self, prims_per_node):
+        """prims_per_node: list (topo order) of {fluid: interior prims};
+        entries may be None -> prolonged from the parent."""
+        states = []
+        for node in self.nodes:
+            pr = prims_per_node[node.index]
+            st = {}
+            for fl, cfg in node.fluids():
+                if pr is not None and fl in pr and pr[fl] is not None:
+                    w = jnp.asarray(pr[fl])
+                else:
+                    sl = tuple(
+                        slice(node.lo[2 - i], node.lo[2 - i] + node.n[2 - i])
+                        if node.active[2 - i] else slice(0, 1) for i in range(3))
+                    wparent = states[node.parent.index][fl]["w"]
+                    w = prolong_minmod(wparent[(Ellipsis, *sl)], node.active,
+                                       spacings=node.ghost_spacings and None)
+                u, w = node.hydro.prim_to_cons(w, cfg)
+                st[fl] = {"u": u, "w": w}
+            states.append(st)
+        return states
+
+    # -- adaptive retagging -------------------------------------------------
+    def retag_criteria(self, states, los, criterion):
+        """Re-center each level's patches on the refinement-tagged cells of
+        their parent (ScalarFirstDerivative / ScalarMagnitude,
+        amr_criteria.hpp; keys per gas.cpp:304-383).  Cartesian only (patch
+        geometry is translation-invariant)."""
+        from .ops import refinement as ref_mod
+
+        if any(node.curv for node in self.nodes):
+            raise ValueError("adaptive patch moves are Cartesian-only "
+                             "(curvilinear geometry weights are static)")
+        new_los = list(los)
+        states = list(states)
+        for node in self.nodes:
+            if node.parent is None:
+                continue
+            wc = np.asarray(states[node.parent.index]["gas"]["w"])
+            field = wc[:, 0] if criterion.get("field", "density") == "density" \
+                else wc[:, 4]
+            dims = [d for d in (1, 2, 3) if node.parent.grid.nx[d - 1] > 1]
+            if criterion.get("type", "gradient") == "gradient":
+                tags, _ = ref_mod.scalar_first_derivative(
+                    jnp.asarray(field), [1.0, 1.0, 1.0], dims,
+                    criterion["refine_thr"], criterion.get("deref_thr", 0.0))
+            else:
+                tags, _ = ref_mod.scalar_magnitude(
+                    jnp.asarray(field), criterion["refine_thr"],
+                    criterion.get("deref_thr", 0.0))
+            tags = np.asarray(tags).any(axis=0)
+            if not tags.any():
+                continue
+            idx = np.nonzero(tags)
+            lo_np = np.asarray(new_los[node.index])
+            new_lo = [int(v) for v in lo_np]
+            pg = node.parent.grid
+            for d in (1, 2, 3):
+                if pg.nx[d - 1] <= 1:
+                    continue
+                ax = 3 - d
+                c0, c1 = int(idx[ax].min()), int(idx[ax].max())
+                want = (c0 + c1 + 1 - node.n[d - 1]) // 2
+                hi = pg.nx[d - 1] - node.n[d - 1] - node.rim[d - 1]
+                new_lo[d - 1] = int(np.clip(want, node.rim[d - 1], hi))
+            if tuple(new_lo) == tuple(int(v) for v in lo_np):
+                continue
+            states, new_los = self._move_patch(states, new_los, node, new_lo)
+        return states, new_los
+
+    def retag_particles(self, states, los, particle_nodes, positions):
+        """Re-center particle-tracking patches on their particles
+        (refine_distance, nbody.cpp:276-312).  ``particle_nodes``:
+        {node.index: particle_index}; ``positions``: [npart, 3] cartesian."""
+        new_los = list(los)
+        states = list(states)
+        for node in self.nodes:
+            if node.index not in particle_nodes:
+                continue
+            k = particle_nodes[node.index]
+            pg = node.parent.grid
+            want = self._cell_of(pg, positions[k])
+            if want is None:
+                continue
+            new_lo = [int(v) for v in np.asarray(new_los[node.index])]
+            for d in range(3):
+                if pg.nx[d] <= 1:
+                    continue
+                lo_d = want[d] - node.n[d] // 2
+                hi = pg.nx[d] - node.n[d] - node.rim[d]
+                new_lo[d] = int(np.clip(lo_d, node.rim[d], hi))
+            if tuple(new_lo) != tuple(int(v)
+                                      for v in np.asarray(new_los[node.index])):
+                states, new_los = self._move_patch(states, new_los, node, new_lo)
+        return states, new_los
+
+    @staticmethod
+    def _cell_of(grid, pos_cart):
+        """Interior cell index [x,y,z] containing a cartesian position."""
+        # invert to the grid's native coordinates
+        x, y, z = float(pos_cart[0]), float(pos_cart[1]), float(pos_cart[2])
+        c = grid.coords
+        if geo.is_cartesian(c):
+            nat = (x, y, z)
+        elif c == "cylindrical":
+            nat = (math.hypot(x, y), math.atan2(y, x), z)
+        elif c == "axisymmetric":
+            nat = (math.hypot(x, y), z, math.atan2(y, x))
+        elif geo.is_spherical(c):
+            r = math.sqrt(x * x + y * y + z * z)
+            nat = (r, math.acos(z / r) if r > 0 else 0.0, math.atan2(y, x))
+        else:
+            return None
+        out = []
+        for d in range(3):
+            if grid.nx[d] <= 1:
+                out.append(0)
+                continue
+            frac = (nat[d] - grid.xmin[d]) / (grid.xmax[d] - grid.xmin[d])
+            out.append(int(np.clip(frac * grid.nx[d], 0, grid.nx[d] - 1)))
+        return out
+
+    def _move_patch(self, states, los, node: _Node, new_lo):
+        """Move a (Cartesian) patch: restriction already deposited its data
+        on the parent, so a move is a fresh prolongation at the new spot."""
+        if node.children:
+            raise ValueError("cannot move a patch that has children")
+        st = {}
+        for fl, cfg in node.fluids():
+            sl = tuple(slice(new_lo[2 - i], new_lo[2 - i] + node.n[2 - i])
+                       if node.active[2 - i] else slice(0, 1) for i in range(3))
+            wf = prolong_minmod(states[node.parent.index][fl]["w"][(Ellipsis, *sl)],
+                                node.active)
+            u, w = node.hydro.prim_to_cons(wf, cfg)
+            st[fl] = {"u": u, "w": w}
+        states[node.index] = st
+        los[node.index] = jnp.asarray(np.array(new_lo, dtype=np.int32))
+        return states, los
+
+
+class TwoLevelSMR:
+    """Back-compat adapter: the original two-level single-patch API on top
+    of MultiLevelSMR (tests and the blast/linwave AMR decks use it)."""
+
+    def __init__(self, coarse_grid: Grid, integrator: Integrator,
+                 gas_cfg: FluidCfg, patch_lo, patch_n):
+        self.ml = MultiLevelSMR(
+            coarse_grid, integrator, gas_cfg,
+            patches=[dict(level=1, lo=tuple(int(v) for v in patch_lo),
+                          n=tuple(int(v) for v in patch_n))])
+        self.cg = coarse_grid
+        self.node = self.ml.nodes[1]
+        self.fg = self.node.grid
+        self.hc = self.ml.root.hydro
+        self.hf = self.node.hydro
+        self.cfg = gas_cfg
+        self.integ = integrator
+        self.patch_lo = tuple(int(v) for v in patch_lo)
+        self.patch_n = tuple(int(v) for v in patch_n)
+        self.active = self.node.active
+        self.rim = self.node.rim
+        self.curv = self.node.curv
+        self.volf = self.node.volf
+
+    def _patch_slices(self):
+        lo, n = self.patch_lo, self.patch_n
+        return tuple(slice(lo[2 - i], lo[2 - i] + n[2 - i]) for i in range(3))
+
     def initialize(self, wc, wf):
-        uc, wc = self.hc.prim_to_cons(jnp.asarray(wc), self.cfg)
-        uf, wf = self.hf.prim_to_cons(jnp.asarray(wf), self.cfg)
-        return (uc, wc), (uf, wf)
+        states = self.ml.initialize([{"gas": wc}, {"gas": wf}])
+        sc = (states[0]["gas"]["u"], states[0]["gas"]["w"])
+        sf = (states[1]["gas"]["u"], states[1]["gas"]["w"])
+        return sc, sf
+
+    def _states(self, sc, sf):
+        return [{"gas": {"u": sc[0], "w": sc[1]}},
+                {"gas": {"u": sf[0], "w": sf[1]}}]
+
+    def _step(self, sc, sf, dt, lo):
+        states = self.ml._step(self._states(sc, sf), dt, jnp.asarray(0.0),
+                               [None, lo], None)
+        return ((states[0]["gas"]["u"], states[0]["gas"]["w"]),
+                (states[1]["gas"]["u"], states[1]["gas"]["w"]))
+
+    def _dt(self, sc, sf):
+        return self.ml._dt(self._states(sc, sf))
 
     def run(self, sc, sf, tlim, nlim=-1, criterion=None, retag_interval=10):
-        """Advance to tlim.  With ``criterion`` (dict: field=density|pressure,
-        type=gradient|magnitude, refine_thr, deref_thr) the fixed-shape fine
-        patch is re-centered on the tagged region every ``retag_interval``
-        cycles — the adaptive mode."""
         t, dt, nc = 0.0, float(self._dt(sc, sf)), 0
         lo = jnp.asarray(np.array(self.patch_lo, dtype=np.int32))
         while t < tlim * (1 - 1e-12) and (nlim < 0 or nc < nlim):
@@ -417,154 +754,261 @@ class TwoLevelSMR:
         self.patch_lo = tuple(int(v) for v in np.asarray(lo))
         return sc, sf, t, nc
 
-    # -- adaptive retagging ---------------------------------------------
     def retag(self, sc, sf, lo, criterion):
-        if self.curv:
-            raise ValueError("adaptive patch moves are Cartesian-only "
-                             "(curvilinear geometry weights are static)")
-        """Re-center the fine patch on the refinement-tagged cells
-        (ScalarFirstDerivative / ScalarMagnitude, amr_criteria.hpp;
-        selection keys per gas.cpp:304-383).  Coarse cells under the old
-        patch already hold the restricted fine solution, so a move only
-        needs a fresh prolongation at the new position."""
-        from .ops import refinement as ref_mod
-
-        wc = np.asarray(sc[1])
-        field = wc[:, 0] if criterion.get("field", "density") == "density" \
-            else wc[:, 4]
-        dims = [d for d in (1, 2, 3) if self.active[d - 1]]
-        if criterion.get("type", "gradient") == "gradient":
-            tags, _ = ref_mod.scalar_first_derivative(
-                jnp.asarray(field), [1.0, 1.0, 1.0], dims,
-                criterion["refine_thr"], criterion.get("deref_thr", 0.0))
-        else:
-            tags, _ = ref_mod.scalar_magnitude(
-                jnp.asarray(field), criterion["refine_thr"],
-                criterion.get("deref_thr", 0.0))
-        tags = np.asarray(tags).any(axis=0)  # over species -> [z, y, x]
-        if not tags.any():
-            return sc, sf, lo
-        idx = np.nonzero(tags)
-        lo_np = np.asarray(lo)
-        new_lo = list(int(v) for v in lo_np)
-        for d in (1, 2, 3):
-            if not self.active[d - 1]:
-                continue
-            ax = 3 - d
-            c0, c1 = int(idx[ax].min()), int(idx[ax].max())
-            want = (c0 + c1 + 1 - self.patch_n[d - 1]) // 2
-            hi = self.cg.nx[d - 1] - self.patch_n[d - 1] - self.rim[d - 1]
-            new_lo[d - 1] = int(np.clip(want, self.rim[d - 1], hi))
-        if tuple(new_lo) == tuple(int(v) for v in lo_np):
-            return sc, sf, lo
-        # prolong the coarse window at the new position into a fresh fine state
-        uc, wc_j = sc
-        sl = tuple(slice(new_lo[2 - i], new_lo[2 - i] + self.patch_n[2 - i])
-                   if self.active[2 - i] else slice(0, 1) for i in range(3))
-        wf_new = prolong_minmod(wc_j[(Ellipsis, *sl)], self.active)
-        uf_new, wf_new = self.hf.prim_to_cons(wf_new, self.cfg)
-        return sc, (uf_new, wf_new), jnp.asarray(np.array(new_lo, dtype=np.int32))
+        states, los = self.ml.retag_criteria(self._states(sc, sf),
+                                             [None, lo], criterion)
+        return ((states[0]["gas"]["u"], states[0]["gas"]["w"]),
+                (states[1]["gas"]["u"], states[1]["gas"]["w"]), los[1])
 
 
 class SMRDriver:
-    """Driver-API adapter for deck-driven two-level refinement
-    (<parthenon/mesh> refinement = adaptive | static, numlevel = 2;
-    adaptive criterion from <gas> refine_field / refine_type / refine_thr /
-    deref_thr, gas.cpp:304-383).
+    """Driver-API adapter for deck-driven refinement.
 
-    Exposes the Driver surface used by ``evolve`` (host_coupled = True:
-    stepping is python-paced; the per-step compute is the single compiled
-    TwoLevelSMR step with the patch position traced).  The fine level lives
-    inside the adapter; the evolve-visible state holds the coarse level
-    (which carries the restricted fine solution everywhere under the patch,
-    so outputs/restarts see the composite solution at coarse resolution;
-    on restart the fine level is re-prolonged).
+    Deck dialect (reference-compatible):
+      <parthenon/mesh> refinement = static | adaptive, numlevel = N
+      <parthenon/static_refinementK> level / x1min / x1max / ... physical
+        bounds (Parthenon static refinement; running.rst:121-135)
+      adaptive: <gas> refine_field / refine_type / refine_thr / deref_thr
+        (gas.cpp:304-383) recenters one patch per level every
+        check_interval cycles; N-body particles with <particleN>
+        refine_distance > 0 get their own tracking patches
+        (nbody.cpp:276-312).
+
+    Exposes the Driver surface used by ``evolve`` (host_coupled = True).
+    The evolve-visible state holds the root level (which carries the
+    restricted fine solution everywhere under the patches); fine-level
+    states live in the adapter and are saved in restart payloads so a
+    restart resumes bit-exactly.
     """
 
     host_coupled = True
-    diffusion = None
-    sources = ()
-    dust_cfg = None
-    nbody = None
 
-    def __init__(self, grid, integrator, gas_cfg, pin, fine_prims=None):
+    def __init__(self, grid, integrator, gas_cfg, pin, dust_cfg=None,
+                 sources_factory=None, diffusion_factory=None,
+                 bc_custom=None, omf=0.0, nbody=None, fine_prims=None):
         self.gas_cfg = gas_cfg
+        self.dust_cfg = dust_cfg
+        self.nbody = nbody
+        self.grid = grid
+        self.integrator = integrator
         mode = pin.get_str("parthenon/mesh", "refinement")
         if mode not in ("adaptive", "static"):
             raise ValueError(f"refinement {mode!r} not recognized")
-        numlevel = pin.get_or_add_int("parthenon/mesh", "numlevel", 2)
-        if numlevel > 2:
-            print("# artemis_tpu: two-level refinement scheme; "
-                  f"numlevel={numlevel} treated as 2")
-        self.grid = grid
         self.adaptive = mode == "adaptive"
+        numlevel = pin.get_or_add_int("parthenon/mesh", "numlevel", 2)
 
-        n = [max(4, grid.nx[d] // 2) if grid.nx[d] > 1 else 1 for d in range(3)]
-        for d in range(3):
-            key = f"patch_nx{d + 1}"
-            if pin.exists("parthenon/refinement", key):
-                n[d] = pin.get_int("parthenon/refinement", key)
-        lo = [(grid.nx[d] - n[d]) // 2 if grid.nx[d] > 1 else 0 for d in range(3)]
-        for d in range(3):
-            key = f"patch_lo{d + 1}"
-            if pin.exists("parthenon/refinement", key):
-                lo[d] = pin.get_int("parthenon/refinement", key)
+        patches = []
+        # 1) reference static_refinement blocks (physical bounds)
+        for blk in pin.block_names():
+            if not blk.startswith("parthenon/static_refinement"):
+                continue
+            level = pin.get_or_add_int(blk, "level", 1)
+            spec = self._bounds_to_patches(pin, blk, grid, level)
+            patches.extend(spec)
+        # 2) deck patch_lo/patch_n keys (artemis_tpu dialect; one per level).
+        # numlevel <= 1 means no criteria/deck patches (tracking patches from
+        # refine_distance may still be added below).
+        if not patches and numlevel >= 2:
+            for lev in range(1, max(2, numlevel)):
+                scale = 2 ** (lev - 1)
+                base_nx = [grid.nx[d] * scale for d in range(3)]
+                n = [max(4, base_nx[d] // 2) if grid.nx[d] > 1 else 1
+                     for d in range(3)]
+                for d in range(3):
+                    key = f"patch_nx{d + 1}"
+                    if pin.exists("parthenon/refinement", key):
+                        n[d] = pin.get_int("parthenon/refinement", key)
+                lo = [(base_nx[d] - n[d]) // 2 if grid.nx[d] > 1 else 0
+                      for d in range(3)]
+                for d in range(3):
+                    key = f"patch_lo{d + 1}"
+                    if lev == 1 and pin.exists("parthenon/refinement", key):
+                        lo[d] = pin.get_int("parthenon/refinement", key)
+                patches.append(dict(level=lev, lo=tuple(lo), n=tuple(n)))
+                if lev + 1 > numlevel - 1:
+                    break
 
-        self.smr = TwoLevelSMR(grid, integrator, gas_cfg, tuple(lo), tuple(n))
-        self.hydro = self.smr.hc  # coarse-level Hydro (history/output volume)
+        # 3) nbody refine_distance tracking patches (nbody.cpp:276-312)
+        self._particle_nodes = {}
+        track = []
+        if nbody is not None:
+            for k in range(nbody.npart):
+                rd = float(np.asarray(nbody.target_rad)[k])
+                if rd > 0.0:
+                    track.append((k, rd))
+
+        self.smr = MultiLevelSMR(
+            grid, integrator, gas_cfg, dust_cfg=dust_cfg,
+            sources_factory=sources_factory,
+            diffusion_factory=diffusion_factory, bc_custom=bc_custom,
+            omf=omf, patches=patches, nbody=nbody)
+
+        for (k, rd) in track:
+            pos = np.asarray(nbody.pos)[k] - np.asarray(nbody.Rf)
+            cell = MultiLevelSMR._cell_of(grid, pos)
+            # patch wide enough to cover +/- refine_distance around the
+            # particle on the root grid
+            n = []
+            lo = []
+            rim = max(1, -(-grid.nghost // 2)) + 1
+            for d in range(3):
+                if grid.nx[d] <= 1:
+                    n.append(1)
+                    lo.append(0)
+                    continue
+                dx = (grid.xmax[d] - grid.xmin[d]) / grid.nx[d]
+                half = max(2, int(np.ceil(rd / dx)))
+                nn = min(2 * half, grid.nx[d] - 2 * rim)
+                nn += nn % 2
+                n.append(nn)
+                lo.append(int(np.clip(cell[d] - nn // 2, rim,
+                                      grid.nx[d] - nn - rim)))
+            node = self.smr.add_patch(1, tuple(lo), tuple(n))
+            self._particle_nodes[node.index] = k
+        if track:
+            self.smr._compile()
+
+        self.hydro = self.smr.root.hydro
+        self.sources = self.smr.root.sources
+        self.diffusion = self.smr.root.diffusion
         self.criterion = None
-        if self.adaptive:
-            field = pin.get_or_add_str("gas", "refine_field", "density")
-            rtype = pin.get_or_add_str("gas", "refine_type", "gradient")
+        if self.adaptive and pin.exists("gas", "refine_thr"):
             self.criterion = dict(
-                field=field, type=rtype,
+                field=pin.get_or_add_str("gas", "refine_field", "density"),
+                type=pin.get_or_add_str("gas", "refine_type", "gradient"),
                 refine_thr=pin.get_real("gas", "refine_thr"),
                 deref_thr=pin.get_or_add_real("gas", "deref_thr", 0.0))
         self.retag_interval = pin.get_or_add_int(
             "parthenon/refinement", "check_interval", 10)
-        self._fine_prims = fine_prims     # fine-level IC (None -> prolong)
-        self._sf = None
-        self._lo = jnp.asarray(np.array(self.smr.patch_lo, dtype=np.int32))
+        self._fine_prims = fine_prims  # list per node index (or None)
+        self._states = None
+        self._los = [None] + [
+            jnp.asarray(np.array(nd.lo, dtype=np.int32))
+            for nd in self.smr.nodes[1:]]
         self._ncycle = 0
+
+    @staticmethod
+    def _bounds_to_patches(pin, blk, grid, level):
+        """Convert a static_refinement physical-bounds block into nested
+        patch specs at levels 1..level (each level covering the bounds)."""
+        out = []
+        lo_phys = [pin.get_or_add_real(blk, f"x{d + 1}min", grid.xmin[d])
+                   for d in range(3)]
+        hi_phys = [pin.get_or_add_real(blk, f"x{d + 1}max", grid.xmax[d])
+                   for d in range(3)]
+        prev_lo = [0, 0, 0]  # parent patch origin in its own level cells
+        for lev in range(1, level + 1):
+            scale = 2 ** (lev - 1)
+            lo = []
+            n = []
+            for d in range(3):
+                if grid.nx[d] <= 1:
+                    lo.append(0)
+                    n.append(1)
+                    continue
+                nd_lvl = grid.nx[d] * scale  # parent-level global resolution
+                dx = (grid.xmax[d] - grid.xmin[d]) / nd_lvl
+                c0 = int(np.floor((lo_phys[d] - grid.xmin[d]) / dx))
+                c1 = int(np.ceil((hi_phys[d] - grid.xmin[d]) / dx))
+                c0 -= c0 % 2
+                c1 += c1 % 2
+                rim = max(1, -(-grid.nghost // 2)) + 1
+                c0 = int(np.clip(c0, rim, nd_lvl - rim))
+                c1 = int(np.clip(c1, c0 + 2, nd_lvl - rim))
+                # convert from parent-level GLOBAL cells to parent-PATCH cells
+                lo.append(c0 - 2 * prev_lo[d] if lev > 1 else c0)
+                n.append(c1 - c0)
+            out.append(dict(level=lev, lo=tuple(lo), n=tuple(n)))
+            prev_lo = [lo[d] if lev == 1 else lo[d] + 2 * prev_lo[d]
+                       for d in range(3)]
+        return out
 
     # -- Driver API ------------------------------------------------------
     def initialize(self, state):
-        wc = state["gas"]["w"]
-        if self._fine_prims is not None:
-            wf = jnp.asarray(self._fine_prims)
-        else:
-            sl = tuple(slice(self.smr.patch_lo[2 - i],
-                             self.smr.patch_lo[2 - i] + self.smr.patch_n[2 - i])
-                       if self.smr.active[2 - i] else slice(0, 1)
-                       for i in range(3))
-            wf = prolong_minmod(jnp.asarray(wc)[(Ellipsis, *sl)], self.smr.active)
-        sc, sf = self.smr.initialize(wc, wf)
-        self._sf = sf
-        return {"gas": {"u": sc[0], "w": sc[1]}}
+        prims = [None] * len(self.smr.nodes)
+        prims[0] = {fl: state[fl]["w"] for fl in state}
+        if self._fine_prims:
+            for i, pr in enumerate(self._fine_prims):
+                if pr is not None and i + 1 < len(prims):
+                    prims[i + 1] = pr
+        self._states = self.smr.initialize(prims)
+        root = self._states[0]
+        return {fl: dict(root[fl]) for fl in root}
 
-    def _ensure_fine(self, sc):
-        """Post-restart: re-prolong the fine level from the coarse state."""
-        if self._sf is None:
-            sl = tuple(slice(self.smr.patch_lo[2 - i],
-                             self.smr.patch_lo[2 - i] + self.smr.patch_n[2 - i])
-                       if self.smr.active[2 - i] else slice(0, 1)
-                       for i in range(3))
-            wf = prolong_minmod(sc[1][(Ellipsis, *sl)], self.smr.active)
-            self._sf = self.smr.hf.prim_to_cons(wf, self.smr.cfg)
+    def restart_payloads(self):
+        """Fine-level arrays for bit-exact restart (name -> fn)."""
+        out = {}
+        for node in self.smr.nodes[1:]:
+            i = node.index
+
+            def mk(i_, fl_, kind_):
+                return lambda: np.asarray(self._states[i_][fl_][kind_])
+
+            for fl, _ in node.fluids():
+                out[f"n{i}.{fl}.u"] = mk(i, fl, "u")
+                out[f"n{i}.{fl}.w"] = mk(i, fl, "w")
+            out[f"n{i}.lo"] = (lambda i_: (lambda: np.asarray(self._los[i_])))(i)
+        return out
+
+    def load_restart(self, payloads, root_state):
+        """Rehydrate the fine levels from restart payloads."""
+        self._states = [None] * len(self.smr.nodes)
+        self._states[0] = {fl: dict(root_state[fl]) for fl in root_state}
+        for node in self.smr.nodes[1:]:
+            i = node.index
+            st = {}
+            for fl, _ in node.fluids():
+                st[fl] = {"u": jnp.asarray(payloads[f"n{i}.{fl}.u"]),
+                          "w": jnp.asarray(payloads[f"n{i}.{fl}.w"])}
+            self._states[i] = st
+            if f"n{i}.lo" in payloads:
+                self._los[i] = jnp.asarray(
+                    np.asarray(payloads[f"n{i}.lo"], dtype=np.int32))
+
+    def _ensure_states(self, root_state):
+        if self._states is None:
+            # restart without fine payloads: re-prolong from the root
+            prims = [None] * len(self.smr.nodes)
+            prims[0] = {fl: root_state[fl]["w"] for fl in root_state}
+            self._states = self.smr.initialize(prims)
+        self._states[0] = {fl: dict(root_state[fl]) for fl in root_state}
 
     def step(self, state, dt, time):
-        sc = (state["gas"]["u"], state["gas"]["w"])
-        self._ensure_fine(sc)
-        sc, self._sf = self.smr._step(sc, self._sf, jnp.asarray(dt), self._lo)
+        self._ensure_states(state)
+        if self.nbody is not None:
+            self._states = self._nbody_step(self._states, dt, time)
+        else:
+            self._states = self.smr._step(self._states, jnp.asarray(dt),
+                                          jnp.asarray(time), self._los, None)
         self._ncycle += 1
-        if (self.criterion is not None
-                and self._ncycle % self.retag_interval == 0):
-            sc, self._sf, self._lo = self.smr.retag(sc, self._sf, self._lo,
-                                                    self.criterion)
-            self.smr.patch_lo = tuple(int(v) for v in np.asarray(self._lo))
-        return {"gas": {"u": sc[0], "w": sc[1]}}
+        if self._ncycle % self.retag_interval == 0:
+            if self.criterion is not None:
+                self._states, self._los = self.smr.retag_criteria(
+                    self._states, self._los, self.criterion)
+            if self._particle_nodes and not self.smr.nodes[1].curv:
+                self._states, self._los = self.smr.retag_particles(
+                    self._states, self._los, self._particle_nodes,
+                    np.asarray(self.nbody.pos) - np.asarray(self.nbody.Rf))
+        root = self._states[0]
+        return {fl: dict(root[fl]) for fl in root}
+
+    def _nbody_step(self, states, dt, time):
+        """Stage loop with host-side particle advances (NBody::Advance
+        pattern; pforce summed over levels with covered cells masked)."""
+        nb = self.nbody
+        nstages = self.integrator.nstages
+        coeffs = nbody_coeffs(self.integrator, float(dt))
+        nb.begin_step()
+        u1s = [{fl: st[fl]["u"] for fl in st} for st in states]
+        for stage in range(1, nstages + 1):
+            states, pforce = self.smr._stage_jits[stage - 1](
+                states, u1s, jnp.asarray(dt), jnp.asarray(time), self._los,
+                nb.particle_pytree())
+            pf = np.asarray(pforce) if pforce is not None \
+                else np.zeros((nb.npart, 7))
+            nb.advance(pf, stage, nstages, float(time), coeffs)
+        return states
 
     def estimate_dt(self, state):
-        sc = (state["gas"]["u"], state["gas"]["w"])
-        self._ensure_fine(sc)
-        return self.smr._dt(sc, self._sf)
+        self._ensure_states(state)
+        return float(self.smr._dt(self._states))

@@ -66,6 +66,30 @@ class Integrator:
 SourceFn = Callable[..., Dict]
 
 
+def nbody_coeffs(integ: Integrator, dt: float):
+    """Derived stage-consistent N-body coupling integrator from the hydro
+    low-storage coefficients (artemis_driver.cpp:71-87)."""
+    n = integ.nstages
+    nbeta = [0.0] * n
+    nbeta[0] = integ.beta[0]
+    for s in range(2, n + 1):
+        nbeta[s - 1] = integ.gam0[s - 1] * nbeta[s - 2] + integ.beta[s - 1]
+    ngam0, ngam1 = [0.0] * n, [0.0] * n
+    for s in range(1, n + 1):
+        nbetam1 = nbeta[(s > 1) * (s - 2)]
+        nfac = integ.beta[s - 1] / (integ.gam0[s - 1] * nbetam1
+                                    + integ.beta[s - 1])
+        ngam0[s - 1] = 0.0 if s == 1 else 1.0 - nfac
+        ngam1[s - 1] = 1.0 if s == 1 else nfac
+
+    class _C:
+        pass
+
+    c = _C()
+    c.gam0, c.gam1, c.beta, c.dt = ngam0, ngam1, nbeta, dt
+    return c
+
+
 class Driver:
     """Owns the jitted step function and the outer evolution loop."""
 
@@ -384,28 +408,7 @@ class Driver:
         return step
 
     def _nbody_coeffs(self, dt: float):
-        """Derived stage-consistent coupling integrator
-        (artemis_driver.cpp:71-87)."""
-        integ = self.integrator
-        n = integ.nstages
-        nbeta = [0.0] * n
-        nbeta[0] = integ.beta[0]
-        for s in range(2, n + 1):
-            nbeta[s - 1] = integ.gam0[s - 1] * nbeta[s - 2] + integ.beta[s - 1]
-        ngam0, ngam1 = [0.0] * n, [0.0] * n
-        for s in range(1, n + 1):
-            nbetam1 = nbeta[(s > 1) * (s - 2)]
-            nfac = integ.beta[s - 1] / (integ.gam0[s - 1] * nbetam1
-                                        + integ.beta[s - 1])
-            ngam0[s - 1] = 0.0 if s == 1 else 1.0 - nfac
-            ngam1[s - 1] = 1.0 if s == 1 else nfac
-
-        class _C:
-            pass
-
-        c = _C()
-        c.gam0, c.gam1, c.beta, c.dt = ngam0, ngam1, nbeta, dt
-        return c
+        return nbody_coeffs(self.integrator, dt)
 
     def _host_step(self, state, dt, time):
         """Step with host-side particle advances between stages

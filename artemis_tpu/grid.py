@@ -29,6 +29,18 @@ class Grid:
     nghost: int
     bc: Tuple[Tuple[str, str], Tuple[str, str], Tuple[str, str]]  # (inner, outer) per dir
     geom: geo.Geometry                # geometry over the entire padded grid
+    # ROOT domain bounds: equal to xmin/xmax except on AMR patch grids,
+    # where xmin/xmax are the patch bounds.  Problem generators that derive
+    # quantities from the DOMAIN extent (linear_wave wavevector, advection
+    # mode) must use these.
+    dom_min: Tuple[float, float, float] = None
+    dom_max: Tuple[float, float, float] = None
+
+    def __post_init__(self):
+        if self.dom_min is None:
+            object.__setattr__(self, "dom_min", self.xmin)
+        if self.dom_max is None:
+            object.__setattr__(self, "dom_max", self.xmax)
 
     # ------------------------------------------------------------------
     @property

@@ -48,8 +48,11 @@ def _lib():
     return _LIB
 
 
-INTEGRATORS = {"ias15": 0, "bs": 0, "whfast": 1, "leapfrog": 1, "janus": 1,
-               "saba": 1, "mercurius": 0, "none": 2}
+# reference integrator menu (nbody.cpp:203-223): ias15/bs/mercurius map to
+# the adaptive Gauss-Radau integrator; whfast/janus/saba to the fixed-step
+# Wisdom-Holman symplectic; leapfrog to plain leapfrog
+INTEGRATORS = {"ias15": 0, "bs": 0, "whfast": 3, "leapfrog": 1, "janus": 3,
+               "saba": 3, "mercurius": 0, "none": 2}
 
 
 def _init_orbit(gm, a, e, i, o, O, f):
@@ -381,10 +384,11 @@ def setup_particles(pin, G: float, mtot_in: float):
         racc = pin.get_or_add_real(blk, "rsink", 0.0)
         gamma = pin.get_or_add_real(blk, "gamma", 0.0)
         beta = pin.get_or_add_real(blk, "beta", 0.0)
+        target_rad = pin.get_or_add_real(blk, "refine_distance", 0.0)
         mtot_sys = sum(p.m for p in parts.values()) + m
         rb, vb = _init_orbit(G * mtot_sys, a, e, inc, 0.0, 0.0, f)
         p = ParticleParams(m=m, rs=rs, spline=1, racc=racc, gamma=gamma, beta=beta,
-                           couple=couple, init=1)
+                           couple=couple, init=1, target_rad=target_rad)
         p.x, p.y, p.z = rb
         p.vx, p.vy, p.vz = vb
         parts[max(parts.keys(), default=0) + 1] = p

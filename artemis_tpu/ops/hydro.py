@@ -185,7 +185,8 @@ class Hydro:
         out = {}
         method = "pcm" if force_pcm else cfg.recon
         use_pallas = (self.pallas_ok and cfg.fluid == "gas"
-                      and method in ("plm", "pcm"))
+                      and method in ("plm", "pcm")
+                      and w_pad.dtype == jnp.float32)
         if use_pallas:
             from . import pallas_sweeps
 

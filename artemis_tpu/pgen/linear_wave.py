@@ -66,9 +66,11 @@ def _setup_wave(pin, grid, gamma, need_wave_flag: bool = True) -> LinWave:
     multi_d = ndim > 1
     three_d = ndim > 2
 
-    x1size = grid.xmax[0] - grid.xmin[0]
-    x2size = grid.xmax[1] - grid.xmin[1]
-    x3size = grid.xmax[2] - grid.xmin[2]
+    # wavevector from the ROOT DOMAIN extents (equal to the grid extents
+    # except on AMR patch grids, where xmin/xmax are the patch bounds)
+    x1size = grid.dom_max[0] - grid.dom_min[0]
+    x2size = grid.dom_max[1] - grid.dom_min[1]
+    x3size = grid.dom_max[2] - grid.dom_min[2]
 
     cos_a3, sin_a3, cos_a2, sin_a2 = 1.0, 0.0, 1.0, 0.0
     if multi_d and not along_x1:

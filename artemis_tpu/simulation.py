@@ -35,6 +35,12 @@ def _set_precision(pin):
         _enable_x64()
     elif prec != "float32":
         raise ValueError(f"unknown precision {prec!r}")
+    # debug mode: trap the first NaN with its location (the reference ships
+    # ASAN/Kokkos bounds-check presets, CMakeLists.txt:117-120; the JAX
+    # equivalent of "which kernel produced the NaN" is jax_debug_nans)
+    if os.environ.get("ARTEMIS_DEBUG") == "1":
+        jax.config.update("jax_debug_nans", True)
+        print("# artemis_tpu: debug mode (jax_debug_nans) enabled")
 
 
 class _NBodyOutputs:
@@ -167,6 +173,7 @@ class Simulation:
 
         # diffusion (viscosity / conduction) — gas only (gas.cpp:180-198)
         diffusion_factory = None
+        visc = cond = None
         do_visc = pin.get_or_add_bool("physics", "viscosity", False)
         do_cond = pin.get_or_add_bool("physics", "conduction", False)
         if (do_visc or do_cond) and gas_cfg is not None:
@@ -211,20 +218,44 @@ class Simulation:
         integrator = Integrator.make(pin.get_or_add_str("parthenon/time", "integrator", "rk2"))
         refinement = pin.get_or_add_str("parthenon/mesh", "refinement", "none")
         if refinement != "none":
-            # deck-driven two-level refinement (blast_amr-style decks)
+            # deck-driven N-level block refinement with all physics
+            # packages on every level (Parthenon AMR equivalent)
             from .amr import SMRDriver
+            from .sources import Drag as _DragF
 
-            if nshards > 1 or self.nbody is not None or srcs or dust_cfg \
-                    or diffusion_factory or radiation_factory:
-                raise ValueError("refinement currently supports single-shard "
-                                 "source-free gas hydro")
-            # fine-level IC from the problem generator on the fine grid
-            from .pgen import build_problem as _bp
+            if nshards > 1 or radiation_factory:
+                raise ValueError("refinement does not compose with "
+                                 "sharding/radiation yet")
 
-            self.driver = SMRDriver(self.grid, integrator, gas_cfg, pin)
-            pin_f = ParameterInput.from_string(repr(pin))
-            prob_f = _bp(problem_name, pin_f, self.driver.smr.fg, gas_cfg, dust_cfg)
-            self.driver._fine_prims = prob_f.prims["gas"]
+            def src_factory(g):
+                if g is self.grid:
+                    return srcs
+                ss = sources_from_input(pin, g, gas_cfg, dust_cfg,
+                                        self.constants, nbody_sys=self.nbody)
+                pb = build_problem(problem_name,
+                                   ParameterInput.from_string(repr(pin)),
+                                   g, gas_cfg, dust_cfg)
+                ss += list(pb.sources)
+                for s in ss:
+                    if isinstance(s, _Gravity) and s.gtype == "binary":
+                        s.omf = omf
+                    if isinstance(s, _DragF) and s.gasp.damp_to_visc:
+                        s.set_viscosity(visc)
+                return ss
+
+            self.driver = SMRDriver(
+                self.grid, integrator, gas_cfg, pin, dust_cfg=dust_cfg,
+                sources_factory=src_factory,
+                diffusion_factory=diffusion_factory,
+                bc_custom=self.problem.bc_custom, omf=omf, nbody=self.nbody)
+            # fine-level ICs from the problem generator on each patch grid
+            fine = []
+            for node in self.driver.smr.nodes[1:]:
+                pb = build_problem(problem_name,
+                                   ParameterInput.from_string(repr(pin)),
+                                   node.grid, gas_cfg, dust_cfg)
+                fine.append(dict(pb.prims))
+            self.driver._fine_prims = fine
         elif nshards > 1:
             from .geometry import geometry as _geo
             from .parallel.mesh import ShardedDriver, make_device_mesh
@@ -305,6 +336,10 @@ class Simulation:
         self.restart_payloads = {}  # name -> fn() -> np.ndarray (rst extras)
         if self.nbody is not None:
             self.restart_payloads["nbody"] = self.nbody.restart_payload
+        if hasattr(self.driver, "restart_payloads"):
+            # fine-level AMR states (bit-exact restarts incl. refinement)
+            for key, fn in self.driver.restart_payloads().items():
+                self.restart_payloads[f"amr.{key}"] = fn
         if restart is not None:
             from .io.dumps import load_restart
 
@@ -318,6 +353,10 @@ class Simulation:
             self._restart_in_payloads = payloads
             if self.nbody is not None and "nbody" in payloads:
                 self.nbody.load_restart(payloads["nbody"])
+            amr_pl = {k.removeprefix("amr."): v for k, v in payloads.items()
+                      if k.startswith("amr.")}
+            if amr_pl and hasattr(self.driver, "load_restart"):
+                self.driver.load_restart(amr_pl, self.state)
             self.tm = SimTime(
                 time=meta["time"],
                 dt=meta["dt"],

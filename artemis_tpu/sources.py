@@ -847,6 +847,12 @@ class NBodyGravity(SourceBase):
         parts = ctx["particles"]
         hx = _hxv_int(hyd)
         vol = jnp.asarray(hyd.vol)
+        # AMR: cells covered by a finer level contribute their back-reaction
+        # force from that level; mask them out of this level's reduction
+        # (the cell updates themselves are overwritten by restriction)
+        mask = ctx.get("mask") if ctx is not None else None
+        rvol = vol * mask if mask is not None else vol
+        rsc = mask if mask is not None else 1.0
         cx, cy, cz = [jnp.asarray(c) for c in self.cart]
         shape = cx.shape
         ex = self.ex
@@ -916,9 +922,9 @@ class NBodyGravity(SourceBase):
                 if fluid == "gas":
                     u = u.at[:, 4].add(rdt * (v1 * g1 + v2 * g2 + v3 * g3))
                 # back-reaction: gravity rows
-                row[1] = row[1] - jnp.sum(gX * rho * vol)
-                row[2] = row[2] - jnp.sum(gY * rho * vol)
-                row[3] = row[3] - jnp.sum(gZ * rho * vol)
+                row[1] = row[1] - jnp.sum(gX * rho * rvol)
+                row[2] = row[2] - jnp.sum(gY * rho * rvol)
+                row[3] = row[3] - jnp.sum(gZ * rho * rvol)
 
                 if do_sink:
                     vbx = jnp.asarray(self.vb[0]) if self.vb else 0.0
@@ -959,10 +965,10 @@ class NBodyGravity(SourceBase):
                     if fluid == "gas":
                         u = u.at[:, 4].add(dek)
                     idt = 1.0 / jnp.maximum(dt_eff, 1e-300)
-                    row[0] = row[0] - jnp.sum(vol * dm) * idt
-                    row[4] = row[4] - jnp.sum(dmom[0]) * idt
-                    row[5] = row[5] - jnp.sum(dmom[1]) * idt
-                    row[6] = row[6] - jnp.sum(dmom[2]) * idt
+                    row[0] = row[0] - jnp.sum(rvol * dm) * idt
+                    row[4] = row[4] - jnp.sum(dmom[0] * rsc) * idt
+                    row[5] = row[5] - jnp.sum(dmom[1] * rsc) * idt
+                    row[6] = row[6] - jnp.sum(dmom[2] * rsc) * idt
                 new[fluid]["u"] = u
             pforce_rows.append(jnp.stack([jnp.asarray(r) + 0.0 for r in row]))
 

@@ -326,12 +326,164 @@ void leapfrog_step(Sim &s, double dt) {
   for (int d = 0; d < n3; d++) s.vel[d] += 0.5 * dt * a[d];
 }
 
+// ---------------------------------------------------------------------------
+// Wisdom-Holman symplectic integrator, democratic-heliocentric splitting
+// (Duncan, Levison & Lee 1998; the whfast-class option of the reference's
+// rebound embedding, nbody.cpp:203-223).  Fixed step:
+//   sun-drift dt/2 -> interaction kick dt/2 -> Kepler drift dt
+//   -> interaction kick dt/2 -> sun-drift dt/2
+// Kepler propagation uses universal variables with Stumpff functions
+// (robust for elliptic and hyperbolic orbits).
+// ---------------------------------------------------------------------------
+
+void stumpff(double z, double *C, double *S) {
+  if (z > 1e-8) {
+    const double sz = std::sqrt(z);
+    *C = (1.0 - std::cos(sz)) / z;
+    *S = (sz - std::sin(sz)) / (sz * z);
+  } else if (z < -1e-8) {
+    const double sz = std::sqrt(-z);
+    *C = (std::cosh(sz) - 1.0) / (-z);
+    *S = (std::sinh(sz) - sz) / (sz * -z);
+  } else {
+    *C = 0.5 - z / 24.0 + z * z / 720.0;
+    *S = 1.0 / 6.0 - z / 120.0 + z * z / 5040.0;
+  }
+}
+
+// Propagate one Kepler orbit (mu) by dt using f&g universal-variable series.
+void kepler_drift(double mu, double *r, double *v, double dt) {
+  const double r0 = std::sqrt(r[0] * r[0] + r[1] * r[1] + r[2] * r[2]);
+  if (r0 <= 0.0 || mu <= 0.0) {  // free drift fallback
+    for (int d = 0; d < 3; d++) r[d] += dt * v[d];
+    return;
+  }
+  const double v2 = v[0] * v[0] + v[1] * v[1] + v[2] * v[2];
+  const double vr0 = (r[0] * v[0] + r[1] * v[1] + r[2] * v[2]) / r0;
+  const double smu = std::sqrt(mu);
+  const double alpha = 2.0 / r0 - v2 / mu;  // 1/a (sign selects conic)
+  double chi = (std::fabs(alpha) > 1e-12) ? smu * std::fabs(alpha) * dt
+                                          : smu * dt / r0;
+  double C = 0.5, S = 1.0 / 6.0;
+  for (int it = 0; it < 60; it++) {
+    const double z = alpha * chi * chi;
+    stumpff(z, &C, &S);
+    const double F = r0 * vr0 / smu * chi * chi * C
+                     + (1.0 - alpha * r0) * chi * chi * chi * S
+                     + r0 * chi - smu * dt;
+    const double dF = r0 * vr0 / smu * chi * (1.0 - z * S)
+                      + (1.0 - alpha * r0) * chi * chi * C + r0;
+    const double step = F / dF;
+    chi -= step;
+    if (std::fabs(step) < 1e-14 * (std::fabs(chi) + 1.0)) break;
+  }
+  const double z = alpha * chi * chi;
+  stumpff(z, &C, &S);
+  const double f = 1.0 - chi * chi * C / r0;
+  const double g = dt - chi * chi * chi * S / smu;
+  double rn[3];
+  for (int d = 0; d < 3; d++) rn[d] = f * r[d] + g * v[d];
+  const double rlen = std::sqrt(rn[0] * rn[0] + rn[1] * rn[1] + rn[2] * rn[2]);
+  const double fdot = smu / (rlen * r0) * chi * (z * S - 1.0);
+  const double gdot = 1.0 - chi * chi * C / rlen;
+  double vn[3];
+  for (int d = 0; d < 3; d++) vn[d] = fdot * r[d] + gdot * v[d];
+  for (int d = 0; d < 3; d++) { r[d] = rn[d]; v[d] = vn[d]; }
+}
+
+void whfast_step(Sim &s, double dt) {
+  const int n = s.n;
+  if (n < 2) return;
+  // body 0 = dominant central mass (the reference setups put the star
+  // first); work in heliocentric positions + barycentric velocities
+  const double m0 = s.m[0];
+  std::vector<double> rh(3 * n), vb(3 * n);
+  // barycentric velocities
+  double mtot = 0.0, pv[3] = {0, 0, 0};
+  for (int i = 0; i < n; i++) {
+    if (!s.alive[i]) continue;
+    mtot += s.m[i];
+    for (int d = 0; d < 3; d++) pv[d] += s.m[i] * s.vel[3 * i + d];
+  }
+  for (int d = 0; d < 3; d++) pv[d] /= mtot;
+  for (int i = 0; i < n; i++)
+    for (int d = 0; d < 3; d++) {
+      rh[3 * i + d] = s.pos[3 * i + d] - s.pos[d];
+      vb[3 * i + d] = s.vel[3 * i + d] - pv[d];
+    }
+
+  auto sun_drift = [&](double h) {
+    double ps[3] = {0, 0, 0};
+    for (int i = 1; i < n; i++) {
+      if (!s.alive[i]) continue;
+      for (int d = 0; d < 3; d++) ps[d] += s.m[i] * vb[3 * i + d];
+    }
+    for (int i = 1; i < n; i++) {
+      if (!s.alive[i]) continue;
+      for (int d = 0; d < 3; d++) rh[3 * i + d] += h * ps[d] / m0;
+    }
+  };
+  auto kick = [&](double h) {
+    // planet-planet interactions only (the Kepler part handles the star)
+    for (int i = 1; i < n; i++) {
+      if (!s.alive[i]) continue;
+      double a[3] = {0, 0, 0};
+      for (int j = 1; j < n; j++) {
+        if (j == i || !s.alive[j]) continue;
+        double dr[3];
+        for (int d = 0; d < 3; d++) dr[d] = rh[3 * i + d] - rh[3 * j + d];
+        const double d2 = dr[0] * dr[0] + dr[1] * dr[1] + dr[2] * dr[2];
+        const double idr3 = 1.0 / (std::sqrt(d2) * d2 + 1e-300);
+        for (int d = 0; d < 3; d++) a[d] -= s.G * s.m[j] * dr[d] * idr3;
+      }
+      for (int d = 0; d < 3; d++) vb[3 * i + d] += h * a[d];
+    }
+  };
+
+  sun_drift(0.5 * dt);
+  kick(0.5 * dt);
+  for (int i = 1; i < n; i++) {
+    if (!s.alive[i]) continue;
+    kepler_drift(s.G * m0, &rh[3 * i], &vb[3 * i], dt);
+  }
+  kick(0.5 * dt);
+  sun_drift(0.5 * dt);
+
+  // back to inertial coordinates: the center of mass drifts uniformly;
+  // the star sits at COM minus the mass-weighted heliocentric offsets
+  for (int d = 0; d < 3; d++) {
+    double Rc = 0.0, mr = 0.0, mv = 0.0;
+    for (int i = 0; i < n; i++) {
+      if (!s.alive[i]) continue;
+      Rc += s.m[i] * s.pos[3 * i + d];
+      if (i > 0) {
+        mr += s.m[i] * rh[3 * i + d];
+        mv += s.m[i] * vb[3 * i + d];
+      }
+    }
+    Rc = Rc / mtot + dt * pv[d];        // COM after the step (exact)
+    const double r0d = Rc - mr / mtot;  // star position
+    const double v0d = -mv / m0;        // star barycentric velocity
+    for (int i = 0; i < n; i++) {
+      if (!s.alive[i]) continue;
+      if (i == 0) {
+        s.pos[3 * i + d] = r0d;
+        s.vel[3 * i + d] = pv[d] + v0d;
+      } else {
+        s.pos[3 * i + d] = r0d + rh[3 * i + d];
+        s.vel[3 * i + d] = pv[d] + vb[3 * i + d];
+      }
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
 
 // Integrate the system from t0 to t1.  Arrays are modified in place.
-// itype: 0=ias15, 1=leapfrog, 2=none.  dt0: initial/fixed step (<=0: auto).
+// itype: 0=ias15, 1=leapfrog, 2=none, 3=whfast (Wisdom-Holman symplectic,
+// democratic heliocentric).  dt0: initial/fixed step (<=0: auto).
 // Returns the number of collision merges that occurred.
 int nb_integrate(int n, double *m, double *pos, double *vel, double *radius,
                  int *alive, double t0, double t1, double dt0, int itype,
@@ -363,11 +515,14 @@ int nb_integrate(int n, double *m, double *pos, double *vel, double *radius,
       t += taken;
       if (resolve_collisions(s, merge_on_collision)) merges++;
     }
-  } else {  // leapfrog, fixed dt
+  } else {  // leapfrog / whfast, fixed dt
     const int nsteps = std::max(1, (int)std::ceil(total / dt));
     const double h = total / nsteps;
     for (int i = 0; i < nsteps; i++) {
-      leapfrog_step(s, h);
+      if (itype == 3)
+        whfast_step(s, h);
+      else
+        leapfrog_step(s, h);
       if (resolve_collisions(s, merge_on_collision)) merges++;
     }
   }

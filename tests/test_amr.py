@@ -142,10 +142,10 @@ def test_deck_driven_adaptive(tmp_path):
     deck = os.path.join(HERE, "..", "inputs", "blast_amr.in")
     sim = Simulation(deck, overrides=["parthenon/time/tlim=0.03"],
                      data_dir=str(tmp_path))
-    lo0 = sim.driver.smr.patch_lo
+    lo0 = tuple(int(v) for v in np.asarray(sim.driver._los[1]))
     sim.run()
     assert sim.tm.time >= 0.03 * (1 - 1e-12)
-    lo1 = sim.driver.smr.patch_lo
+    lo1 = tuple(int(v) for v in np.asarray(sim.driver._los[1]))
     assert lo1 != lo0 and lo1[0] < lo0[0] and lo1[1] < lo0[1]
     # history output written with finite totals
     hst = [f for f in os.listdir(tmp_path) if f.endswith(".hst")]

@@ -1,0 +1,202 @@
+"""Multilevel / multi-patch AMR (reference: Parthenon N-level adaptive mesh
+used by artemis, src/artemis_driver.cpp:292 + src/utils/refinement/).
+
+Pins: exact conservation across a 3-level / multi-patch hierarchy with flux
+correction, refined-disk equilibrium with all physics on every level,
+bit-exact restart including the fine levels, and N-body refine_distance
+patch placement (nbody.cpp:276-312)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from artemis_tpu.amr import MultiLevelSMR, SMRDriver
+from artemis_tpu.config import ParameterInput
+from artemis_tpu.driver import Integrator
+from artemis_tpu.grid import grid_from_input
+from artemis_tpu.ops.hydro import FluidCfg
+from artemis_tpu.simulation import Simulation
+
+HERE = os.path.dirname(__file__)
+
+BOX = """
+<artemis>
+problem = constant
+coordinates = cartesian
+<parthenon/time>
+tlim = 1.0
+<parthenon/mesh>
+nghost = 2
+nx1 = 64
+x1min = -1.0
+x1max = 1.0
+ix1_bc = periodic
+ox1_bc = periodic
+nx2 = 64
+x2min = -1.0
+x2max = 1.0
+ix2_bc = periodic
+ox2_bc = periodic
+nx3 = 1
+x3min = -0.5
+x3max = 0.5
+<gas>
+gamma = 1.4
+<problem>
+rho = 1.0
+pres = 1.0
+"""
+
+
+def _bump_ic(g):
+    x1, x2, _ = g.cell_centers()
+    nz, ny, nx = tuple(reversed(g.nx))
+    w = np.zeros((1, 6, nz, ny, nx))
+    r2 = np.broadcast_to(x1**2 + x2**2, (nz, ny, nx))
+    w[:, 0] = 1.0 + 0.5 * np.exp(-r2 / 0.02)
+    w[:, 1] = 1.0
+    w[:, 2] = 1.0
+    w[:, 4] = 1.0
+    w[:, 5] = w[:, 4] / (0.4 * w[:, 0])
+    return w
+
+
+def test_three_level_multipatch_conservation():
+    """Flux correction + restriction conserve mass/energy EXACTLY across a
+    3-level hierarchy with two disjoint level-1 patches (after the first
+    step composites the per-level ICs)."""
+    pin = ParameterInput.from_string(BOX)
+    grid = grid_from_input(pin)
+    cfg = FluidCfg(fluid="gas", recon="plm", rsolver="hllc", gamma=1.4, cfl=0.4)
+    ml = MultiLevelSMR(grid, Integrator.make("rk2"), cfg, patches=[
+        dict(level=1, lo=(16, 16, 0), n=(24, 24, 1)),
+        dict(level=1, lo=(46, 46, 0), n=(8, 8, 1)),
+        dict(level=2, lo=(16, 16, 0), n=(16, 16, 1)),
+    ])
+    assert len(ml.nodes) == 4
+    assert ml.nodes[3].parent is ml.nodes[1]  # nested in the big patch
+
+    states = ml.initialize([{"gas": _bump_ic(nd.grid)} for nd in ml.nodes])
+    los = [None] + [jnp.asarray(np.array(nd.lo, dtype=np.int32))
+                    for nd in ml.nodes[1:]]
+    vol = np.asarray(ml.root.hydro.vol)
+    dt = float(ml._dt(states))
+    states = ml._step(states, jnp.asarray(dt), jnp.asarray(0.0), los, None)
+    m0 = float(np.sum(vol * np.asarray(states[0]["gas"]["u"][0, 0])))
+    e0 = float(np.sum(vol * np.asarray(states[0]["gas"]["u"][0, 4])))
+    for it in range(20):
+        states = ml._step(states, jnp.asarray(dt), jnp.asarray(0.0), los, None)
+    m1 = float(np.sum(vol * np.asarray(states[0]["gas"]["u"][0, 0])))
+    e1 = float(np.sum(vol * np.asarray(states[0]["gas"]["u"][0, 4])))
+    assert abs(m1 / m0 - 1.0) < 1e-13, f"mass drift {abs(m1/m0-1):g}"
+    assert abs(e1 / e0 - 1.0) < 1e-13, f"energy drift {abs(e1/e0-1):g}"
+    rho = np.asarray(states[0]["gas"]["w"][0, 0])
+    assert np.isfinite(rho).all() and rho.min() > 0
+
+
+def test_refined_disk_equilibrium(tmp_path):
+    """A 2-level refined viscous disk (gravity + rotating frame + alpha-less
+    viscosity + ic BCs on every level) holds its equilibrium: the VERDICT's
+    'AMR disk' composition (disk.py:42 threshold)."""
+    deck = os.path.join(HERE, "..", "inputs", "disk_cyl.in")
+    sim = Simulation(deck, overrides=[
+        "parthenon/time/nlim=5",
+        "parthenon/mesh/nx1=64",
+        "parthenon/mesh/nx2=32",
+        "parthenon/mesh/nx3=16",
+        "parthenon/mesh/refinement=static",
+        "parthenon/static_refinement1/level=1",
+        "parthenon/static_refinement1/x1min=1.0",
+        "parthenon/static_refinement1/x1max=2.5",
+        "parthenon/static_refinement1/x3min=-0.4",
+        "parthenon/static_refinement1/x3max=0.4",
+    ], data_dir=str(tmp_path))
+    drv = sim.driver
+    assert isinstance(drv, SMRDriver)
+    assert len(drv.smr.nodes) == 2
+    node = drv.smr.nodes[1]
+    assert node.diffusion is not None       # viscosity on the fine level
+    assert len(node.sources) >= 2           # gravity + rotating frame
+    w0 = np.asarray(sim.problem.prims["gas"][0])
+    sim.run()
+    # root level stays in equilibrium
+    w = np.asarray(sim.state["gas"]["w"][0])
+    d0, d = w0[0], w[0]
+    assert not np.isnan(w).any()
+    err = np.sqrt((d0 * (d - d0) ** 2).sum()) / d0.sum()
+    assert err <= 6e-3, f"refined disk err {err:g}"
+    # fine level stays in equilibrium too
+    wf = np.asarray(drv._states[1]["gas"]["w"][0])
+    assert np.isfinite(wf).all() and (wf[0] > 0).all()
+
+
+def test_amr_restart_bitexact(tmp_path):
+    """Restart mid-run restores the fine level bit-exactly (the reference
+    restarts AMR runs bit-exact including fine blocks)."""
+    deck = os.path.join(HERE, "..", "inputs", "blast_amr.in")
+    args = ["parthenon/time/tlim=0.04"]
+
+    d1 = str(tmp_path / "straight")
+    s1 = Simulation(deck, overrides=args, data_dir=d1)
+    s1.run()
+
+    d2 = str(tmp_path / "chunked")
+    s2 = Simulation(deck, overrides=args + [
+        "parthenon/output9/file_type=rst",
+        "parthenon/output9/dt=0.01",
+        "parthenon/time/nlim=12"], data_dir=d2)
+    s2.run()
+    rst = os.path.join(d2, [f for f in os.listdir(d2)
+                            if f.endswith("final.rst.npz")][0])
+    s3 = Simulation(deck, overrides=args, data_dir=d2, restart=rst)
+    assert s3.driver._states is not None, "fine level not restored"
+    s3.run()
+
+    assert s3.tm.ncycle == s1.tm.ncycle
+    u1 = np.asarray(s1.state["gas"]["u"])
+    u3 = np.asarray(s3.state["gas"]["u"])
+    assert np.array_equal(u1, u3), \
+        f"coarse restart mismatch: {np.abs(u1 - u3).max():g}"
+    f1 = np.asarray(s1.driver._states[1]["gas"]["u"])
+    f3 = np.asarray(s3.driver._states[1]["gas"]["u"])
+    assert np.array_equal(f1, f3), \
+        f"fine restart mismatch: {np.abs(f1 - f3).max():g}"
+
+
+def test_refine_distance_places_patch(tmp_path):
+    """<particleN> refine_distance > 0 spawns a patch tracking the particle
+    (nbody.cpp:276-312)."""
+    deck = os.path.join(HERE, "..", "inputs", "disk_nbody_cyl.in")
+    sim = Simulation(deck, overrides=[
+        "parthenon/time/nlim=2",
+        "parthenon/mesh/nx1=64",
+        "parthenon/mesh/nx2=64",
+        "parthenon/mesh/refinement=static",
+        "parthenon/mesh/numlevel=1",
+        # one extra inline planet with a tracking patch
+        "nbody/planet1/mass=1.0e-4",
+        "nbody/planet1/a=2.0",
+        "nbody/planet1/f=0.0",
+        "nbody/planet1/refine_distance=0.3",
+    ], data_dir=str(tmp_path))
+    drv = sim.driver
+    assert isinstance(drv, SMRDriver)
+    assert drv._particle_nodes, "no particle-tracking patch"
+    node = drv.smr.nodes[list(drv._particle_nodes)[0]]
+    k = drv._particle_nodes[node.index]
+    # patch covers the planet's cell
+    pos = np.asarray(sim.nbody.pos)[k] - np.asarray(sim.nbody.Rf)
+    cell = MultiLevelSMR._cell_of(sim.grid, pos)
+    for d in range(3):
+        if sim.grid.nx[d] <= 1:
+            continue
+        assert node.lo[d] <= cell[d] < node.lo[d] + node.n[d], \
+            f"axis {d}: planet cell {cell[d]} outside patch " \
+            f"[{node.lo[d]}, {node.lo[d] + node.n[d]})"
+    sim.run()
+    w = np.asarray(sim.state["gas"]["w"])
+    assert np.isfinite(w).all()
+    wf = np.asarray(drv._states[node.index]["gas"]["w"])
+    assert np.isfinite(wf).all()

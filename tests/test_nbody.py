@@ -236,3 +236,58 @@ def test_disk_collision_merge(tmp_path):
     m0 = r.col("mass")[0].sum()
     m1 = (r.col("mass")[-1] * r.col("active")[-1]).sum()
     assert abs(m1 - m0) < 1e-12 * m0
+
+
+def test_whfast_symplectic_energy():
+    """whfast-class Wisdom-Holman integrator: bounded energy error with NO
+    secular drift over many orbits, far below leapfrog at the same step
+    (reference integrator menu, nbody.cpp:203-223)."""
+    import ctypes
+
+    from artemis_tpu.nbody import _lib
+
+    lib = _lib()
+
+    def run(itype, dt, n_orbits, e=0.1):
+        G = 1.0
+        m = np.array([1.0, 1e-3])
+        a = 1.0
+        r0 = a * (1 - e)
+        v0 = np.sqrt(G * m.sum() * (2 / r0 - 1 / a))
+        pos = np.array([[0, 0, 0], [r0, 0, 0]], dtype=float)
+        vel = np.array([[0, 0, 0], [0, v0, 0]], dtype=float)
+        vel[0] = -m[1] * vel[1] / m[0]
+        rad = np.zeros(2)
+        alive = np.ones(2, dtype=np.int32)
+        P = 2 * np.pi * np.sqrt(a**3 / (G * m.sum()))
+
+        def energy():
+            ke = 0.5 * np.sum(m[:, None] * vel**2)
+            return ke - G * m[0] * m[1] / np.linalg.norm(pos[1] - pos[0])
+
+        E0 = energy()
+        errs = []
+        t = 0.0
+        dbl = ctypes.POINTER(ctypes.c_double)
+        for _ in range(n_orbits):
+            lib.nb_integrate(
+                2, m.ctypes.data_as(dbl), pos.ctypes.data_as(dbl),
+                vel.ctypes.data_as(dbl), rad.ctypes.data_as(dbl),
+                alive.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                ctypes.c_double(t), ctypes.c_double(t + P),
+                ctypes.c_double(dt), ctypes.c_int(itype),
+                ctypes.c_double(G), ctypes.c_int(0), ctypes.c_double(1e4),
+                ctypes.c_int(1), ctypes.c_int(0), ctypes.c_double(1e-9))
+            t += P
+            errs.append(abs(energy() / E0 - 1))
+        return np.array(errs)
+
+    P = 2 * np.pi
+    wh = run(3, P / 100, 1000)
+    lf = run(1, P / 100, 50)
+    assert wh.max() < 1e-6, f"whfast energy error {wh.max():g}"
+    # bounded: the second half is no worse than the first (no secular drift)
+    assert wh[500:].max() <= 1.05 * wh[:500].max(), \
+        f"secular drift: {wh[:500].max():g} -> {wh[500:].max():g}"
+    # and the symplectic map beats leapfrog by orders of magnitude
+    assert wh.max() < 1e-2 * lf.max()
