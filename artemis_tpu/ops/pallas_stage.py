@@ -159,8 +159,10 @@ def _stage_kernel(bdt_ref, u0_ref, u1_ref, wp_hbm, u_ref, w_ref, dm_ref,
 
 
 def stage(w_pad, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
-          interpret=False):
+          interpret=None):
     """Run one fused RK stage.  Returns (u_new, w_new) interior arrays."""
+    if interpret is None:
+        interpret = _interpret_mode()
     nx, ny, nz = grid.nx
     g1, g2, g3 = grid.ng
     active_z = nz > 1
@@ -217,6 +219,14 @@ def stage(w_pad, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
     return u_new[None], w_new[None], dmax
 
 
+def _interpret_mode() -> bool:
+    """ARTEMIS_PALLAS_INTERPRET=1: run the fused kernels in interpreter mode
+    on non-TPU backends (testing the fused paths on the virtual CPU mesh)."""
+    import os
+
+    return os.environ.get("ARTEMIS_PALLAS_INTERPRET") == "1"
+
+
 def supported(grid, cfg) -> bool:
     """Is the fused whole-stage path applicable?"""
     import os
@@ -224,7 +234,7 @@ def supported(grid, cfg) -> bool:
     if os.environ.get("ARTEMIS_PALLAS", "1") == "0":
         return False
     try:
-        on_tpu = jax.devices()[0].platform == "tpu"
+        on_tpu = jax.devices()[0].platform == "tpu" or _interpret_mode()
     except Exception:  # pragma: no cover
         return False
     return (on_tpu and grid.coords == "cartesian" and cfg is not None
@@ -358,9 +368,11 @@ def _stage_kernel_periodic(bdt_ref, u0_ref, u1_ref, w_hbm, u_ref, w_ref,
 
 
 def stage_periodic(w, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
-                   interpret=False):
+                   interpret=None):
     """Fused RK stage for the all-periodic Cartesian case: consumes the
     UNPADDED interior primitives; halos are gathered in-kernel."""
+    if interpret is None:
+        interpret = _interpret_mode()
     nx, ny, nz = grid.nx
     active_z = nz > 1
     w_ = w[0]

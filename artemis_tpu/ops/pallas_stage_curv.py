@@ -47,16 +47,22 @@ YS = 40  # DMA'd y-slab rows (TY + 4 halo, rounded to the 8-row tiling)
 # ---------------------------------------------------------------------------
 
 def _axis_pack(grid, d):
-    """Rows along axis d (padded extents), as a dict name -> 1-D f64 array."""
+    """Rows along axis d (padded extents), as a dict name -> 1-D f64 array.
+
+    The reconstruction coordinate rows are shifted by xv[0]: the kernel only
+    ever uses their DIFFERENCES (Mignone PLM), and the shift makes the rows
+    of a uniformly-spaced axis identical across domain-decomposition shards
+    (the sharded driver reuses one kernel program for every shard)."""
     g = grid.geom
     xv = {1: g.xv1, 2: g.xv2, 3: g.xv3}[d]
     xf = {1: g.xf1, 2: g.xf2, 3: g.xf3}[d]
     dx = {1: g.dx1, 2: g.dx2, 3: g.dx3}[d]
     n = len(xv)
+    x0 = xv[0]
     rows = {
-        "xv": xv,
-        "xf_lo": xf[:-1],
-        "xf_hi": xf[1:],
+        "xv": xv - x0,
+        "xf_lo": xf[:-1] - x0,
+        "xf_hi": xf[1:] - x0,
         "dx": dx,
         "inv_dx": 1.0 / dx,
     }
@@ -1145,12 +1151,16 @@ def _stage_kernel_curv(bdt_ref, gdt_ref, u0_ref, u1_ref, wp_hbm, cx_ref,
 
 
 def stage_curv(w_pad, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
-               coeffs, packed, full=True, rf_omega=0.0, interpret=False,
+               coeffs, packed, full=True, rf_omega=0.0, interpret=None,
                grav=None, grav_dt=0.0):
     """One fused curvilinear RK stage.  ``coeffs``/``packed`` come from
     ``CurvCoeffs(grid, omf)`` / ``.pack()`` (precompute once per driver).
     full=True also applies dual-energy + C2P/P2C and returns (u, w, dmax);
     full=False stops after the flux sources (w passthrough, dmax zeros)."""
+    from .pallas_stage import _interpret_mode
+
+    if interpret is None:
+        interpret = _interpret_mode()
     nx, ny, nz = grid.nx
     g1 = grid.ng[0]
     active_z = nz > 1
@@ -1244,8 +1254,10 @@ def supported_curv(grid, cfg) -> bool:
 
     if os.environ.get("ARTEMIS_PALLAS", "1") == "0":
         return False
+    from .pallas_stage import _interpret_mode
+
     try:
-        on_tpu = jax.devices()[0].platform == "tpu"
+        on_tpu = jax.devices()[0].platform == "tpu" or _interpret_mode()
     except Exception:  # pragma: no cover
         return False
     return (on_tpu and not geo.is_cartesian(grid.coords) and cfg is not None

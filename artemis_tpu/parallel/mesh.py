@@ -241,12 +241,41 @@ class ShardedDriver(Driver):
         if self.radiation is not None:
             # CG dot products -> psum; stencil shifts -> ppermute halos
             self.radiation.enable_sharding(self.axis_d, AXIS, self.nshards)
-        # fused pallas paths are single-device for now: the periodic kernel
-        # wraps halos locally (wrong under decomposition) and the padded
-        # kernel's dtden carry is not yet wired through the shard_map specs
+        # The padded-array fused kernels run per shard on the halo-exchanged
+        # local state (fill_ghosts supplies the slab; the dtden carry is
+        # stacked across shards in state_spec).  Only the PERIODIC whole-
+        # stage kernel must stay off: it wraps halos locally in-kernel,
+        # which is wrong under decomposition.
         if self.nshards > 1:
             self._fused_periodic = False
-            self._fused_stage = False
+            # curvilinear fused stage: the kernel closes over shard-0's
+            # coefficient rows; keep it only when every packed row is
+            # identical on all shards (true for x3 decomposition of grids
+            # whose x3-dependent rows are translation-invariant, e.g. the
+            # uniform-phi spherical disk)
+            if self._curv is not None:
+                co1 = None
+                try:
+                    from ..ops import pallas_stage_curv as _psc
+
+                    local1 = _local_grid_at(grid, self.nshards, 1, self.axis_d)
+                    diff1 = None
+                    if diffusion is not None:
+                        from ..ops.hydro import Hydro as _Hydro
+
+                        diff1 = diffusion(_Hydro(local1, gas_cfg, dust_cfg))
+                    co1 = _psc.CurvCoeffs(local1, self.omf, dtype=np.float32,
+                                          diff=diff1)
+                except (ValueError, AssertionError):
+                    co1 = None
+                same = False
+                if co1 is not None:
+                    p0 = self._curv[1]
+                    p1 = co1.pack()
+                    same = all(np.array_equal(a, b)
+                               for a, b in zip(p0[:3], p1[:3]))
+                if not same:
+                    self._curv = None
 
     # -- sharding specs --------------------------------------------------
     def _arr_spec(self):
@@ -255,9 +284,12 @@ class ShardedDriver(Driver):
         parts[2 + (3 - self.axis_d)] = AXIS
         return P(*parts)
 
-    def state_spec(self):
+    def state_spec(self, dtden: bool = False):
         spec_arr = self._arr_spec()
         spec = {name: {"u": spec_arr, "w": spec_arr} for name, _ in self._fluids()}
+        if dtden:
+            # per-shard CFL-denominator blocks, stacked along axis 0
+            spec["gas"]["dtden"] = P(AXIS, None)
         if self.radiation is not None:
             # Er: [ns, z, y, x] -> sharded dim at axis 1 + (3 - d)
             parts = [None, None, None, None]
@@ -295,7 +327,7 @@ class ShardedDriver(Driver):
         spec_arr = self._arr_spec()
         fluid_spec = {name: {"u": spec_arr, "w": spec_arr}
                       for name, _ in self._fluids()}
-        return jax.jit(
+        out = jax.jit(
             jax.shard_map(
                 init_local,
                 mesh=self.mesh,
@@ -304,6 +336,7 @@ class ShardedDriver(Driver):
                 check_vma=False,
             )
         )(ws)
+        return self.prepare_state(out)
 
     # -- ghost fill with halo exchange ----------------------------------
     def fill_ghosts(self, w_int, fluid: str):
@@ -360,16 +393,48 @@ class ShardedDriver(Driver):
         return w_pad
 
     # -- jit wrappers ----------------------------------------------------
+    def prepare_state(self, state):
+        """Seed the fused-kernel dtden carry (globally stacked per-shard
+        blocks, P(AXIS, None))."""
+        if state["gas"]["w"].dtype != jnp.float32:
+            return state
+        curv_full = self._curv is not None and self._curv_full
+        if not (self._fused_stage or curv_full) or "dtden" in state["gas"]:
+            return state
+        cfg = self.gas_cfg
+        dt0 = float(self._estimate_dt(state))
+        if curv_full:
+            from ..ops import pallas_stage_curv as _psc
+
+            nx, ny, nz = self.grid.nx
+            shape_l = (nz // _psc.TZ if nz > 1 else 1, ny // _psc.TY)
+        else:
+            from ..ops import pallas_stage as _ps
+
+            shape_l = _ps.dt_block_shape(self.grid, False)
+        shape_g = (self.nshards * shape_l[0], shape_l[1])
+        sh = NamedSharding(self.mesh, P(AXIS, None))
+        state = dict(state)
+        state["gas"] = dict(state["gas"])
+        state["gas"]["dtden"] = jax.device_put(
+            jnp.full(shape_g, cfg.cfl / dt0, dtype=state["gas"]["w"].dtype),
+            sh)
+        return state
+
     def _build_step(self):
         step_local = super()._build_step()
-        spec = self.state_spec()
-        return jax.shard_map(
-            step_local,
-            mesh=self.mesh,
-            in_specs=(spec, P(), P()),
-            out_specs=spec,
-            check_vma=False,
-        )
+
+        def stepper(state, dt, time):
+            spec = self.state_spec(dtden="dtden" in state["gas"])
+            return jax.shard_map(
+                step_local,
+                mesh=self.mesh,
+                in_specs=(spec, P(), P()),
+                out_specs=spec,
+                check_vma=False,
+            )(state, dt, time)
+
+        return stepper
 
     def _estimate_dt(self, state):
         def dt_local(state):
@@ -391,7 +456,7 @@ class ShardedDriver(Driver):
         return jax.shard_map(
             dt_local,
             mesh=self.mesh,
-            in_specs=(self.state_spec(),),
+            in_specs=(self.state_spec(dtden="dtden" in state["gas"]),),
             out_specs=P(),
             check_vma=False,
         )(state)

@@ -33,7 +33,11 @@ def _set_precision(pin):
     prec = pin.get_or_add_str("artemis", "precision", "float64")
     if prec == "float64":
         _enable_x64()
-    elif prec != "float32":
+    elif prec == "float32":
+        # x64 must be OFF or the f64 geometry constants promote every mixed
+        # operation (and with it the whole state) back to f64
+        jax.config.update("jax_enable_x64", False)
+    else:
         raise ValueError(f"unknown precision {prec!r}")
     # debug mode: trap the first NaN with its location (the reference ships
     # ASAN/Kokkos bounds-check presets, CMakeLists.txt:117-120; the JAX

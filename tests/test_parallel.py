@@ -233,3 +233,93 @@ pres = 1.0
     assert d < 1e-11
     assert np.abs(s1.nbody.pos - s4.nbody.pos).max() < 1e-12
     assert np.abs(s1.nbody.vel - s4.nbody.vel).max() < 1e-12
+
+
+def test_sharded_fused_kernel_equivalence(tmp_path, monkeypatch):
+    """The fused whole-stage Pallas kernel runs per shard on the halo-
+    exchanged slab (interpret mode on the CPU mesh) and matches the jnp
+    path bit-compatibly (VERDICT: fused kernels under shard_map)."""
+    import artemis_tpu.simulation as sim_mod
+
+    args = [
+        "artemis/precision=float32",
+        "parthenon/time/nlim=12",
+        "parthenon/mesh/nghost=2",
+        "parthenon/mesh/nx1=32",
+        "parthenon/mesh/nx2=16",
+        "parthenon/mesh/nx3=16",
+        # non-periodic x1 so the padded (non-periodic-DMA) kernel engages
+        "parthenon/mesh/ix1_bc=outflow",
+        "parthenon/mesh/ox1_bc=outflow",
+        "problem/amp=1.0e-3",
+        "gas/reconstruct=plm",
+        "gas/riemann=hllc",
+        "problem/wave_flag=0",
+        "problem/vflow=0.0",
+    ]
+    monkeypatch.setenv("ARTEMIS_PALLAS_INTERPRET", "1")
+    s_fused = sim_mod.Simulation(DECK, overrides=args,
+                                 data_dir=str(tmp_path / "fused"), nshards=4)
+    assert s_fused.driver._fused_stage, "fused stage not engaged"
+    assert "dtden" in s_fused.state["gas"], "dtden carry missing"
+    s_fused.run()
+
+    monkeypatch.setenv("ARTEMIS_PALLAS", "0")
+    monkeypatch.delenv("ARTEMIS_PALLAS_INTERPRET")
+    s_jnp = sim_mod.Simulation(DECK, overrides=args,
+                               data_dir=str(tmp_path / "jnp"), nshards=4)
+    assert not s_jnp.driver._fused_stage
+    s_jnp.run()
+
+    assert s_fused.tm.ncycle == s_jnp.tm.ncycle
+    wf = np.asarray(s_fused.state["gas"]["w"])
+    wj = np.asarray(s_jnp.state["gas"]["w"])
+    assert np.isfinite(wf).all()
+    err = np.max(np.abs(wf - wj))
+    assert err < 5e-6, f"fused vs jnp sharded mismatch {err:g}"
+
+
+def test_sharded_curv_kernel_equivalence(tmp_path, monkeypatch):
+    """The fused curvilinear stage kernel (with diffusion + gravity + RF
+    folded) runs per shard on an x3-decomposed spherical disk and matches
+    the sharded jnp path (interpret mode on the CPU mesh)."""
+    import artemis_tpu.simulation as sim_mod
+
+    deck = os.path.join(os.path.dirname(__file__), "..", "inputs",
+                        "disk_sph.in")
+    args = [
+        "artemis/precision=float32",
+        "parthenon/time/nlim=4",
+        "parthenon/mesh/nx1=64",
+        "parthenon/mesh/nx2=32",
+        "parthenon/mesh/nx3=32",
+        # the full deck's steep inner region needs f64 or production
+        # resolution; narrow the radial range for the f32 equality check
+        "parthenon/mesh/x1min=0.4",
+        "parthenon/mesh/x1max=2.4",
+    ]
+    monkeypatch.setenv("ARTEMIS_PALLAS_INTERPRET", "1")
+    s_fused = sim_mod.Simulation(deck, overrides=args,
+                                 data_dir=str(tmp_path / "fused"), nshards=4)
+    assert s_fused.driver._curv is not None, "curv kernel not engaged"
+    assert s_fused.driver._curv_full, "curv kernel not in full mode"
+    s_fused.run()
+
+    monkeypatch.setenv("ARTEMIS_PALLAS", "0")
+    monkeypatch.delenv("ARTEMIS_PALLAS_INTERPRET")
+    s_jnp = sim_mod.Simulation(deck, overrides=args,
+                               data_dir=str(tmp_path / "jnp"), nshards=4)
+    assert s_jnp.driver._curv is None
+    s_jnp.run()
+
+    assert s_fused.tm.ncycle == s_jnp.tm.ncycle
+    wf = np.asarray(s_fused.state["gas"]["w"])
+    wj = np.asarray(s_jnp.state["gas"]["w"])
+    assert np.isfinite(wf).all()
+    scale = np.maximum(np.abs(wj), 1e-3)
+    err = np.max(np.abs(wf - wj) / scale)
+    # the kernel's factored-coefficient arithmetic reorders f32 rounding vs
+    # the jnp path; single-stage f64 equality is machine-precision
+    # (test_pallas_curv) — this bounds the multi-cycle f32 drift at the
+    # disk's steep ic-boundary gradients
+    assert err < 2e-3, f"fused vs jnp sharded curv mismatch {err:g}"
