@@ -160,12 +160,14 @@ class Diffusion:
     def _mu(self, dp: DiffParams, rho, sie, padded: bool):
         cfg = self.cfg
         if dp.kind == "viscosity_plaw":
-            R = jnp.asarray(self.Rcyl_pad if padded else
-                            self.Rcyl_pad[self.grid.int_slices])
+            R = jnp.asarray(self.Rcyl_pad)
+            if not padded:
+                R = R[self.grid.int_slices]
             return dp.nu_s * rho * (R / dp.R0) ** dp.r_exp
         if dp.kind == "viscosity_alpha":
-            r = jnp.asarray(self.rsph_pad if padded else
-                            self.rsph_pad[self.grid.int_slices])
+            r = jnp.asarray(self.rsph_pad)
+            if not padded:
+                r = r[self.grid.int_slices]
             Omk = dp.Omega0 * (r / dp.R0) ** -1.5
             bulk = cfg.gamma * (cfg.gamma - 1.0) * rho * sie
             return dp.alpha * bulk / Omk
@@ -184,16 +186,16 @@ class Diffusion:
         for d in self.dims:
             v = w_pad[:, d]
             A = self.area_pad[d]  # faces along d (n_pad+1)
-            nd = v.ndim
             sl_lo = [slice(None)] * 3
             sl_hi = [slice(None)] * 3
             sl_lo[3 - d] = slice(0, -1)
             sl_hi[3 - d] = slice(1, None)
             shp = list(g.shape_entire)
             shp[3 - d] += 1
-            A_full = np.broadcast_to(A, shp)
-            A_lo = jnp.asarray(np.ascontiguousarray(A_full[tuple(sl_lo)]))
-            A_hi = jnp.asarray(np.ascontiguousarray(A_full[tuple(sl_hi)]))
+            # jnp (not numpy) broadcast: A may be a lazy per-shard view
+            A_full = jnp.broadcast_to(jnp.asarray(A), shp)
+            A_lo = A_full[tuple(sl_lo)]
+            A_hi = A_full[tuple(sl_hi)]
             divv = divv + (A_hi * (v + _sh(v, +1, d)) - A_lo * (v + _sh(v, -1, d)))
         return divv / (2.0 * jnp.asarray(self.vol_pad))
 
@@ -218,11 +220,12 @@ class Diffusion:
             divu = self._divu(w_pad)
             # cell-centered diagonal sources src_i = v^k (dh_i/dx_k)
             src = {}
+            se = tuple(self.grid.shape_entire)
             for i in (1, 2, 3):
                 c1, c2, c3 = self.conn[i]
-                src[i] = (vcon[0] * jnp.asarray(np.broadcast_to(c1, self.grid.shape_entire))
-                          + vcon[1] * jnp.asarray(np.broadcast_to(c2, self.grid.shape_entire))
-                          + vcon[2] * jnp.asarray(np.broadcast_to(c3, self.grid.shape_entire)))
+                src[i] = (vcon[0] * jnp.broadcast_to(jnp.asarray(c1), se)
+                          + vcon[1] * jnp.broadcast_to(jnp.asarray(c2), se)
+                          + vcon[2] * jnp.broadcast_to(jnp.asarray(c3), se))
         if do_cond:
             kap_pad = self._mu(self.cond, rho_pad, sie_pad, padded=True)
             T_pad = sie_pad / cfg.cv

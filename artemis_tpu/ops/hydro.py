@@ -127,6 +127,28 @@ class Hydro:
         ]
         self.x1dep = geo.x1dep(grid.coords)
         self.x2dep = geo.x2dep(grid.coords) and grid.active(2)
+        # rotation-velocity basis (omf == 1) as interior fields: omf scales
+        # linearly, and a precomputed FIELD (unlike on-the-fly geometry
+        # reads) can be swapped for a per-shard view under decomposition
+        self.vrot_base = None
+        if not self.cartesian:
+            base = _rotation_velocity(grid, grid.cell_centers(), 1.0)
+            if base is not None:
+                shape = tuple(reversed(grid.nx))
+                self.vrot_base = [
+                    np.ascontiguousarray(np.broadcast_to(np.asarray(b), shape))
+                    for b in base
+                ]
+        # PLM_G (Mignone) coordinate rows as FIELDS: volume-averaged
+        # centroids are not translation-invariant, so under domain
+        # decomposition these get swapped for per-shard views
+        self.recon_rows = None
+        if not self.cartesian:
+            self.recon_rows = {}
+            for d in (1, 2, 3):
+                xv, xf, dx = recon_mod._axis_coords(g, d, 3)
+                self.recon_rows[d] = [np.ascontiguousarray(a) for a in
+                                      (xv, xf[0], xf[1], dx)]
 
         # optional fused Pallas fast path for the gas flux sweeps (TPU only)
         import os as _os
@@ -203,7 +225,9 @@ class Hydro:
         for d in self.dims:
             if d in out:
                 continue
-            wl, wr = recon_mod.reconstruct(w_pad, d, method, self.grid.geom)
+            rows = self.recon_rows.get(d) if self.recon_rows else None
+            wl, wr = recon_mod.reconstruct(w_pad, d, method, self.grid.geom,
+                                           rows=rows)
             wl = self._faces_interior(wl, d)
             wr = self._faces_interior(wr, d)
             F, pF, vF = riemann_mod.solve(wl, wr, d, cfg.fluid, cfg.rsolver, cfg.gamma)
@@ -251,19 +275,20 @@ class Hydro:
 
         if self.x1dep or self.x2dep:
             rho = w[:, 0]
-            xv = self.grid.cell_centers()
-            vrot = _rotation_velocity(self.grid, xv, omf)
+            vrot = None
+            if omf != 0.0 and self.vrot_base is not None:
+                vrot = [omf * jnp.asarray(b) for b in self.vrot_base]
             vtot = [
                 w[:, 1 + c] + (vrot[c] if vrot is not None else 0.0) for c in range(3)
             ]
             rdt = rho * dt
             if self.x1dep:
-                con = self.conn1
+                con = [jnp.asarray(c) for c in self.conn1]
                 u = u.at[:, 1].add(
                     rdt * (con[0] * vtot[0] ** 2 + con[1] * vtot[1] ** 2
                            + con[2] * vtot[2] ** 2))
             if self.x2dep:
-                con = self.conn2
+                con = [jnp.asarray(c) for c in self.conn2]
                 u = u.at[:, 2].add(
                     rdt * (con[0] * vtot[0] ** 2 + con[1] * vtot[1] ** 2
                            + con[2] * vtot[2] ** 2))

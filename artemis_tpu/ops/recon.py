@@ -114,15 +114,22 @@ def ppm4(W, d: int):
     return _cells_to_faces(qrv, qlv, d)
 
 
-def reconstruct(W, d: int, method: str, geom=None):
+def reconstruct(W, d: int, method: str, geom=None, rows=None):
     """Dispatch on the reconstruction method (trace-time specialization —
     replaces the reference's runtime->template dispatch chain,
-    src/utils/fluxes/fluid_fluxes.hpp:216-237)."""
+    src/utils/fluxes/fluid_fluxes.hpp:216-237).
+
+    ``rows``: optional precomputed (xv, xf_lo, xf_hi, dx) coordinate rows
+    for the PLM_G branch (Hydro supplies these so they can be swapped for
+    per-shard views under domain decomposition)."""
     if method == "pcm":
         return pcm(W, d)
     if method == "plm":
         if geom is None or geom.coords == "cartesian":
             return plm_uniform(W, d)
+        if rows is not None:
+            xv, xlo, xhi, dx = (jnp.asarray(r) for r in rows)
+            return plm_general(W, d, xv, xlo, xhi, dx)
         # curvilinear axes use the general formula with per-axis coords
         xv, xf, dx = _axis_coords(geom, d, W.ndim)
         return plm_general(W, d, xv, xf[0], xf[1], dx)

@@ -76,36 +76,41 @@ def _local_grid(grid: Grid, nshards: int, d: int = 3) -> Grid:
 
 
 class ShardedZField:
-    """Lazy per-shard view of a global interior [z, y, x]-shaped field.
+    """Lazy per-shard view of a global [.., z, y, x]-shaped field.
 
-    Sources read precomputed fields with ``jnp.asarray(field)``; inside the
-    shard_map trace this resolves (via ``__jax_array__``) to the local
-    window along the sharded axis, selected by ``lax.axis_index`` — the TPU
-    equivalent of each MPI rank holding its block of a global table."""
+    Sources/Hydro read precomputed fields with ``jnp.asarray(field)``;
+    inside the shard_map trace this resolves (via ``__jax_array__``) to the
+    local window along the sharded axis, selected by ``lax.axis_index`` —
+    the TPU equivalent of each MPI rank holding its block of a global
+    table.  ``size`` is the local window extent: n_local for cell-shaped
+    fields, n_local+1 for face-shaped ones, n_local+2*ng for padded ones
+    (windows overlap; the stride is always n_local)."""
 
-    def __init__(self, global_arr: np.ndarray, n_local: int, d: int = 3):
+    def __init__(self, global_arr: np.ndarray, n_local: int, d: int = 3,
+                 size: Optional[int] = None):
         self.g = np.ascontiguousarray(global_arr)
         self.nzl = n_local
+        self.size = n_local if size is None else size
         self.zax = self.g.ndim - d
 
     def __jax_array__(self):
         idx = lax.axis_index(AXIS)
         return lax.dynamic_slice_in_dim(
-            jnp.asarray(self.g), idx * self.nzl, self.nzl, axis=self.zax)
+            jnp.asarray(self.g), idx * self.nzl, self.size, axis=self.zax)
 
 
-def _walk_arrays(obj, path=()):
+def _walk_arrays(obj, path=(), with_jax=False):
     """(path, array) pairs for nested ndarray fields; path items are
     ('attr', name) / ('idx', i) / ('key', k)."""
     out = []
-    if isinstance(obj, np.ndarray):
+    if isinstance(obj, np.ndarray) or (with_jax and isinstance(obj, jax.Array)):
         out.append((path, obj))
     elif isinstance(obj, (list, tuple)):
         for i, v in enumerate(obj):
-            out += _walk_arrays(v, path + (("idx", i),))
+            out += _walk_arrays(v, path + (("idx", i),), with_jax)
     elif isinstance(obj, dict):
         for k, v in obj.items():
-            out += _walk_arrays(v, path + (("key", k),))
+            out += _walk_arrays(v, path + (("key", k),), with_jax)
     return out
 
 
@@ -128,32 +133,102 @@ def _set_path(src, path, value):
         parent[k] = value
 
 
-def _localize_x3_fields(sources, srcs_shard1, srcs_global, nz_local, d=3):
-    """Replace interior-[z,y,x]-shaped precomputed fields with ShardedZField
-    views of the global-grid build.  This is unconditionally correct (the
-    per-shard dynamic slice of the global field IS the shard's field,
-    whether or not it varies with x3); each device then holds the global
-    coefficient array once — the same footprint the reference pays when a
-    rank-count-independent coefficient table is stored per rank."""
-    del srcs_shard1  # kept in the signature for the factory-consistency call
-    for s0, sg in zip(sources, srcs_global):
-        fields0 = []
-        for k, v in vars(s0).items():
-            fields0 += _walk_arrays(v, (("attr", k),))
-        for path, a0 in fields0:
+def _localize_obj_fields(obj0, obj_global, nshards, n_local, d=3, obj1=None):
+    """Replace per-shard-varying precomputed fields of ``obj0`` (built on
+    shard 0's local grid) with ShardedZField views of the global-grid build
+    ``obj_global``.  The per-shard dynamic slice of the global field IS the
+    shard's field whether or not it varies along the sharded axis, so
+    localizing is unconditionally correct; when ``obj1`` (a shard-1 build)
+    is given, fields whose values agree between the two builds keep the
+    cheaper closed-over constant.
+
+    The window rule covers cell- (n_l), face- (n_l+1) and ghost-padded-
+    (n_l+2ng) shaped fields uniformly: a field is localizable when its
+    global extent exceeds the local one by (nshards-1)*n_local along the
+    sharded axis (windows stride by n_local and may overlap)."""
+    fields0 = []
+    for k, v in vars(obj0).items():
+        fields0 += _walk_arrays(v, (("attr", k),), with_jax=True)
+    for path, a0 in fields0:
+        try:
+            ag = _get_path(obj_global, path)
+        except (AttributeError, KeyError, IndexError, TypeError):
+            continue
+        if not isinstance(ag, (np.ndarray, jax.Array)) or np.ndim(ag) < 3:
+            continue
+        ax = -d
+        others = [a for a in (-3, -2, -1) if a != ax]
+        a0s, ags = np.shape(a0), np.shape(ag)
+        if not (len(a0s) == len(ags)
+                and ags[ax] - a0s[ax] == (nshards - 1) * n_local
+                and all(ags[a] == a0s[a] for a in others)):
+            continue
+        if obj1 is not None:
             try:
-                ag = _get_path(sg, path)
+                a1 = _get_path(obj1, path)
             except (AttributeError, KeyError, IndexError, TypeError):
-                continue
-            if not isinstance(ag, np.ndarray) or ag.ndim < 3:
-                continue
-            # interior-shaped along the sharded axis on both builds
-            ax = -d
-            others = [a for a in (-3, -2, -1) if a != ax]
-            if (a0.ndim == ag.ndim and a0.shape[ax] == nz_local
-                    and ag.shape[ax] != a0.shape[ax]
-                    and all(ag.shape[a] == a0.shape[a] for a in others)):
-                _set_path(s0, path, ShardedZField(ag, nz_local, d))
+                a1 = None
+            if a1 is not None and np.shape(a1) == a0s \
+                    and np.array_equal(np.asarray(a0), np.asarray(a1)):
+                continue  # shard-invariant: keep the constant
+        _set_path(obj0, path, ShardedZField(np.asarray(ag), n_local, d,
+                                            size=a0s[ax]))
+
+
+def _localize_x3_fields(sources, srcs_shard1, srcs_global, nz_local, d,
+                        nshards):
+    """Per-shard localization of source-package coefficient fields."""
+    for s0, s1, sg in zip(sources, srcs_shard1, srcs_global):
+        _localize_obj_fields(s0, sg, nshards, nz_local, d, obj1=s1)
+
+
+def localize_bc_caches(bc_global, bc_local0, n_local, d, nshards):
+    """Per-shard-localize custom-BC value caches.
+
+    Fills that declare ``shard_caches`` (dicts of precomputed ghost-slab
+    values read through jnp.asarray, e.g. the disk ``ic`` boundary) get the
+    GLOBAL build's entries swapped for per-shard window views; entries
+    whose global shape already equals the local one (boundaries ALONG the
+    sharded axis) keep the global values — correct on the edge shards
+    where those masked fills apply.  Returns the set of names made
+    shard-safe this way."""
+    done = set()
+    for name, fg in bc_global.items():
+        cg_all = getattr(fg, "shard_caches", None)
+        fl = bc_local0.get(name)
+        cl_all = getattr(fl, "shard_caches", None)
+        if cg_all is None or cl_all is None:
+            continue
+        ok = True
+        repl = []
+        for cg, cl in zip(cg_all, cl_all):
+            for key, ag in list(cg.items()):
+                if key not in cl:
+                    ok = False
+                    break
+                ag = np.asarray(ag)
+                al = np.asarray(cl[key])
+                if ag.shape == al.shape:
+                    continue
+                ax = ag.ndim - d
+                others = [a for a in range(ag.ndim) if a != ax]
+                if (ag.ndim == al.ndim
+                        and ag.shape[ax] - al.shape[ax]
+                        == (nshards - 1) * n_local
+                        and all(ag.shape[a] == al.shape[a] for a in others)):
+                    repl.append((cg, key,
+                                 ShardedZField(ag, n_local, d,
+                                               size=al.shape[ax])))
+                else:
+                    ok = False
+                    break
+            if not ok:
+                break
+        if ok:
+            for cg, key, v in repl:
+                cg[key] = v
+            done.add(name)
+    return done
 
 
 class ShardedDriver(Driver):
@@ -185,10 +260,10 @@ class ShardedDriver(Driver):
         self.axis_d = int(axis)
         if self.axis_d not in (1, 2, 3):
             raise ValueError(f"shard axis {axis} not in 1..3")
-        if self.axis_d != 3 and not geo.is_cartesian(grid.coords):
-            raise ValueError("x1/x2 sharding requires Cartesian geometry "
-                             "(curvilinear metrics vary along those axes)")
         local = _local_grid(grid, self.nshards, self.axis_d)
+        self._hi_grid = (_local_grid_at(grid, self.nshards, self.nshards - 1,
+                                        self.axis_d)
+                         if self.nshards > 1 else None)
         if sources_factory is not None:
             if sources:
                 raise ValueError("pass sources or sources_factory, not both")
@@ -206,9 +281,28 @@ class ShardedDriver(Driver):
                                                    self.axis_d)),
                     sources_factory(grid),
                     grid.nx[self.axis_d - 1] // self.nshards,
-                    d=self.axis_d)
+                    self.axis_d, self.nshards)
         super().__init__(local, integrator, gas_cfg, dust_cfg, sources, bc_custom,
                          omf, diffusion, radiation=radiation, nbody=nbody)
+        if self.nshards > 1 and self.axis_d != 3 \
+                and not geo.is_cartesian(grid.coords):
+            # curvilinear x1/x2 decomposition: the Hydro/diffusion geometry
+            # constants vary with the shard's window — replace them with
+            # per-shard views of the global-grid build (sliced by
+            # lax.axis_index at trace time; cf. Parthenon distributing
+            # geometry with the blocks)
+            from ..ops.hydro import Hydro as _Hydro
+
+            n_local = grid.nx[self.axis_d - 1] // self.nshards
+            local1 = _local_grid_at(grid, self.nshards, 1, self.axis_d)
+            h_g = _Hydro(grid, gas_cfg, dust_cfg)
+            h_1 = _Hydro(local1, gas_cfg, dust_cfg)
+            _localize_obj_fields(self.hydro, h_g, self.nshards, n_local,
+                                 self.axis_d, obj1=h_1)
+            if self.diffusion is not None and diffusion is not None:
+                _localize_obj_fields(self.diffusion, diffusion(h_g),
+                                     self.nshards, n_local, self.axis_d,
+                                     obj1=diffusion(h_1))
         if self.nbody is not None:
             # particle force rows reduce across shards; the particle system
             # itself is replicated (one host process drives all devices)
@@ -376,7 +470,10 @@ class ShardedDriver(Driver):
             w_pad = w_pad.at[tuple(lo_sl)].set(from_below)
             w_pad = w_pad.at[tuple(hi_sl)].set(from_above)
 
-        # physical BCs: unsharded dims normally; sharded-axis edges masked
+        # physical BCs: unsharded dims normally; sharded-axis edges masked.
+        # The outer-edge fill gets the LAST shard's local grid so lazily
+        # geometry-deriving custom fills (disk extrap/visc) bake the right
+        # window's values; the fill itself is masked to that shard.
         inner_d, outer_d = grid.bc[d - 1]
         bc = list(grid.bc)
         bc[d - 1] = ("none", "none")
@@ -384,10 +481,11 @@ class ShardedDriver(Driver):
         w_pad = bc_mod.fill_ghosts(w_pad, grid_nod, fluid, self.bc_custom)
         if grid.active(d) and inner_d != "periodic":
             idx = lax.axis_index(AXIS)
+            hi_grid = getattr(self, "_hi_grid", None) or grid
             lo = bc_mod.fill_ghosts(
                 w_pad, _only_d(grid, d, inner=True), fluid, self.bc_custom)
             hi = bc_mod.fill_ghosts(
-                w_pad, _only_d(grid, d, inner=False), fluid, self.bc_custom)
+                w_pad, _only_d(hi_grid, d, inner=False), fluid, self.bc_custom)
             w_pad = jnp.where(idx == 0, lo, w_pad)
             w_pad = jnp.where(idx == self.nshards - 1, hi, w_pad)
         return w_pad
@@ -471,9 +569,13 @@ def _only_d(grid: Grid, d: int, inner: bool) -> Grid:
     return dataclasses.replace(grid, bc=tuple(bc))
 
 
-def check_bc_x3_independent(bc0, bc1, local_grid, gas_cfg, dust_cfg):
-    """Verify custom BC fills don't depend on the shard's x3 window by
-    applying the shard-0 and shard-1 builds to the same sample state."""
+def check_bc_x3_independent(bc0, bc1, local_grid, gas_cfg, dust_cfg,
+                            skip_d: int = 0):
+    """Verify custom BC fills don't depend on the shard's window along the
+    sharded axis by applying the shard-0 and shard-1 builds to the same
+    sample state.  ``skip_d``: the sharded axis itself — its physical
+    boundaries only apply on the edge shards (masked fills receive the
+    edge-local grids), so per-window variation there is expected."""
     rng = np.random.default_rng(7)
     shape = tuple(local_grid.shape_entire)
     samples = {}
@@ -484,11 +586,11 @@ def check_bc_x3_independent(bc0, bc1, local_grid, gas_cfg, dust_cfg):
         w = 1.0 + 0.1 * rng.random((dust_cfg.nspecies, 4) + shape)
         samples["dust"] = jnp.asarray(w)
     for d in (1, 2, 3):
-        if not local_grid.active(d):
+        if not local_grid.active(d) or d == skip_d:
             continue
         for side in (0, 1):
             name = local_grid.bc[d - 1][side]
-            if name not in bc0:
+            if name not in bc0 or name not in bc1:
                 continue
             for fluid, w in samples.items():
                 a = bc0[name](w, local_grid, fluid, d, side)
@@ -500,5 +602,6 @@ def check_bc_x3_independent(bc0, bc1, local_grid, gas_cfg, dust_cfg):
                                    rtol=1e-13, atol=1e-300, equal_nan=True):
                     raise ValueError(
                         f"custom BC {name!r} ({fluid}, d={d}, side={side}) "
-                        "varies along x3; x3-dependent custom boundaries "
-                        "are not supported in sharded runs yet")
+                        "varies with the shard window; such transverse "
+                        "custom boundaries are not supported in sharded "
+                        "runs (declare shard_caches for per-shard views)")

@@ -325,6 +325,9 @@ def make_ic_bc(dp: DiskParams, grid, cv, nd_dust: int, rt_fn=None):
         return w.at[(slice(None), slice(None)) + sl].set(
             jnp.asarray(cache[(d, side)]))
 
+    # expose the value caches so the sharded driver can swap entries for
+    # per-shard views (the fill reads them through jnp.asarray)
+    ic_bc.shard_caches = (gas_cache, dust_cache)
     return ic_bc
 
 

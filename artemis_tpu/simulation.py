@@ -265,14 +265,13 @@ class Simulation:
             from .parallel.mesh import ShardedDriver, make_device_mesh
 
             # shard-axis selection: x3 whenever it works (metric is always
-            # x3-independent); Cartesian grids may shard x2/x1 (translation-
-            # invariant metric) — lets 2-D decks decompose too
+            # x3-independent, so geometry stays a shared constant); x1/x2
+            # decompose any geometry — curvilinear geometry fields become
+            # lazy per-shard views of the global build
             axis_key = pin.get_or_add_str("parthenon/mesh", "shard_axis", "auto")
             if axis_key == "auto":
                 shard_axis = None
-                cands = [3] + ([2, 1] if _geo.is_cartesian(self.grid.coords)
-                               else [])
-                for d in cands:
+                for d in (3, 2, 1):
                     nd = self.grid.nx[d - 1]
                     if nd > 1 and nd % nshards == 0 and nd // nshards >= 2:
                         shard_axis = d
@@ -288,22 +287,36 @@ class Simulation:
                 pin, g, gas_cfg, dust_cfg, self.constants,
                 nbody_sys=self.nbody)
                 + list(self.problem.sources))
-            # custom BCs likewise close over grid-shaped caches: rebuild the
-            # problem's BC set against the shard-local grid, and verify the
-            # fills don't vary along the sharded axis
+            # custom BCs close over grid-shaped value caches.  Fills that
+            # declare shard_caches (disk ic) use the GLOBAL build with the
+            # cache entries swapped for per-shard window views; the rest
+            # come from the shard-0 build and must be window-invariant on
+            # the transverse boundaries (sharded-axis edge fills receive
+            # the edge-local grids at fill time)
             bc_custom = self.problem.bc_custom
             if bc_custom:
-                from .parallel.mesh import _local_grid_at, check_bc_x3_independent
+                from .parallel.mesh import (_local_grid_at,
+                                            check_bc_x3_independent,
+                                            localize_bc_caches)
 
+                n_local = self.grid.nx[shard_axis - 1] // nshards
                 loc0 = _local_grid_at(self.grid, nshards, 0, shard_axis)
-                loc1 = _local_grid_at(self.grid, nshards, 1, shard_axis)
                 p0 = build_problem(problem_name, ParameterInput.from_string(repr(pin)),
                                    loc0, gas_cfg, dust_cfg)
-                p1 = build_problem(problem_name, ParameterInput.from_string(repr(pin)),
-                                   loc1, gas_cfg, dust_cfg)
-                check_bc_x3_independent(p0.bc_custom, p1.bc_custom, loc0,
-                                        gas_cfg, dust_cfg)
-                bc_custom = p0.bc_custom
+                localized = localize_bc_caches(bc_custom, p0.bc_custom,
+                                               n_local, shard_axis, nshards)
+                rest = {k: v for k, v in p0.bc_custom.items()
+                        if k not in localized}
+                if rest and nshards > 1:
+                    loc1 = _local_grid_at(self.grid, nshards, 1, shard_axis)
+                    p1 = build_problem(problem_name,
+                                       ParameterInput.from_string(repr(pin)),
+                                       loc1, gas_cfg, dust_cfg)
+                    check_bc_x3_independent(
+                        rest, {k: p1.bc_custom[k] for k in rest}, loc0,
+                        gas_cfg, dust_cfg, skip_d=shard_axis)
+                bc_custom = {k: (bc_custom[k] if k in localized
+                                 else p0.bc_custom[k]) for k in bc_custom}
             self.driver = ShardedDriver(
                 self.grid,
                 integrator,

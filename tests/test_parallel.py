@@ -323,3 +323,40 @@ def test_sharded_curv_kernel_equivalence(tmp_path, monkeypatch):
     # (test_pallas_curv) — this bounds the multi-cycle f32 drift at the
     # disk's steep ic-boundary gradients
     assert err < 2e-3, f"fused vs jnp sharded curv mismatch {err:g}"
+
+
+@pytest.mark.parametrize("axis", ["x1", "x2"])
+def test_sharded_curvilinear_x1(tmp_path, axis):
+    """Curvilinear x1/x2 domain decomposition: the spherical viscous disk
+    sharded along the radial or polar axis matches the serial run to
+    roundoff (geometry/source/BC fields become per-shard views of the
+    global build; VERDICT item 7)."""
+    import artemis_tpu.simulation as sim_mod
+
+    deck = os.path.join(os.path.dirname(__file__), "..", "inputs",
+                        "disk_sph.in")
+    args = [
+        "parthenon/time/nlim=5",
+        "parthenon/mesh/nx1=64",
+        "parthenon/mesh/nx2=16",
+        "parthenon/mesh/nx3=8",
+        f"parthenon/mesh/shard_axis={axis}",
+    ]
+    s1 = sim_mod.Simulation(deck, overrides=args,
+                            data_dir=str(tmp_path / "serial"))
+    s1.run()
+    s4 = sim_mod.Simulation(deck, overrides=args,
+                            data_dir=str(tmp_path / "shard"), nshards=4)
+    assert s4.driver.axis_d == int(axis[1])
+    s4.run()
+
+    assert s1.tm.ncycle == s4.tm.ncycle
+    w1 = np.asarray(s1.state["gas"]["w"])
+    w4 = np.asarray(s4.state["gas"]["w"])
+    assert np.isfinite(w4).all()
+    scale = np.maximum(np.abs(w1), 1e-12)
+    err = np.max(np.abs(w1 - w4) / scale)
+    # roundoff-level: the shard-local face positions are generated as
+    # x0 + dx*arange (last-ulp differences vs the serial build) and
+    # amplified through the disk's steep gradients over the 5 cycles
+    assert err < 1e-8, f"x1-sharded disk vs serial mismatch {err:g}"
