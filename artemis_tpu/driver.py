@@ -377,24 +377,6 @@ class Driver:
         fluids = self._fluids()
 
         def step(state, dt, time):
-            # (a whole-step rk2/vl2 kernel exists — pallas_stage.step2_
-            # periodic — but measured SLOWER than per-stage kernels on v5e:
-            # the stage loop is VPU-bound, so recomputing stage 1 on the
-            # +2-extended halo region costs more than the saved HBM pass.
-            # Enable via ARTEMIS_STEP2=1 for bandwidth-starved parts.)
-            import os as _os
-
-            if (_os.environ.get("ARTEMIS_STEP2") == "1"
-                    and self._fused_periodic and integ.name in ("rk2", "vl2")
-                    and self.radiation is None
-                    and state["gas"]["w"].dtype == jnp.float32):
-                from .ops import pallas_stage as _ps
-
-                u, w, dmax = _ps.step2_periodic(
-                    state["gas"]["w"], self.grid, self.gas_cfg, integ.name, dt)
-                new = dict(state)
-                new["gas"] = {"u": u, "w": w, "dtden": dmax}
-                return new
             # u1 register: deep copy of conserved data
             u1 = {name: state[name]["u"] for name, _ in fluids}
             for stage in range(1, integ.nstages + 1):

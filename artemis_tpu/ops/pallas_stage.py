@@ -37,10 +37,14 @@ from .pallas_sweeps import _hllc, _plm
 
 TY = 16  # y rows per block
 TZ = 4   # z planes per block
-YS = 24  # DMA'd y-slab rows (TY + 4 halo, rounded up to the 8-row tiling)
 
 
-def _lr_faces(q, axis, lo, count, pcm):
+def _yslab(hs: int) -> int:
+    """DMA'd y-slab rows: TY + 2*hs halo, rounded up to the 8-row tiling."""
+    return -(-(TY + 2 * hs) // 8) * 8
+
+
+def _lr_faces(q, axis, lo, count, method):
     """L/R face states for ``count`` faces starting at padded face index
     ``lo`` along ``axis`` (face f sits between cells f-1 and f)."""
 
@@ -49,9 +53,31 @@ def _lr_faces(q, axis, lo, count, pcm):
         s[axis] = slice(start, start + num)
         return a[tuple(s)]
 
-    if pcm:
+    if method == "pcm":
         return sl(q, lo - 1, count), sl(q, lo, count)
     n = q.shape[axis]
+    if method == "ppm":
+        # PPM4 (Colella & Woodward; cf. ops/recon.ppm4 and the reference
+        # src/utils/fluxes/reconstruction/ppm.hpp:32-66); cells 2..n-3
+        # (index = cell-2), needs a 3-cell halo
+        qm2 = sl(q, 0, n - 4)
+        qm1 = sl(q, 1, n - 4)
+        q0 = sl(q, 2, n - 4)
+        qp1 = sl(q, 3, n - 4)
+        qp2 = sl(q, 4, n - 4)
+        qlv = (7.0 * (q0 + qm1) - (qm2 + qp1)) / 12.0
+        qrv = (7.0 * (q0 + qp1) - (qm1 + qp2)) / 12.0
+        qlv = jnp.clip(qlv, jnp.minimum(q0, qm1), jnp.maximum(q0, qm1))
+        qrv = jnp.clip(qrv, jnp.minimum(q0, qp1), jnp.maximum(q0, qp1))
+        qc = qrv - q0
+        qd = qlv - q0
+        flat = (qc * qd) >= 0.0
+        qrv = jnp.where(flat, q0, jnp.where(
+            jnp.abs(qc) >= 2.0 * jnp.abs(qd), q0 - 2.0 * qd, qrv))
+        qlv = jnp.where(flat, q0, jnp.where(
+            jnp.abs(qd) >= 2.0 * jnp.abs(qc), q0 - 2.0 * qc, qlv))
+        # face f: wl = qrv of cell f-1 (index f-3), wr = qlv of cell f
+        return sl(qrv, lo - 3, count), sl(qlv, lo - 2, count)
     qm = sl(q, 0, n - 2)
     q0 = sl(q, 1, n - 2)
     qp = sl(q, 2, n - 2)
@@ -60,18 +86,18 @@ def _lr_faces(q, axis, lo, count, pcm):
 
 
 def _stage_kernel(bdt_ref, u0_ref, u1_ref, wp_hbm, u_ref, w_ref, dm_ref,
-                  scratch, sem, *, ng, nx, tz, active_z, pcm, gamma,
-                  gam0, gam1, dx, dy, dz, dfloor, siefloor, de_switch):
+                  scratch, sem, *, ng, nx, tz, active_z, method, gamma,
+                  gam0, gam1, dx, dy, dz, dfloor, siefloor, de_switch, hs):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    zsz = tz + 4 if active_z else 1
+    zsz = tz + 2 * hs if active_z else 1
     dma = pltpu.make_async_copy(
-        wp_hbm.at[:, pl.ds(i * tz, zsz), pl.ds(j * TY, YS), :],
+        wp_hbm.at[:, pl.ds(i * tz, zsz), pl.ds(j * TY, _yslab(hs)), :],
         scratch, sem)
     dma.start()
     bdt = bdt_ref[0]
     dma.wait()
-    s = scratch[...][:, :, :TY + 4]       # [6, zsz, TY+4, xp]
+    s = scratch[...][:, :, :TY + 2 * hs]  # [6, zsz, TY+2hs, xp]
 
     def hllc6(wl, wr, d):
         ivx = d
@@ -81,7 +107,7 @@ def _stage_kernel(bdt_ref, u0_ref, u1_ref, wp_hbm, u_ref, w_ref, dm_ref,
                           tuple(wr[c] for c in range(6)), ivx, ivy, ivz, gamma)
         return F, pf, vf
 
-    zc = slice(2, 2 + tz) if active_z else slice(0, 1)
+    zc = slice(hs, hs + tz) if active_z else slice(0, 1)
 
     def ax(a, axis, s0, s1):
         sl = [slice(None)] * a.ndim
@@ -89,19 +115,19 @@ def _stage_kernel(bdt_ref, u0_ref, u1_ref, wp_hbm, u_ref, w_ref, dm_ref,
         return a[tuple(sl)]
 
     # ---- X fluxes: [tz, TY, nx+1] on interior z planes / y rows
-    wx = s[:, zc, 2:2 + TY, :]
-    wl, wr = _lr_faces(wx, 3, ng, nx + 1, pcm)
+    wx = s[:, zc, hs:hs + TY, :]
+    wl, wr = _lr_faces(wx, 3, ng, nx + 1, method)
     Fx, pfx, vfx = hllc6(wl, wr, 1)
 
     # ---- Y fluxes: [tz, TY+1, nx]
     wy = s[:, zc, :, ng:ng + nx]
-    wl, wr = _lr_faces(wy, 2, 2, TY + 1, pcm)
+    wl, wr = _lr_faces(wy, 2, hs, TY + 1, method)
     Fy, pfy, vfy = hllc6(wl, wr, 2)
 
     # ---- Z fluxes: [tz+1, TY, nx]
     if active_z:
-        wz = s[:, :, 2:2 + TY, ng:ng + nx]
-        wl, wr = _lr_faces(wz, 1, 2, tz + 1, pcm)
+        wz = s[:, :, hs:hs + TY, ng:ng + nx]
+        wl, wr = _lr_faces(wz, 1, hs, tz + 1, method)
         Fz, pfz, vfz = hllc6(wl, wr, 3)
 
     u0 = u0_ref[...]
@@ -173,21 +199,23 @@ def stage(w_pad, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
     dx = float(g.xf1[1] - g.xf1[0])
     dy = float(g.xf2[1] - g.xf2[0])
     dz = float(g.xf3[1] - g.xf3[0])
-    pcm = force_pcm or cfg.recon == "pcm"
+    method = "pcm" if (force_pcm or cfg.recon == "pcm") else cfg.recon
+    hs = g1  # slab halo width = nghost (>= 3 for ppm)
 
     tz = TZ if active_z else 1
     kern = functools.partial(
-        _stage_kernel, ng=g1, nx=nx, tz=tz, active_z=active_z, pcm=pcm,
+        _stage_kernel, ng=g1, nx=nx, tz=tz, active_z=active_z, method=method,
         gamma=cfg.gamma, gam0=gam0, gam1=gam1, dx=dx, dy=dy, dz=dz,
-        dfloor=cfg.dfloor, siefloor=cfg.siefloor, de_switch=cfg.de_switch)
+        dfloor=cfg.dfloor, siefloor=cfg.siefloor, de_switch=cfg.de_switch,
+        hs=hs)
     dt = wp.dtype
-    zsz = tz + 4 if active_z else 1
-    # the y DMA slab is YS rows; give the padded array the 4 spare rows the
-    # top-edge block reads (values unused).  Mosaic also requires HBM DMA
-    # slices 128-aligned on the lane (x) dim, so pad x to the next multiple
-    # of 128 and DMA full rows (the tail lanes are unused).
+    zsz = tz + 2 * hs if active_z else 1
+    # the y DMA slab is _yslab(hs) rows; give the padded array the spare
+    # rows the top-edge block reads (values unused).  Mosaic also requires
+    # HBM DMA slices 128-aligned on the lane (x) dim, so pad x to the next
+    # multiple of 128 and DMA full rows (the tail lanes are unused).
     xp_al = -(-wp.shape[-1] // 128) * 128
-    wp = jnp.pad(wp, [(0, 0), (0, 0), (0, YS - (TY + 4)),
+    wp = jnp.pad(wp, [(0, 0), (0, 0), (0, _yslab(hs) - (TY + 2 * hs)),
                       (0, xp_al - wp.shape[-1])])
     blk = (6, tz, TY, nx)
     imap = lambda i, j: (0, i, j, 0)
@@ -211,7 +239,7 @@ def stage(w_pad, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
             jax.ShapeDtypeStruct((nz // tz, ny // TY), dt),
         ),
         scratch_shapes=[
-            pltpu.VMEM((6, zsz, YS, wp.shape[-1]), dt),
+            pltpu.VMEM((6, zsz, _yslab(hs), wp.shape[-1]), dt),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
@@ -237,10 +265,13 @@ def supported(grid, cfg) -> bool:
         on_tpu = jax.devices()[0].platform == "tpu" or _interpret_mode()
     except Exception:  # pragma: no cover
         return False
+    ghost_ok = (grid.nghost == 2 if cfg is None or cfg.recon in ("plm", "pcm")
+                else grid.nghost in (3, 4))  # ppm needs a 3-cell halo
     return (on_tpu and grid.coords == "cartesian" and cfg is not None
             and cfg.fluid == "gas" and cfg.nspecies == 1
-            and cfg.rsolver == "hllc" and cfg.recon in ("plm", "pcm")
-            and grid.nghost == 2 and grid.nx[1] % TY == 0
+            and cfg.rsolver == "hllc"
+            and cfg.recon in ("plm", "pcm", "ppm")
+            and ghost_ok and grid.nx[1] % TY == 0
             and (grid.nx[2] == 1 or grid.nx[2] % TZ == 0)
             and grid.nx[1] > 1 and grid.nx[0] > 1)
 
@@ -256,17 +287,19 @@ TYP = 32  # y rows per block (periodic kernel)
 
 def _stage_kernel_periodic(bdt_ref, u0_ref, u1_ref, w_hbm, u_ref, w_ref,
                            dm_ref, scratch, sems, *, nx, ny, nz, tz, ty,
-                           active_z, pcm, gamma, gam0, gam1, dx, dy, dz,
-                           dfloor, siefloor, de_switch):
+                           active_z, method, gamma, gam0, gam1, dx, dy, dz,
+                           dfloor, siefloor, de_switch, hs):
     i = pl.program_id(0)
     j = pl.program_id(1)
     z0 = i * tz
     y0 = j * ty
 
-    # (z-region, y-region) → contiguous slab DMA.  Halo regions are 2 planes
-    # in z (no alignment constraint) and 8 rows in y (sublane tiling).
+    # (z-region, y-region) → contiguous slab DMA.  Halo regions are hs
+    # planes in z (no alignment constraint) and 8 rows in y (sublane
+    # tiling; hs <= 8 of them are used).
     if active_z:
-        zregs = [((z0 - 2) % nz, 2, 0), (z0, tz, 2), ((z0 + tz) % nz, 2, 2 + tz)]
+        zregs = [((z0 - hs) % nz, hs, 0), (z0, tz, hs),
+                 ((z0 + tz) % nz, hs, hs + tz)]
     else:
         zregs = [(0, 1, 0)]
     # modular halo offsets are all multiples of 8; Mosaic needs the hint
@@ -286,9 +319,9 @@ def _stage_kernel_periodic(bdt_ref, u0_ref, u1_ref, w_hbm, u_ref, w_ref,
     for dma in dmas:
         dma.wait()
 
-    # used window: y rows 6 .. ty+10 (2-halo), x wrapped in VMEM
-    s = scratch[...][:, :, 6:ty + 10]
-    s = jnp.concatenate([s[..., nx - 2:], s, s[..., :2]], axis=-1)
+    # used window: y rows (8-hs) .. ty+8+hs (hs-halo), x wrapped in VMEM
+    s = scratch[...][:, :, 8 - hs:ty + 8 + hs]
+    s = jnp.concatenate([s[..., nx - hs:], s, s[..., :hs]], axis=-1)
 
     def hllc6(wl, wr, d):
         ivx = d
@@ -298,24 +331,24 @@ def _stage_kernel_periodic(bdt_ref, u0_ref, u1_ref, w_hbm, u_ref, w_ref,
                           tuple(wr[c] for c in range(6)), ivx, ivy, ivz, gamma)
         return F, pf, vf
 
-    zc = slice(2, 2 + tz) if active_z else slice(0, 1)
+    zc = slice(hs, hs + tz) if active_z else slice(0, 1)
 
     def ax(a, axis, s0, s1):
         sl = [slice(None)] * a.ndim
         sl[axis] = slice(s0, s1)
         return a[tuple(sl)]
 
-    wx = s[:, zc, 2:2 + ty, :]
-    wl, wr = _lr_faces(wx, 3, 2, nx + 1, pcm)
+    wx = s[:, zc, hs:hs + ty, :]
+    wl, wr = _lr_faces(wx, 3, hs, nx + 1, method)
     Fx, pfx, vfx = hllc6(wl, wr, 1)
 
-    wy = s[:, zc, :, 2:2 + nx]
-    wl, wr = _lr_faces(wy, 2, 2, ty + 1, pcm)
+    wy = s[:, zc, :, hs:hs + nx]
+    wl, wr = _lr_faces(wy, 2, hs, ty + 1, method)
     Fy, pfy, vfy = hllc6(wl, wr, 2)
 
     if active_z:
-        wz = s[:, :, 2:2 + ty, 2:2 + nx]
-        wl, wr = _lr_faces(wz, 1, 2, tz + 1, pcm)
+        wz = s[:, :, hs:hs + ty, hs:hs + nx]
+        wl, wr = _lr_faces(wz, 1, hs, tz + 1, method)
         Fz, pfz, vfz = hllc6(wl, wr, 3)
 
     u0 = u0_ref[...]
@@ -382,17 +415,18 @@ def stage_periodic(w, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
     dx = float(g.xf1[1] - g.xf1[0])
     dy = float(g.xf2[1] - g.xf2[0])
     dz = float(g.xf3[1] - g.xf3[0])
-    pcm = force_pcm or cfg.recon == "pcm"
+    method = "pcm" if (force_pcm or cfg.recon == "pcm") else cfg.recon
+    hs = 3 if cfg.recon == "ppm" else 2  # in-kernel halo width
     tz = TZP if active_z else 1
     ty = TYP
 
     kern = functools.partial(
         _stage_kernel_periodic, nx=nx, ny=ny, nz=nz, tz=tz, ty=ty,
-        active_z=active_z, pcm=pcm, gamma=cfg.gamma, gam0=gam0, gam1=gam1,
-        dx=dx, dy=dy, dz=dz, dfloor=cfg.dfloor, siefloor=cfg.siefloor,
-        de_switch=cfg.de_switch)
+        active_z=active_z, method=method, gamma=cfg.gamma, gam0=gam0,
+        gam1=gam1, dx=dx, dy=dy, dz=dz, dfloor=cfg.dfloor,
+        siefloor=cfg.siefloor, de_switch=cfg.de_switch, hs=hs)
     dt = w_.dtype
-    zsz = tz + 4 if active_z else 1
+    zsz = tz + 2 * hs if active_z else 1
     blk = (6, tz, ty, nx)
     imap = lambda i, j: (0, i, j, 0)
     u_new, w_new, dmax = pl.pallas_call(
@@ -445,227 +479,3 @@ def periodic_supported(grid, cfg) -> bool:
             return False
     return (grid.nx[1] % TYP == 0 and grid.nx[0] % 128 == 0
             and (grid.nx[2] == 1 or grid.nx[2] % TZP == 0))
-
-
-# ---------------------------------------------------------------------------
-# whole-STEP kernel: both stages of a two-stage integrator (rk2 / vl2) in a
-# single pass.  Stage 1 is computed on a +2-cell extended region so stage 2's
-# reconstruction has valid neighbors; the step-start conserved state is
-# rebuilt in-kernel from the primitives (each stage ends with prim_to_cons,
-# so u == p2c(w) exactly at step start) — the kernel's only array input is
-# the primitive slab.  Periodic Cartesian gas only.
-# ---------------------------------------------------------------------------
-
-
-def _substage(w_ext, u_base, u_reg, Z, Y, X, bdt, pcm, gamma, active_z,
-              dx, dy, dz, dfloor, siefloor, de_switch, gam0, gam1):
-    """One RK stage on a region of shape [6, Z, Y, X] whose primitives
-    ``w_ext`` carry a 2-cell halo ([6, Z(+4), Y+4, X+4]).  ``u_base``/
-    ``u_reg`` are the two RK registers on the region.  Returns (u, w)."""
-
-    def ax(a, axis, s0, s1):
-        sl = [slice(None)] * a.ndim
-        sl[axis] = slice(s0, s1)
-        return a[tuple(sl)]
-
-    def hllc6(wl, wr, d):
-        ivx = d
-        ivy = (d % 3) + 1
-        ivz = ((d + 1) % 3) + 1
-        return _hllc(tuple(wl[c] for c in range(6)),
-                     tuple(wr[c] for c in range(6)), ivx, ivy, ivz, gamma)
-
-    zc = slice(2, 2 + Z) if active_z else slice(0, 1)
-
-    wx = w_ext[:, zc, 2:2 + Y, :]
-    wl, wr = _lr_faces(wx, 3, 2, X + 1, pcm)
-    Fx, pfx, vfx = hllc6(wl, wr, 1)
-
-    wy = w_ext[:, zc, :, 2:2 + X]
-    wl, wr = _lr_faces(wy, 2, 2, Y + 1, pcm)
-    Fy, pfy, vfy = hllc6(wl, wr, 2)
-
-    if active_z:
-        wz = w_ext[:, :, 2:2 + Y, 2:2 + X]
-        wl, wr = _lr_faces(wz, 1, 2, Z + 1, pcm)
-        Fz, pfz, vfz = hllc6(wl, wr, 3)
-
-    divf = [(ax(Fx[c], 2, 0, X) - ax(Fx[c], 2, 1, X + 1)) / dx
-            + (ax(Fy[c], 1, 0, Y) - ax(Fy[c], 1, 1, Y + 1)) / dy
-            for c in range(6)]
-    if active_z:
-        divf = [divf[c] + (ax(Fz[c], 0, 0, Z) - ax(Fz[c], 0, 1, Z + 1)) / dz
-                for c in range(6)]
-    u = [gam0 * u_base[c] + gam1 * u_reg[c] + bdt * divf[c] for c in range(6)]
-
-    pxl, pxh = ax(pfx, 2, 0, X), ax(pfx, 2, 1, X + 1)
-    vxl, vxh = ax(vfx, 2, 0, X), ax(vfx, 2, 1, X + 1)
-    pyl, pyh = ax(pfy, 1, 0, Y), ax(pfy, 1, 1, Y + 1)
-    vyl, vyh = ax(vfy, 1, 0, Y), ax(vfy, 1, 1, Y + 1)
-    u[1] = u[1] + (bdt / dx) * (pxl - pxh)
-    u[2] = u[2] + (bdt / dy) * (pyl - pyh)
-    u[5] = u[5] - (bdt / dx) * 0.5 * (pxl + pxh) * (vxh - vxl)
-    u[5] = u[5] - (bdt / dy) * 0.5 * (pyl + pyh) * (vyh - vyl)
-    if active_z:
-        pzl, pzh = ax(pfz, 0, 0, Z), ax(pfz, 0, 1, Z + 1)
-        vzl, vzh = ax(vfz, 0, 0, Z), ax(vfz, 0, 1, Z + 1)
-        u[3] = u[3] + (bdt / dz) * (pzl - pzh)
-        u[5] = u[5] - (bdt / dz) * 0.5 * (pzl + pzh) * (vzh - vzl)
-
-    # dual-energy sync + C2P/P2C floors (SetAuxillaryFields, fill_derived)
-    rho = jnp.maximum(u[0], dfloor)
-    ke = 0.5 * (u[1] ** 2 + u[2] ** 2 + u[3] ** 2) / rho
-    ue = u[4] - ke
-    sie = jnp.where(ue > de_switch * u[4], ue / rho, u[5] / rho)
-    sie = jnp.maximum(sie, siefloor)
-    eint0 = jnp.maximum(sie * rho, siefloor * rho)
-    v1 = u[1] / rho
-    v2 = u[2] / rho
-    v3 = u[3] / rho
-    sie = jnp.maximum(eint0 / rho, siefloor)
-    p = (gamma - 1.0) * rho * sie
-    eint = sie * rho
-    etot = eint + 0.5 * rho * (v1 * v1 + v2 * v2 + v3 * v3)
-    u_new = [rho, rho * v1, rho * v2, rho * v3, etot, eint]
-    w_new = [rho, v1, v2, v3, p, sie]
-    return u_new, w_new
-
-
-def _p2c6(w, gamma, dfloor, siefloor):
-    rho = jnp.maximum(w[0], dfloor)
-    sie = jnp.maximum(w[5], siefloor)
-    eint = sie * rho
-    etot = eint + 0.5 * rho * (w[1] ** 2 + w[2] ** 2 + w[3] ** 2)
-    return [rho, rho * w[1], rho * w[2], rho * w[3], etot, eint]
-
-
-def _step_kernel_2stage(dt_ref, w_hbm, u_ref, w_ref, dm_ref, scratch, sems,
-                        *, nx, ny, nz, tz, ty, active_z, pcm1, pcm2, gamma,
-                        coeff, dx, dy, dz, dfloor, siefloor, de_switch):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    z0 = i * tz
-    y0 = j * ty
-
-    # slab: 4-cell halos in z (unconstrained) and y (8-row aligned: 4+ty+4
-    # with ty % 8 == 0 -> sizes 8/ty/8 at 8-aligned offsets using an 8-row
-    # window whose outer 4 rows are unused)
-    if active_z:
-        zregs = [((z0 - 4) % nz, 4, 0), (z0, tz, 4), ((z0 + tz) % nz, 4, 4 + tz)]
-    else:
-        zregs = [(0, 1, 0)]
-    yregs = [(pl.multiple_of((y0 - 8) % ny, 8), 8, 0),
-             (pl.multiple_of(y0, 8), ty, 8),
-             (pl.multiple_of((y0 + ty) % ny, 8), 8, 8 + ty)]
-    dmas = []
-    for a, (zs, zn, zd) in enumerate(zregs):
-        for b, (ys, yn, yd) in enumerate(yregs):
-            dma = pltpu.make_async_copy(
-                w_hbm.at[:, pl.ds(zs, zn), pl.ds(ys, yn), :],
-                scratch.at[:, pl.ds(zd, zn), pl.ds(yd, yn), :],
-                sems.at[a, b])
-            dma.start()
-            dmas.append(dma)
-    dt = dt_ref[0]
-    for dma in dmas:
-        dma.wait()
-
-    # used y window: rows 4 .. ty+12 (4-halo); x wrapped by 4 in VMEM
-    s = scratch[...][:, :, 4:ty + 12]
-    s = jnp.concatenate([s[..., nx - 4:], s, s[..., :4]], axis=-1)
-
-    gam0, gam1, beta = coeff  # per-stage tuples
-
-    # ---- stage 1 on the +2-extended region
-    Z1 = tz + 4 if active_z else 1
-    Y1 = ty + 4
-    X1 = nx + 4
-    zsl = slice(2, 2 + Z1) if active_z else slice(0, 1)
-    w0_ext2 = s[:, zsl, 2:2 + Y1, 2:2 + X1]
-    u0_ext2 = _p2c6([w0_ext2[c] for c in range(6)], gamma, dfloor, siefloor)
-    u1l, w1l = _substage(s, u0_ext2, u0_ext2, Z1, Y1, X1, beta[0] * dt,
-                         pcm1, gamma, active_z, dx, dy, dz, dfloor,
-                         siefloor, de_switch, gam0[0], gam1[0])
-
-    # ---- stage 2 on the interior
-    Z2 = tz if active_z else 1
-    w1_ext = jnp.stack(w1l)
-    int_z = slice(2, 2 + Z2) if active_z else slice(0, 1)
-    u0_int = [u0_ext2[c][int_z if active_z else slice(None), 2:2 + ty,
-                         2:2 + nx] if active_z
-              else u0_ext2[c][:, 2:2 + ty, 2:2 + nx] for c in range(6)]
-    u1_int = [u1l[c][int_z if active_z else slice(None), 2:2 + ty,
-                     2:2 + nx] if active_z
-              else u1l[c][:, 2:2 + ty, 2:2 + nx] for c in range(6)]
-    u2, w2 = _substage(w1_ext, u1_int, u0_int, Z2, ty, nx, beta[1] * dt,
-                       pcm2, gamma, active_z, dx, dy, dz, dfloor,
-                       siefloor, de_switch, gam0[1], gam1[1])
-
-    u_ref[...] = jnp.stack(u2)
-    w_ref[...] = jnp.stack(w2)
-
-    cs = jnp.sqrt(gamma * (gamma - 1.0) * w2[5])
-    den = (jnp.abs(w2[1]) + cs) / dx + (jnp.abs(w2[2]) + cs) / dy
-    if active_z:
-        den = den + (jnp.abs(w2[3]) + cs) / dz
-    dm_ref[i, j] = jnp.max(den)
-
-
-def step2_periodic(w, grid, cfg, integ_name, dt, interpret=False):
-    """Full two-stage step (rk2 or vl2) in one kernel pass.  Consumes the
-    UNPADDED interior primitives (u is rebuilt in-kernel); returns
-    (u_new, w_new, dmax)."""
-    nx, ny, nz = grid.nx
-    active_z = nz > 1
-    w_ = w[0]
-    g = grid.geom
-    dx = float(g.xf1[1] - g.xf1[0])
-    dy = float(g.xf2[1] - g.xf2[0])
-    dz = float(g.xf3[1] - g.xf3[0])
-    tz = TZP if active_z else 1
-    ty = TYP
-    if integ_name == "rk2":
-        coeff = ((0.0, 0.5), (1.0, 0.5), (1.0, 0.5))
-        pcm1 = cfg.recon == "pcm"
-    elif integ_name == "vl2":
-        coeff = ((0.0, 0.0), (1.0, 1.0), (0.5, 1.0))
-        pcm1 = True
-    else:
-        raise ValueError(integ_name)
-
-    kern = functools.partial(
-        _step_kernel_2stage, nx=nx, ny=ny, nz=nz, tz=tz, ty=ty,
-        active_z=active_z, pcm1=pcm1, pcm2=cfg.recon == "pcm",
-        gamma=cfg.gamma, coeff=coeff,
-        dx=dx, dy=dy, dz=dz, dfloor=cfg.dfloor, siefloor=cfg.siefloor,
-        de_switch=cfg.de_switch)
-    dtp = w_.dtype
-    zsz = tz + 8 if active_z else 1
-    blk = (6, tz, ty, nx)
-    imap = lambda i, j: (0, i, j, 0)
-    u_new, w_new, dmax = pl.pallas_call(
-        kern,
-        grid=(nz // tz, ny // ty),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=(
-            pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((6, nz, ny, nx), dtp),
-            jax.ShapeDtypeStruct((6, nz, ny, nx), dtp),
-            jax.ShapeDtypeStruct((nz // tz, ny // ty), dtp),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((6, zsz, ty + 16, nx), dtp),
-            pltpu.SemaphoreType.DMA((3, 3)),
-        ],
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(jnp.reshape(jnp.asarray(dt, dtp), (1,)), w_)
-    return u_new[None], w_new[None], dmax

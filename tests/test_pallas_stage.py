@@ -18,15 +18,16 @@ from .utils import INPUTS_DIR
 import os
 
 
-def _setup(nx, ny, nz):
+def _setup(nx, ny, nz, recon="plm", nghost=None):
     import jax.numpy as jnp
 
     pin = ParameterInput.from_file(os.path.join(INPUTS_DIR, "linwave.in"))
     pin.apply_overrides([
         f"parthenon/mesh/nx1={nx}", f"parthenon/mesh/nx2={ny}",
-        f"parthenon/mesh/nx3={nz}", "problem/amp=1e-3"])
+        f"parthenon/mesh/nx3={nz}", "problem/amp=1e-3"]
+        + ([f"parthenon/mesh/nghost={nghost}"] if nghost else []))
     grid = grid_from_input(pin)
-    cfg = FluidCfg(fluid="gas", recon="plm", rsolver="hllc",
+    cfg = FluidCfg(fluid="gas", recon=recon, rsolver="hllc",
                    gamma=pin.get_real("gas", "gamma"),
                    cfl=pin.get_real("gas", "cfl"))
     hyd = Hydro(grid, cfg)
@@ -94,32 +95,34 @@ def test_fused_stage_2d():
     assert float(jnp.max(jnp.abs(wf - wr))) < 1e-12
 
 
-@pytest.mark.parametrize("integ_name,nz", [("rk2", 16), ("vl2", 16), ("rk2", 1)])
-def test_fused_full_step_matches_jnp(integ_name, nz):
-    """Whole-step (two-stage) kernel vs two sequential jnp stages.
-    (Kept behind ARTEMIS_STEP2 at runtime — VPU-bound on v5e — but the
-    kernel must stay exact for bandwidth-starved parts.)"""
+
+
+@pytest.mark.parametrize("nghost", [3, 4])
+def test_fused_stage_ppm(nghost, monkeypatch):
+    """PPM reconstruction on the fused fast path (nghost>=3 slab halo;
+    VERDICT: ppm decks must not silently lose the fast path)."""
     import jax.numpy as jnp
 
-    from artemis_tpu.driver import Integrator
+    monkeypatch.setenv("ARTEMIS_PALLAS_INTERPRET", "1")
+    grid, cfg, hyd, u, w = _setup(32, 32, 8, recon="ppm", nghost=nghost)
+    assert pallas_stage.supported(grid, cfg)
+    u1 = u * 1.0
+    ur, wr = _ref_stage(hyd, grid, cfg, u, w, u1, 0.5, 0.5, 1e-3, False)
+    wp = bc_mod.pad_and_fill(w, grid, "gas", {})
+    uf, wf, dmax = pallas_stage.stage(wp, u, u1, grid, cfg, 0.5, 0.5, 1e-3,
+                                      False, interpret=True)
+    assert float(jnp.max(jnp.abs(uf - ur))) < 1e-12
+    assert float(jnp.max(jnp.abs(wf - wr))) < 1e-12
 
-    grid, cfg, hyd, u, w = _setup(128, 32, nz)
-    integ = Integrator.make(integ_name)
-    dt = 1e-3
-    ur, wr, u1 = u, w, u
-    for st in (1, 2):
-        pcm = integ_name == "vl2" and st == 1
-        wp = bc_mod.pad_and_fill(wr, grid, "gas", {})
-        fx = hyd.compute_fluxes(wp, cfg, pcm)
-        un = hyd.apply_update(ur, u1, fx, integ.gam0[st - 1],
-                              integ.gam1[st - 1], integ.beta[st - 1] * dt)
-        un = hyd.flux_source(un, wr, fx, integ.beta[st - 1] * dt)
-        un = hyd.set_auxiliary(un, cfg)
-        wn = hyd.cons_to_prim(un, cfg)
-        ur, wr = hyd.prim_to_cons(wn, cfg)
-    uf, wf, dmax = pallas_stage.step2_periodic(w, grid, cfg, integ_name, dt,
+
+def test_fused_periodic_stage_ppm():
+    import jax.numpy as jnp
+
+    grid, cfg, hyd, u, w = _setup(128, 32, 8, recon="ppm", nghost=4)
+    u1 = u * 1.0
+    ur, wr = _ref_stage(hyd, grid, cfg, u, w, u1, 0.5, 0.5, 1e-3, False)
+    uf, wf, dmax = pallas_stage.stage_periodic(w, u, u1, grid, cfg,
+                                               0.5, 0.5, 1e-3, False,
                                                interpret=True)
     assert float(jnp.max(jnp.abs(uf - ur))) < 1e-12
     assert float(jnp.max(jnp.abs(wf - wr))) < 1e-12
-    assert abs(cfg.cfl / float(jnp.max(dmax))
-               - float(hyd.estimate_dt(wr, cfg))) < 1e-12
