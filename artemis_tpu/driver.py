@@ -210,6 +210,14 @@ class Driver:
                         self._curv_srcs.remove(s_)
                         break
                 self._curv_full = dust_cfg is None and not self._curv_srcs
+                # in-kernel halo gather (no padded array / ghost-fill pass)
+                # for the disk boundary layout: x1/x2 ic strips + periodic x3
+                self._curv_gather = None
+                if self._curv_full and _psc.gather_supported(
+                        grid, gas_cfg, self.bc_custom):
+                    caches = self.bc_custom["ic"].shard_caches[0]
+                    self._curv_gather = _psc.prepare_gather_strips(grid,
+                                                                   caches)
         self._step = jax.jit(self._build_step())
         self._dt_fn = jax.jit(self._estimate_dt)
         self._advance = jax.jit(self._build_advance())
@@ -283,6 +291,17 @@ class Driver:
                 grav = (gm_, soft2_, gmode)
                 grav_dt = jnp.where(
                     jnp.logical_and(time >= tstart, time < tstop), bdt, 0.0)
+            if self._curv_full and getattr(self, "_curv_gather", None) \
+                    is not None:
+                # in-kernel halo gather: no padded array at all
+                u, w, dmax = _psc.stage_curv_gather(
+                    state["gas"]["w"], state["gas"]["u"], u1["gas"],
+                    self.grid, self.gas_cfg, gam0, gam1, bdt, force_pcm,
+                    co, packed, self._curv_gather, rf_omega=self._curv_rf,
+                    grav=grav, grav_dt=grav_dt)
+                new_state = dict(state)
+                new_state["gas"] = {"u": u, "w": w, "dtden": dmax}
+                return new_state, None
             w_pad = self.fill_ghosts(state["gas"]["w"], "gas")
             if self._curv_full:
                 u, w, dmax = _psc.stage_curv(

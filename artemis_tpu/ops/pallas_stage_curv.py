@@ -518,6 +518,7 @@ def _stage_kernel_curv(bdt_ref, gdt_ref, u0_ref, u1_ref, wp_hbm, cx_ref,
                        dfloor, siefloor, de_switch, ix, full, x1dep, x2dep,
                        has_rot, rf_omega, rsolver="hllc", diff=None, cv=1.5,
                        grav=None):
+    """Padded-array frontend: each block DMAs its ghost-filled slab."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     zsz = tz + 4 if active_z else 1
@@ -526,9 +527,27 @@ def _stage_kernel_curv(bdt_ref, gdt_ref, u0_ref, u1_ref, wp_hbm, cx_ref,
         scratch, sem)
     dma.start()
     bdt = bdt_ref[0]
-    CX = cx_ref[...]
     dma.wait()
     s = scratch[...][:, :, :ty + 4]       # [6, zsz, ty+4, xp]
+    _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
+               u_ref, w_ref, dm_ref, ng=ng, nx=nx, tz=tz, ty=ty,
+               active_z=active_z, pcm=pcm, gamma=gamma, gam0=gam0, gam1=gam1,
+               dfloor=dfloor, siefloor=siefloor, de_switch=de_switch, ix=ix,
+               full=full, x1dep=x1dep, x2dep=x2dep, has_rot=has_rot,
+               rf_omega=rf_omega, rsolver=rsolver, diff=diff, cv=cv,
+               grav=grav)
+
+
+def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
+               u_ref, w_ref, dm_ref, *, ng, nx, tz, ty, active_z, pcm, gamma,
+               gam0, gam1, dfloor, siefloor, de_switch, ix, full, x1dep,
+               x2dep, has_rot, rf_omega, rsolver, diff, cv, grav):
+    """The fused stage math on an assembled VMEM slab ``s``
+    ([6, zsz, ty+4, >=nx+2ng])."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    zsz = tz + 4 if active_z else 1
+    CX = cx_ref[...]
 
     # --- coefficient row windows -------------------------------------
     # X rows: full padded extent (static slices)
@@ -1148,6 +1167,243 @@ def _stage_kernel_curv(bdt_ref, gdt_ref, u0_ref, u1_ref, wp_hbm, cx_ref,
         # (dt = cfl / max(den); Diffusion::EstimateTimestep)
         den = jnp.maximum(den, den_diff)
     dm_ref[i, j] = jnp.max(den)
+
+
+def _stage_kernel_curv_gather(bdt_ref, gdt_ref, u0_ref, u1_ref, w_hbm,
+                              sx_lo, sx_hi, sy_lo, sy_hi, cx_ref, cyw_ref,
+                              czw_ref, u_ref, w_ref, dm_ref, scratch, sxl_s,
+                              sxh_s, syl_s, syh_s, sems, *, ng, nx, ny, nz,
+                              tz, ty, active_z, pcm, gamma, gam0, gam1,
+                              dfloor, siefloor, de_switch, ix, full, x1dep,
+                              x2dep, has_rot, rf_omega, rsolver, diff, cv,
+                              grav):
+    """In-kernel halo-gather frontend: consumes the UNPADDED interior
+    primitives, wraps x3 periodically with modular DMAs and fills the
+    x1/x2 ghosts from precomputed IC boundary strips — no padded array
+    and no ghost-fill pass in HBM (the disk decks' ic/ic/periodic
+    boundary layout; cf. the Cartesian periodic kernel).  All DMAs are
+    unconditional (edge-vs-interior row sources are selected by value
+    after the waits), so every semaphore is always signaled."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    z0 = i * tz
+    y0 = j * ty
+    nyb = ny // ty
+    zsz = tz + 4 if active_z else 1
+
+    # z regions: periodic wrap on the interior array (strips carry padded-z
+    # extents and are sliced directly)
+    zregs = [((z0 - 2) % nz, 2, 0), (z0, tz, 2), ((z0 + tz) % nz, 2, 2 + tz)]
+    dmas = []
+    sem_n = 0
+
+    def start(src_ref, dst_ref):
+        nonlocal sem_n
+        d = pltpu.make_async_copy(src_ref, dst_ref, sems.at[sem_n])
+        sem_n += 1
+        d.start()
+        dmas.append(d)
+
+    ylo = pl.multiple_of(jnp.maximum(y0 - 8, 0), 8)
+    yhi = pl.multiple_of(jnp.minimum(y0 + ty, ny - 8), 8)
+    for (zs, zn, zd) in zregs:
+        start(w_hbm.at[:, pl.ds(zs, zn), pl.ds(pl.multiple_of(y0, 8), ty), :],
+              scratch.at[:, pl.ds(zd, zn), pl.ds(8, ty), :])
+        start(w_hbm.at[:, pl.ds(zs, zn), pl.ds(ylo, 8), :],
+              scratch.at[:, pl.ds(zd, zn), pl.ds(0, 8), :])
+        start(w_hbm.at[:, pl.ds(zs, zn), pl.ds(yhi, 8), :],
+              scratch.at[:, pl.ds(zd, zn), pl.ds(8 + ty, 8), :])
+    # x2 IC strips (padded z extents: slice directly; real ghost rows at
+    # 6..6+ng of the lo strip / 0..ng of the hi strip)
+    start(sy_lo.at[:, pl.ds(z0, zsz), :, :], syl_s)
+    start(sy_hi.at[:, pl.ds(z0, zsz), :, :], syh_s)
+    # x1 IC strips (padded y/z extents; 128-lane padded)
+    start(sx_lo.at[:, pl.ds(z0, zsz),
+                   pl.ds(pl.multiple_of(y0, 8), _yst(ty)), :], sxl_s)
+    start(sx_hi.at[:, pl.ds(z0, zsz),
+                   pl.ds(pl.multiple_of(y0, 8), _yst(ty)), :], sxh_s)
+
+    bdt = bdt_ref[0]
+    for d in dmas:
+        d.wait()
+
+    # assemble the slab: used y rows 6..ty+10; edge blocks take their y
+    # halo rows from the strips; x = [lo ghosts, interior, hi ghosts]
+    sall = scratch[...]
+    lo_band = jnp.where(j == 0, syl_s[...], sall[:, :, 0:8])
+    hi_band = jnp.where(j == nyb - 1, syh_s[...], sall[:, :, 8 + ty:16 + ty])
+    sc = jnp.concatenate([lo_band[:, :, 6:8], sall[:, :, 8:8 + ty],
+                          hi_band[:, :, 0:2]], axis=2)
+    xl = sxl_s[...][:, :, :ty + 4, :ng]
+    xh = sxh_s[...][:, :, :ty + 4, :ng]
+    s = jnp.concatenate([xl, sc, xh], axis=-1)
+    _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
+               u_ref, w_ref, dm_ref, ng=ng, nx=nx, tz=tz, ty=ty,
+               active_z=active_z, pcm=pcm, gamma=gamma, gam0=gam0, gam1=gam1,
+               dfloor=dfloor, siefloor=siefloor, de_switch=de_switch, ix=ix,
+               full=full, x1dep=x1dep, x2dep=x2dep, has_rot=has_rot,
+               rf_omega=rf_omega, rsolver=rsolver, diff=diff, cv=cv,
+               grav=grav)
+
+
+def _yst(ty: int) -> int:
+    """x-strip y-window rows: ty + 4 halo rounded to the 8-row tiling."""
+    return -(-(ty + 4) // 8) * 8
+
+
+def prepare_gather_strips(grid, ic_caches):
+    """Host-side strip arrays for the gather kernel from the ic BC value
+    caches (make_ic_bc.shard_caches[0]): x1/x2 lo+hi ghost slabs over the
+    padded transverse extents, DMA-aligned.
+
+    x1 strips: [6, zp, yp+pad8, 128]  (real lanes 0..ng)
+    x2 strips: [6, zp, 8, nx]         (real ghost rows at 6..8 for lo /
+                                       0..ng for hi)
+    """
+    ng = grid.nghost
+    nx, ny, nz = grid.nx
+    g = ic_caches
+
+    def arr(key):
+        a = np.asarray(g[key])
+        return a[0]  # [6, z, y, x] (single species)
+
+    # x1 strips from cache[(1, side)]: [6, zp, yp, ng]
+    out = {}
+    for side, key in ((0, (1, 0)), (1, (1, 1))):
+        a = arr(key)
+        zp, yp = a.shape[1], a.shape[2]
+        st = np.zeros((6, zp, yp + 8, 128), a.dtype)
+        st[:, :, :yp, :ng] = a
+        out[("x1", side)] = st
+    # x2 strips from cache[(2, side)]: [6, zp, ng, xp] -> interior x lanes
+    for side, key in ((0, (2, 0)), (1, (2, 1))):
+        a = arr(key)
+        zp = a.shape[1]
+        st = np.zeros((6, zp, 8, nx), a.dtype)
+        if side == 0:
+            st[:, :, 6:6 + ng, :] = a[:, :, :, ng:ng + nx]
+        else:
+            st[:, :, 0:ng, :] = a[:, :, :, ng:ng + nx]
+        out[("x2", side)] = st
+    return out
+
+
+def stage_curv_gather(w_int, u0, u1, grid, cfg, gam0, gam1, beta_dt,
+                      force_pcm, coeffs, packed, strips, rf_omega=0.0,
+                      grav=None, grav_dt=0.0, interpret=None):
+    """Full-mode fused curvilinear stage with in-kernel halo gather
+    (x3 periodic + x1/x2 ic strips); consumes UNPADDED interior prims."""
+    from .pallas_stage import _interpret_mode
+
+    if interpret is None:
+        interpret = _interpret_mode()
+    nx, ny, nz = grid.nx
+    g1 = grid.ng[0]
+    active_z = nz > 1
+    wi = w_int[0]
+    u0_ = u0[0]
+    u1_ = u1[0]
+    CX, CY, CZ, ix = packed
+    pcm = force_pcm or cfg.recon == "pcm"
+    tz = TZ if active_z else 1
+
+    diff_spec = None
+    if coeffs.diff is not None:
+        diff_spec = (_dp_tuple(coeffs.diff.visc), _dp_tuple(coeffs.diff.cond))
+    kern = functools.partial(
+        _stage_kernel_curv_gather, ng=g1, nx=nx, ny=ny, nz=nz, tz=tz, ty=TY,
+        active_z=active_z, pcm=pcm, gamma=cfg.gamma, gam0=gam0, gam1=gam1,
+        dfloor=cfg.dfloor, siefloor=cfg.siefloor, de_switch=cfg.de_switch,
+        ix=ix, full=True, x1dep=coeffs.x1dep, x2dep=coeffs.x2dep,
+        has_rot=any(np.any(f1 != 0) for f1, _ in coeffs.vrot),
+        rf_omega=rf_omega, rsolver=cfg.rsolver, diff=diff_spec, cv=cfg.cv,
+        grav=grav)
+    dt = wi.dtype
+    zsz = tz + 4 if active_z else 1
+    nyb = ny // TY
+    CXj = jnp.asarray(CX)
+    CYW = np.stack([CY[:, jb * TY: jb * TY + TY + 4] for jb in range(nyb)])
+    if active_z:
+        nzb = nz // tz
+        CZW = np.stack([CZ[:, ib * tz: ib * tz + tz + 4]
+                        for ib in range(nzb)])
+    else:
+        nzb = 1
+        CZW = CZ[None, :, :1]
+    CZW = CZW[..., None]
+    CYWj = jnp.asarray(CYW)
+    CZWj = jnp.asarray(CZW)
+    blk = (6, tz, TY, nx)
+    imap = lambda i, j: (0, i, j, 0)
+    n_dmas = 16  # upper bound on per-block gather DMAs
+    u_new, w_new, dmax = pl.pallas_call(
+        kern,
+        grid=(nzb, nyb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # interior w
+            pl.BlockSpec(memory_space=pltpu.ANY),   # x1 lo strip
+            pl.BlockSpec(memory_space=pltpu.ANY),   # x1 hi strip
+            pl.BlockSpec(memory_space=pltpu.ANY),   # x2 lo strip
+            pl.BlockSpec(memory_space=pltpu.ANY),   # x2 hi strip
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + CYW.shape[1:], lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + CZW.shape[1:], lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((6, nz, ny, nx), dt),
+            jax.ShapeDtypeStruct((6, nz, ny, nx), dt),
+            jax.ShapeDtypeStruct((nzb, nyb), dt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((6, zsz, TY + 16, nx), dt),
+            pltpu.VMEM((6, zsz, _yst(TY), 128), dt),
+            pltpu.VMEM((6, zsz, _yst(TY), 128), dt),
+            pltpu.VMEM((6, zsz, 8, nx), dt),
+            pltpu.VMEM((6, zsz, 8, nx), dt),
+            pltpu.SemaphoreType.DMA((n_dmas,)),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.reshape(jnp.asarray(beta_dt, dt), (1,)),
+      jnp.reshape(jnp.asarray(grav_dt, dt), (1,)), u0_, u1_, wi,
+      strips[("x1", 0)], strips[("x1", 1)], strips[("x2", 0)],
+      strips[("x2", 1)], CXj, CYWj, CZWj)
+    return u_new[None], w_new[None], dmax
+
+
+def gather_supported(grid, cfg, bc_custom) -> bool:
+    """Gate for the in-kernel-gather stage: disk-style boundary layout
+    (x1/x2 = ic custom fills with value caches, x3 periodic), 3-D, and
+    128-aligned interior x rows for the slab DMAs."""
+    if not supported_curv(grid, cfg):
+        return False
+    if grid.nx[2] <= 1 or grid.nx[0] % 128 != 0:
+        return False
+    if grid.bc[2] != ("periodic", "periodic"):
+        return False
+    for d in (0, 1):
+        if grid.bc[d] != ("ic", "ic"):
+            return False
+    ic = bc_custom.get("ic") if bc_custom else None
+    caches = getattr(ic, "shard_caches", None)
+    if not caches:
+        return False
+    # single-species value caches for all four boundaries
+    need = [(1, 0), (1, 1), (2, 0), (2, 1)]
+    return all(k in caches[0] for k in need)
 
 
 def stage_curv(w_pad, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,

@@ -342,6 +342,8 @@ class ShardedDriver(Driver):
         # which is wrong under decomposition.
         if self.nshards > 1:
             self._fused_periodic = False
+            # the gather kernel's strips/wraps are single-device
+            self._curv_gather = None
             # curvilinear fused stage: the kernel closes over shard-0's
             # coefficient rows; keep it only when every packed row is
             # identical on all shards (true for x3 decomposition of grids

@@ -2,6 +2,8 @@
 (interpret mode; machine-precision across coordinate systems, both full
 and partial-with-sources modes, with the rotating-frame torque folded)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -228,3 +230,48 @@ def test_curv_stage_partial_with_rotating_frame(coords):
                               co, co.pack(), full=False, rf_omega=omf,
                               interpret=True)
     assert float(jnp.max(jnp.abs(up - ur_mid))) < 1e-11
+
+
+def test_curv_stage_gather_matches_padded(tmp_path, monkeypatch):
+    """The in-kernel halo-gather frontend (interior array + IC strips +
+    periodic x3 wrap) reproduces the padded-array kernel exactly on the
+    disk boundary layout."""
+    import jax.numpy as jnp
+
+    from artemis_tpu.simulation import Simulation
+
+    monkeypatch.setenv("ARTEMIS_PALLAS_INTERPRET", "1")
+    deck = os.path.join(os.path.dirname(__file__), "..", "inputs",
+                        "disk_sph.in")
+    sim = Simulation(deck, overrides=[
+        "parthenon/time/nlim=0",
+        "parthenon/mesh/nx1=128",
+        "parthenon/mesh/nx2=32",
+        "parthenon/mesh/nx3=16",
+        "parthenon/mesh/x1min=0.4",
+        "parthenon/mesh/x1max=2.4",
+    ], data_dir=str(tmp_path))
+    drv = sim.driver
+    grid, cfg = sim.grid, sim.gas_cfg
+    assert psc.gather_supported(grid, cfg, drv.bc_custom)
+    caches = drv.bc_custom["ic"].shard_caches[0]
+    strips = psc.prepare_gather_strips(grid, caches)
+
+    co = psc.CurvCoeffs(grid, drv.omf, dtype=np.float64, diff=drv.diffusion)
+    packed = co.pack()
+    gsrc = [s for s in drv.sources if hasattr(s, "gtype")][0]
+    grav = (gsrc.gm, gsrc.soft2, "cart")
+    u = sim.state["gas"]["u"]
+    w = sim.state["gas"]["w"]
+    wp = drv.fill_ghosts(w, "gas")
+    up, wpad_out, dmp = psc.stage_curv(
+        wp, u, u, grid, cfg, 0.5, 0.5, 1e-4, False, co, packed, full=True,
+        rf_omega=drv._curv_rf if drv._curv else drv.omf, grav=grav,
+        grav_dt=1e-4, interpret=True)
+    ug, wg, dmg = psc.stage_curv_gather(
+        w, u, u, grid, cfg, 0.5, 0.5, 1e-4, False, co, packed, strips,
+        rf_omega=drv._curv_rf if drv._curv else drv.omf, grav=grav,
+        grav_dt=1e-4, interpret=True)
+    assert float(jnp.max(jnp.abs(ug - up))) == 0.0
+    assert float(jnp.max(jnp.abs(wg - wpad_out))) == 0.0
+    assert float(jnp.max(jnp.abs(jnp.max(dmg) - jnp.max(dmp)))) < 1e-12
