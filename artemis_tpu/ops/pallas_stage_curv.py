@@ -876,8 +876,11 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
                 # a=alpha, b=eta, c=R0, d=Omega0
                 Rc = prow((ix["rcyl_1"], ix["rcyl_2"], None), fz, fy, fx)
                 zc_w = prow((ix["zc_1"], ix["zc_2"], ix["zc_3"]), fz, fy, fx)
-                rs = jnp.sqrt(Rc * Rc + zc_w * zc_w)
-                Omk = d_ * (rs / c_) ** -1.5
+                r2 = (Rc * Rc + zc_w * zc_w) / (c_ * c_)
+                # (r/R0)^-1.5 = r2^-0.75 = rsqrt(r2) * sqrt(rsqrt(r2))
+                # (pow would lower to exp/log transcendentals on the VPU)
+                ir = jax.lax.rsqrt(r2)
+                Omk = d_ * ir * jnp.sqrt(ir)
                 return a_ * gamma * (gamma - 1.0) * rho_w * sie_w / Omk
             # conduction: a=coef, c=temp_exp, d=rho_exp, e=T0, f=d0
             T = sie_w / cv
@@ -1017,8 +1020,7 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
                     else:
                         t = ddiff(vcon[comp - 1], d) / d1r
                         hcf = fh_prod(d, comp - 1, None)
-                        hdf_d = fh_prod(d, d - 1, None)
-                        ratio = (hcf / hdf_d) ** 2
+                        ratio = (hcf / hdf) ** 2
                         tt = 0.0
                         if comp in dims:
                             d2r = prow((ix[f"d2_{comp}_1"],

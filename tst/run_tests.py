@@ -29,10 +29,14 @@ FAMILIES = {
     "ssheet": "tests/test_ssheet.py",
     "nbody": "tests/test_nbody.py",
     "binary": "tests/test_binary.py",
+    "binary_adi": "tests/test_binary.py",
+    "collisions": "tests/test_nbody.py",
+    "disk_nbody": "tests/test_nbody.py",
     "radiation": "tests/test_radiation.py",
-    "amr": "tests/test_amr.py",
+    "amr": "tests/test_amr.py tests/test_amr_multilevel.py",
+    "decks": "tests/test_decks.py",
     "parallel": "tests/test_parallel.py",
-    "restart": "tests/test_restart.py",
+    "restart": "tests/test_restart.py tests/test_outputs_restart.py",
 }
 
 
@@ -60,8 +64,9 @@ def main(argv):
             if mod is None:
                 print(f"unknown test family {fam!r}", file=sys.stderr)
                 return 2
-            if mod not in mods:
-                mods.append(mod)
+            for m in mod.split():
+                if m not in mods:
+                    mods.append(m)
     cmd = [sys.executable, "-m", "pytest", "-q", *mods]
     if slow:
         cmd += ["-m", "slow or not slow"]
