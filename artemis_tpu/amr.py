@@ -209,6 +209,8 @@ class _Node:
         self.sources = list(ml.sources_factory(grid)) if ml.sources_factory else []
         self.diffusion = (ml.diffusion_factory(self.hydro)
                           if ml.diffusion_factory else None)
+        self.radiation = (ml.radiation_factory(self.hydro)
+                          if ml.radiation_factory else None)
         self.active = tuple(grid.nx[d] > 1 for d in range(3))
         ng = grid.ng
         # rim: coarse cells beyond the patch feeding ghost prolongation.
@@ -357,12 +359,14 @@ class MultiLevelSMR:
     def __init__(self, root_grid: Grid, integrator: Integrator, gas_cfg: FluidCfg,
                  dust_cfg: Optional[FluidCfg] = None, sources_factory=None,
                  diffusion_factory=None, bc_custom=None, omf: float = 0.0,
-                 patches: Optional[List[dict]] = None, nbody=None):
+                 patches: Optional[List[dict]] = None, nbody=None,
+                 radiation_factory=None):
         self.integ = integrator
         self.cfg = gas_cfg
         self.dust_cfg = dust_cfg
         self.sources_factory = sources_factory
         self.diffusion_factory = diffusion_factory
+        self.radiation_factory = radiation_factory
         self.bc_custom = bc_custom or {}
         self.omf = omf
         self.nbody = nbody
@@ -492,6 +496,8 @@ class MultiLevelSMR:
                     dfx = node.diffusion.fluxes(wpads[i]["gas"])
                     u = node.diffusion.update(u, states[i][fl]["w"], dfx, bdt)
                 st[fl] = {"u": u, "w": states[i][fl]["w"]}
+            if "rad" in states[i]:
+                st["rad"] = states[i]["rad"]
             ctx = {"particles": particles, "mask": self._cover_mask(node, los)}
             for src in node.sources:
                 if getattr(src, "needs_ctx", False):
@@ -528,15 +534,88 @@ class MultiLevelSMR:
                 w = node.hydro.cons_to_prim(new_states[node.index][fl]["u"], cfg)
                 u, w = node.hydro.prim_to_cons(w, cfg)
                 st[fl] = {"u": u, "w": w}
+            if "rad" in new_states[node.index]:
+                st["rad"] = new_states[node.index]["rad"]
             out.append(st)
         return out, pforce
 
+    def _radiation_pass(self, states, dt, los):
+        """Operator-split radiation after the unsplit stages
+        (artemis_driver.cpp:111): parents solve first; patches couple to
+        them through prolonged Dirichlet ghost planes of Er, then the
+        fine fields restrict back (the jaybenne photons-cross-levels
+        analogue)."""
+        states = list(states)
+        for node in self.nodes:
+            i = node.index
+            st = dict(states[i])
+            if node.parent is None:
+                st = node.radiation.step(st, dt)
+            else:
+                Erp = states[node.parent.index]["rad"]["Er"]
+                Er_pad = node.fill_fine_ghosts(st["rad"]["Er"], Erp,
+                                               los[i])
+                gh = {}
+                for d in (1, 2, 3):
+                    if node.grid.nx[d - 1] <= 1:
+                        continue
+                    ax = Er_pad.ndim - d
+                    ngd = node.grid.ng[d - 1]
+                    nd = node.grid.nx[d - 1]
+
+                    def plane(idx):
+                        sl = [slice(None)] * Er_pad.ndim
+                        sl[ax] = slice(idx, idx + 1)
+                        # interior window on the other dims
+                        for c in (1, 2, 3):
+                            if c == d or node.grid.nx[c - 1] <= 1:
+                                continue
+                            axc = Er_pad.ndim - c
+                            gc = node.grid.ng[c - 1]
+                            sl[axc] = slice(gc, gc + node.grid.nx[c - 1])
+                        return Er_pad[tuple(sl)]
+
+                    gh[d] = (plane(ngd - 1), plane(ngd + nd))
+                st = node.radiation.step(st, dt, ghosts=gh)
+            st = node.radiation.sync_gas(st)
+            states[i] = st
+        # restrict Er + exchanged gas energy back onto the parents
+        for node in reversed(self.nodes):
+            if node.parent is None:
+                continue
+            p = node.parent.index
+            lo = los[node.index]
+            pst = dict(states[p])
+            for key, kind in (("gas", "u"), ("rad", "Er")):
+                arr = pst[key][kind]
+                starts = [jnp.asarray(v, jnp.int32)
+                          for v in [0] * (arr.ndim - 3) + [lo[2], lo[1],
+                                                           lo[0]]]
+                arr = jax.lax.dynamic_update_slice(
+                    arr, restrict_average(states[node.index][key][kind],
+                                          node.active, volf=node.volf),
+                    tuple(starts))
+                pst[key] = dict(pst[key])
+                pst[key][kind] = arr
+            states[p] = pst
+        # parent prims re-sync after the restriction
+        out = []
+        for node in self.nodes:
+            st = dict(states[node.index])
+            if node.children:
+                st = node.radiation.sync_gas(st)
+            out.append(st)
+        return out
+
     def _build_step(self):
         def step(states, dt, time, los, particles):
-            u1s = [{fl: st[fl]["u"] for fl in st} for st in states]
+            u1s = [{fl: st[fl]["u"] for fl in st if fl != "rad"}
+                   for st in states]
             for stage in range(1, self.integ.nstages + 1):
                 states, _ = self._stage(states, u1s, dt, time, stage, los,
                                         particles)
+            if self.radiation_factory is not None:
+                states = self._radiation_pass(states, dt, los)
             return states
 
         return step
@@ -549,6 +628,8 @@ class MultiLevelSMR:
                 if fl == "gas" and node.diffusion is not None:
                     dt = jnp.minimum(dt, cfg.cfl * node.diffusion.estimate_dt(
                         states[node.index][fl]["w"]))
+                if fl == "gas" and node.radiation is not None:
+                    dt = jnp.minimum(dt, node.radiation.cfg.dt_rad)
                 dts.append(dt)
         return jnp.min(jnp.stack(dts))
 
@@ -572,6 +653,11 @@ class MultiLevelSMR:
                                        spacings=node.ghost_spacings and None)
                 u, w = node.hydro.prim_to_cons(w, cfg)
                 st[fl] = {"u": u, "w": w}
+            if node.radiation is not None:
+                from .radiation import initialize_radiation
+
+                st["rad"] = {"Er": initialize_radiation(
+                    st, self.cfg, node.radiation.cfg)["Er"]}
             states.append(st)
         return states
 
@@ -785,7 +871,8 @@ class SMRDriver:
 
     def __init__(self, grid, integrator, gas_cfg, pin, dust_cfg=None,
                  sources_factory=None, diffusion_factory=None,
-                 bc_custom=None, omf=0.0, nbody=None, fine_prims=None):
+                 bc_custom=None, omf=0.0, nbody=None, fine_prims=None,
+                 radiation_factory=None):
         self.gas_cfg = gas_cfg
         self.dust_cfg = dust_cfg
         self.nbody = nbody
@@ -841,7 +928,8 @@ class SMRDriver:
             grid, integrator, gas_cfg, dust_cfg=dust_cfg,
             sources_factory=sources_factory,
             diffusion_factory=diffusion_factory, bc_custom=bc_custom,
-            omf=omf, patches=patches, nbody=nbody)
+            omf=omf, patches=patches, nbody=nbody,
+            radiation_factory=radiation_factory)
 
         for (k, rd) in track:
             pos = np.asarray(nbody.pos)[k] - np.asarray(nbody.Rf)
@@ -947,6 +1035,8 @@ class SMRDriver:
             for fl, _ in node.fluids():
                 out[f"n{i}.{fl}.u"] = mk(i, fl, "u")
                 out[f"n{i}.{fl}.w"] = mk(i, fl, "w")
+            if node.radiation is not None:
+                out[f"n{i}.rad.Er"] = mk(i, "rad", "Er")
             out[f"n{i}.lo"] = (lambda i_: (lambda: np.asarray(self._los[i_])))(i)
         return out
 
@@ -960,6 +1050,8 @@ class SMRDriver:
             for fl, _ in node.fluids():
                 st[fl] = {"u": jnp.asarray(payloads[f"n{i}.{fl}.u"]),
                           "w": jnp.asarray(payloads[f"n{i}.{fl}.w"])}
+            if f"n{i}.rad.Er" in payloads:
+                st["rad"] = {"Er": jnp.asarray(payloads[f"n{i}.rad.Er"])}
             self._states[i] = st
             if f"n{i}.lo" in payloads:
                 self._los[i] = jnp.asarray(
@@ -999,7 +1091,8 @@ class SMRDriver:
         nstages = self.integrator.nstages
         coeffs = nbody_coeffs(self.integrator, float(dt))
         nb.begin_step()
-        u1s = [{fl: st[fl]["u"] for fl in st} for st in states]
+        u1s = [{fl: st[fl]["u"] for fl in st if fl != "rad"}
+               for st in states]
         for stage in range(1, nstages + 1):
             states, pforce = self.smr._stage_jits[stage - 1](
                 states, u1s, jnp.asarray(dt), jnp.asarray(time), self._los,

@@ -157,8 +157,15 @@ class Radiation:
         return jnp.zeros_like(rho)
 
     # -- step ------------------------------------------------------------
-    def step(self, state, dt):
-        """One operator-split radiation update (exchange + diffusion)."""
+    def step(self, state, dt, ghosts=None):
+        """One operator-split radiation update (exchange + diffusion).
+
+        ``ghosts``: optional {d: (E_lo_plane, E_hi_plane)} Dirichlet
+        boundary planes (one cell outside the domain along d) for AMR
+        patch solves — the fine level's radiation field couples to the
+        parent through prolonged ghost values instead of the zero-flux
+        physical edges (cf. jaybenne photons crossing refinement
+        boundaries via Parthenon swarm comm)."""
         cfg = self.cfg
         gas = self.gas
         u = state["gas"]["u"]
@@ -199,8 +206,11 @@ class Radiation:
         lam = (2.0 + R) / (6.0 + 3.0 * R + R * R)  # Levermore-Pomraning
         Dcell = cfg.c_code * lam / (chi + 1e-300)
 
-        def matvec(E):
-            """(I - dt div D grad) E with zero-flux outer boundaries."""
+        def matvec(E, inhomog=False):
+            """(I - dt div D grad) E; zero-flux outer boundaries, or
+            Dirichlet ghost planes where ``ghosts`` provides them.  The
+            affine ghost contribution enters the RHS via
+            ``matvec(0, inhomog=True)``."""
             out = E
             for d in self.dims:
                 w = jnp.asarray(self.widths[d - 1])
@@ -209,14 +219,28 @@ class Radiation:
                 D_lo = 0.5 * (Dcell + self._shift(Dcell, d, -1))
                 F_hi = D_hi * (self._shift(E, d, 1) - E) / w
                 F_lo = D_lo * (E - self._shift(E, d, -1)) / w
-                # zero-flux at the physical domain edges
                 first, last = self._edge_masks(E, d)
-                F_hi = jnp.where(last, 0.0, F_hi)
-                F_lo = jnp.where(first, 0.0, F_lo)
+                if ghosts is not None and d in ghosts:
+                    # one-sided D at the patch boundary faces; the ghost
+                    # value is the affine part (zero in the CG operator)
+                    eg_lo, eg_hi = ghosts[d]
+                    eg = (eg_lo, eg_hi) if inhomog else (0.0, 0.0)
+                    F_hi = jnp.where(last, Dcell * (eg[1] - E) / w, F_hi)
+                    F_lo = jnp.where(first, Dcell * (E - eg[0]) / w, F_lo)
+                else:
+                    # zero-flux at the physical domain edges
+                    F_hi = jnp.where(last, 0.0, F_hi)
+                    F_lo = jnp.where(first, 0.0, F_lo)
                 out = out - dt * (F_hi - F_lo) / w
             return out
 
         b = Er_ex
+        if ghosts is not None:
+            # move the Dirichlet ghost terms to the RHS:
+            # A x = b  with  A = matvec(., inhomog=False);
+            # b <- b - (affine part) = b - (matvec(0, True) - matvec(0))
+            zero = jnp.zeros_like(Er_ex)
+            b = b - (matvec(zero, inhomog=True) - matvec(zero))
 
         def cg(b, x0):
             r = b - matvec(x0)

@@ -227,9 +227,9 @@ class Simulation:
             from .amr import SMRDriver
             from .sources import Drag as _DragF
 
-            if nshards > 1 or radiation_factory:
+            if nshards > 1:
                 raise ValueError("refinement does not compose with "
-                                 "sharding/radiation yet")
+                                 "sharding yet")
 
             def src_factory(g):
                 if g is self.grid:
@@ -251,7 +251,8 @@ class Simulation:
                 self.grid, integrator, gas_cfg, pin, dust_cfg=dust_cfg,
                 sources_factory=src_factory,
                 diffusion_factory=diffusion_factory,
-                bc_custom=self.problem.bc_custom, omf=omf, nbody=self.nbody)
+                bc_custom=self.problem.bc_custom, omf=omf, nbody=self.nbody,
+                radiation_factory=radiation_factory)
             # fine-level ICs from the problem generator on each patch grid
             fine = []
             for node in self.driver.smr.nodes[1:]:
