@@ -212,6 +212,17 @@ class _Node:
         self.radiation = (ml.radiation_factory(self.hydro)
                           if ml.radiation_factory else None)
         self.active = tuple(grid.nx[d] > 1 for d in range(3))
+        # wrap[d]: this patch spans the full extent of a (transitively)
+        # periodic parent axis — ghosts there come from periodic exchange
+        # of the FINE data and the axis has no coarse-fine faces
+        if parent is None:
+            self.wrap = (False, False, False)
+        else:
+            self.wrap = tuple(
+                self.active[d] and self.lo[d] == 0
+                and self.n[d] == parent.grid.nx[d]
+                and MultiLevelSMR._axis_periodic(parent, d)
+                for d in range(3))
         ng = grid.ng
         # rim: coarse cells beyond the patch feeding ghost prolongation.
         # ceil(ng/2) coarse cells produce the ng fine ghosts; +1 more so
@@ -266,12 +277,18 @@ class _Node:
         ngf = fg.ng
         rim = self.rim
         n = self.n
+        # wrap axes: periodically extend the parent row by ``rim`` so the
+        # prolongation (of the OTHER axes' ghost regions) has real slope
+        # stencils across the seam
+        for d in range(3):
+            if self.wrap[d]:
+                wc = self._wrap_pad(wc, d, rim[d])
         starts = [0] * (wc.ndim - 3)
         sizes = list(wc.shape[:-3])
         for i in range(3):  # z, y, x ordering
             d = 2 - i
             if cg.nx[d] > 1:
-                starts.append(lo[d] - rim[d])
+                starts.append(lo[d] - rim[d] + (rim[d] if self.wrap[d] else 0))
                 sizes.append(n[d] + 2 * rim[d])
             else:
                 starts.append(0)
@@ -293,7 +310,37 @@ class _Node:
         s3 = slice(ngf[2], ngf[2] + fg.nx[2])
         s2 = slice(ngf[1], ngf[1] + fg.nx[1])
         s1 = slice(ngf[0], ngf[0] + fg.nx[0])
-        return reg.at[..., s3, s2, s1].set(wf)
+        reg = reg.at[..., s3, s2, s1].set(wf)
+        # wrap axes: ghost zones are the periodic image of the FINE data
+        # (the seam is one physical face — wrapped stencils keep its flux
+        # single-valued and the update exactly conservative)
+        for d in range(3):
+            if self.wrap[d]:
+                reg = self._wrap_ghosts(reg, d, ngf[d])
+        return reg
+
+    def _wrap_pad(self, a, d, width):
+        """Periodically extend interior array ``a`` by ``width`` cells along
+        axis d (0=x1,1=x2,2=x3).  Overridden under sharding (halo exchange)."""
+        ax = a.ndim - 1 - d
+        head = jax.lax.slice_in_dim(a, 0, width, axis=ax)
+        tail = jax.lax.slice_in_dim(a, a.shape[ax] - width, a.shape[ax],
+                                    axis=ax)
+        return jnp.concatenate([tail, a, head], axis=ax)
+
+    def _wrap_ghosts(self, a, d, ng):
+        """Fill the ``ng``-wide ghost zones of padded array ``a`` along axis
+        d with the periodic image of its interior.  Overridden under
+        sharding (halo exchange)."""
+        ax = a.ndim - 1 - d
+        nint = a.shape[ax] - 2 * ng
+        lo_img = jax.lax.slice_in_dim(a, nint, nint + ng, axis=ax)
+        hi_img = jax.lax.slice_in_dim(a, ng, 2 * ng, axis=ax)
+        idx_lo = [slice(None)] * a.ndim
+        idx_lo[ax] = slice(0, ng)
+        idx_hi = [slice(None)] * a.ndim
+        idx_hi[ax] = slice(ng + nint, None)
+        return a.at[tuple(idx_lo)].set(lo_img).at[tuple(idx_hi)].set(hi_img)
 
     def flux_correct(self, fx_c, fx_f, lo):
         """Replace parent patch-boundary fluxes with summed child fluxes."""
@@ -301,6 +348,10 @@ class _Node:
         hc = self.parent.hydro
         out = {}
         for d in hc.dims:
+            if self.wrap[d - 1]:
+                # full-span periodic axis: no coarse-fine faces along d
+                out[d] = fx_c[d]
+                continue
             Fc = fx_c[d][0]
             Ff = fx_f[d][0]
             for side in (0, 1):
@@ -378,6 +429,14 @@ class MultiLevelSMR:
             self.add_patch(spec["level"], spec["lo"], spec["n"])
         self._compile()
 
+    @staticmethod
+    def _axis_periodic(node: "_Node", d: int) -> bool:
+        """True when axis ``d`` of ``node`` is (transitively) periodic:
+        the root boundary is periodic, or the node itself wraps there."""
+        if node.parent is None:
+            return node.grid.bc[d] == ("periodic", "periodic")
+        return bool(node.wrap[d])
+
     def add_patch(self, level: int, lo, n):
         """Register a patch; ``lo``/``n`` are in the INTERIOR cells of its
         (unique containing) parent at level-1."""
@@ -389,6 +448,12 @@ class MultiLevelSMR:
             ok = True
             for d in range(3):
                 if cand.grid.nx[d] <= 1:
+                    continue
+                # a patch spanning the FULL extent of a periodic axis wraps
+                # onto itself there (ghosts by periodic exchange, no
+                # coarse-fine face) — exempt from the nesting rim
+                if (lo[d] == 0 and n[d] == cand.grid.nx[d]
+                        and self._axis_periodic(cand, d)):
                     continue
                 rim = max(1, -(-cand.grid.ng[d] // 2))
                 if lo[d] < rim or lo[d] + n[d] > cand.grid.nx[d] - rim:
@@ -725,7 +790,7 @@ class MultiLevelSMR:
                 continue
             new_lo = [int(v) for v in np.asarray(new_los[node.index])]
             for d in range(3):
-                if pg.nx[d] <= 1:
+                if pg.nx[d] <= 1 or node.wrap[d]:
                     continue
                 lo_d = want[d] - node.n[d] // 2
                 hi = pg.nx[d] - node.n[d] - node.rim[d]
@@ -1000,9 +1065,15 @@ class SMRDriver:
                 c1 = int(np.ceil((hi_phys[d] - grid.xmin[d]) / dx))
                 c0 -= c0 % 2
                 c1 += c1 % 2
-                rim = max(1, -(-grid.nghost // 2)) + 1
-                c0 = int(np.clip(c0, rim, nd_lvl - rim))
-                c1 = int(np.clip(c1, c0 + 2, nd_lvl - rim))
+                if (c0 <= 0 and c1 >= nd_lvl
+                        and grid.bc[d] == ("periodic", "periodic")):
+                    # bounds cover the whole periodic axis: full-span wrap
+                    # patch (ring refinement; no clamping away from the edge)
+                    c0, c1 = 0, nd_lvl
+                else:
+                    rim = max(1, -(-grid.nghost // 2)) + 1
+                    c0 = int(np.clip(c0, rim, nd_lvl - rim))
+                    c1 = int(np.clip(c1, c0 + 2, nd_lvl - rim))
                 # convert from parent-level GLOBAL cells to parent-PATCH cells
                 lo.append(c0 - 2 * prev_lo[d] if lev > 1 else c0)
                 n.append(c1 - c0)

@@ -200,3 +200,62 @@ def test_refine_distance_places_patch(tmp_path):
     assert np.isfinite(w).all()
     wf = np.asarray(drv._states[node.index]["gas"]["w"])
     assert np.isfinite(wf).all()
+
+
+def test_wrap_patch_periodic_full_span():
+    """A patch spanning the FULL extent of a periodic axis wraps onto
+    itself there (ghosts by periodic exchange of the fine data, no
+    coarse-fine faces along that axis — the Parthenon periodic-neighbor
+    topology for refined blocks touching a periodic edge).  Conservation
+    must be exact including the seam flux, and a nested level-2 wrap
+    patch must inherit the wrap."""
+    pin = ParameterInput.from_string(BOX)
+    grid = grid_from_input(pin)
+    cfg = FluidCfg(fluid="gas", recon="plm", rsolver="hllc", gamma=1.4, cfl=0.4)
+    ml = MultiLevelSMR(grid, Integrator.make("rk2"), cfg, patches=[
+        dict(level=1, lo=(0, 24, 0), n=(64, 16, 1)),   # full-span x1 ring
+        dict(level=2, lo=(0, 8, 0), n=(128, 16, 1)),   # nested, also wraps
+    ])
+    assert ml.nodes[1].wrap == (True, False, False)
+    assert ml.nodes[2].wrap == (True, False, False)
+
+    states = ml.initialize([{"gas": _bump_ic(nd.grid)} for nd in ml.nodes])
+    los = [None] + [jnp.asarray(np.array(nd.lo, dtype=np.int32))
+                    for nd in ml.nodes[1:]]
+    vol = np.asarray(ml.root.hydro.vol)
+    dt = float(ml._dt(states))
+    states = ml._step(states, jnp.asarray(dt), jnp.asarray(0.0), los, None)
+    m0 = float(np.sum(vol * np.asarray(states[0]["gas"]["u"][0, 0])))
+    e0 = float(np.sum(vol * np.asarray(states[0]["gas"]["u"][0, 4])))
+    for _ in range(20):
+        states = ml._step(states, jnp.asarray(dt), jnp.asarray(0.0), los, None)
+    m1 = float(np.sum(vol * np.asarray(states[0]["gas"]["u"][0, 0])))
+    e1 = float(np.sum(vol * np.asarray(states[0]["gas"]["u"][0, 4])))
+    assert abs(m1 / m0 - 1.0) < 1e-13, f"mass drift {abs(m1/m0-1):g}"
+    assert abs(e1 / e0 - 1.0) < 1e-13, f"energy drift {abs(e1/e0-1):g}"
+    rho = np.asarray(states[0]["gas"]["w"][0, 0])
+    assert np.isfinite(rho).all() and rho.min() > 0
+
+
+def test_wrap_patch_linear_wave(tmp_path):
+    """A full-span wrap patch tracks the unrefined linear wave (the wave
+    crosses the periodic seam inside the refined region every period)."""
+    deck = os.path.join(HERE, "..", "inputs", "linwave.in")
+    ovr = ["parthenon/mesh/nx1=32", "parthenon/mesh/nx2=16",
+           "parthenon/mesh/nx3=1", "parthenon/mesh/nghost=2",
+           "problem/amp=1.0e-6", "parthenon/time/nlim=20",
+           "gas/reconstruct=plm"]
+    s0 = Simulation(deck, overrides=ovr, data_dir=str(tmp_path / "uni"))
+    s0.run()
+    s1 = Simulation(deck, overrides=ovr + [
+        "parthenon/mesh/refinement=static",
+        "parthenon/refinement/patch_nx1=32",
+        "parthenon/refinement/patch_nx2=8",
+    ], data_dir=str(tmp_path / "amr"))
+    assert s1.driver.smr.nodes[1].wrap == (True, False, False)
+    s1.run()
+    a = np.asarray(s0.state["gas"]["w"])
+    b = np.asarray(s1.state["gas"]["w"])
+    assert np.isfinite(b).all()
+    rel = np.abs(a - b).sum() / np.abs(a).sum()
+    assert rel < 1e-6, rel
