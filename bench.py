@@ -118,7 +118,7 @@ def bench_cartesian(nsteps, reps):
 
 
 def main() -> int:
-    nsteps = int(os.environ.get("BENCH_STEPS", "10"))
+    nsteps = int(os.environ.get("BENCH_STEPS", "50"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     which = os.environ.get("BENCH_CONFIG", "both")
     baseline = 5.0e8
