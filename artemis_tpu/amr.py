@@ -195,6 +195,7 @@ class _Node:
 
     def __init__(self, ml: "MultiLevelSMR", grid: Grid, parent: Optional["_Node"],
                  lo, n, level: int):
+        self.ml = ml
         self.grid = grid
         self.parent = parent
         self.children: List[_Node] = []
@@ -321,21 +322,25 @@ class _Node:
 
     def _wrap_pad(self, a, d, width):
         """Periodically extend interior array ``a`` by ``width`` cells along
-        axis d (0=x1,1=x2,2=x3).  Overridden under sharding (halo exchange)."""
+        axis d (0=x1,1=x2,2=x3).  On the sharded axis the periodic images
+        live on the neighboring shards — halo exchange instead of a local
+        wrap (the two coincide for one shard)."""
         ax = a.ndim - 1 - d
         head = jax.lax.slice_in_dim(a, 0, width, axis=ax)
         tail = jax.lax.slice_in_dim(a, a.shape[ax] - width, a.shape[ax],
                                     axis=ax)
+        tail, head = self.ml._exchange(tail, head, d)
         return jnp.concatenate([tail, a, head], axis=ax)
 
     def _wrap_ghosts(self, a, d, ng):
         """Fill the ``ng``-wide ghost zones of padded array ``a`` along axis
-        d with the periodic image of its interior.  Overridden under
-        sharding (halo exchange)."""
+        d with the periodic image of its interior (halo exchange on the
+        sharded axis)."""
         ax = a.ndim - 1 - d
         nint = a.shape[ax] - 2 * ng
         lo_img = jax.lax.slice_in_dim(a, nint, nint + ng, axis=ax)
         hi_img = jax.lax.slice_in_dim(a, ng, 2 * ng, axis=ax)
+        lo_img, hi_img = self.ml._exchange(lo_img, hi_img, d)
         idx_lo = [slice(None)] * a.ndim
         idx_lo[ax] = slice(0, ng)
         idx_hi = [slice(None)] * a.ndim
@@ -360,12 +365,14 @@ class _Node:
                 f_face = jnp.take(Ff, fidx, axis=Ff.ndim - d)
                 if self.curv:
                     # area-weighted: sum(F_f A_f children) / A_c at this face
-                    af_np = np.asarray(self.hydro.area[d])
-                    af = jnp.asarray(np.take(af_np, fidx, axis=af_np.ndim - d))
-                    ac_np = np.asarray(hc.area[d])
-                    ac_full = np.take(ac_np,
-                                      self.lo[d - 1] + side * n[d - 1],
-                                      axis=ac_np.ndim - d)
+                    # (jnp ops: under sharding the areas may be lazy
+                    # per-shard views, ShardedZField)
+                    af_a = jnp.asarray(self.hydro.area[d])
+                    af = jnp.take(af_a, fidx, axis=af_a.ndim - d)
+                    ac_a = jnp.asarray(hc.area[d])
+                    ac_full = jnp.take(ac_a,
+                                       self.lo[d - 1] + side * n[d - 1],
+                                       axis=ac_a.ndim - d)
                     f_face = f_face * af
                 f_res = f_face
                 rem_dims = [c for c in (3, 2, 1) if c != d]  # outer->inner
@@ -387,8 +394,7 @@ class _Node:
                         if self.active[c - 1]:
                             sl[acs.ndim - 2 + j] = slice(
                                 self.lo[c - 1], self.lo[c - 1] + n[c - 1])
-                    f_res = f_res / jnp.asarray(np.ascontiguousarray(
-                        acs[tuple(sl)]))
+                    f_res = f_res / acs[tuple(sl)]
                 update = jnp.expand_dims(f_res, axis=-d)
                 starts = [0] * (Fc.ndim - 3)
                 for c in (3, 2, 1):
@@ -428,6 +434,27 @@ class MultiLevelSMR:
         for spec in sorted(patches or [], key=lambda s: s["level"]):
             self.add_patch(spec["level"], spec["lo"], spec["n"])
         self._compile()
+
+    # -- sharding hooks (identity in the single-device tree; ShardedSMR
+    # overrides them with ppermute halo exchange over the device mesh) ----
+    _shard_axis = None  # 1..3 when the tree is device-sharded along x_d
+
+    @property
+    def ic_grids(self):
+        """Per-node grids for problem-generator ICs (the GLOBAL grids;
+        ShardedSMR's own nodes hold shard-local windows)."""
+        return [nd.grid for nd in self.nodes]
+
+    def _exchange(self, tail, head, d):
+        """Return the (low, high) periodic extensions along axis ``d``
+        given this block's own boundary slabs: identity locally (the
+        periodic image is the block's other end), neighbor slabs under
+        sharding."""
+        return tail, head
+
+    def _root_fill(self, w, node: "_Node", fluid: str):
+        """Pad + fill the root node's ghosts (deck BCs)."""
+        return bc_mod.pad_and_fill(w, node.grid, fluid, self.bc_custom)
 
     @staticmethod
     def _axis_periodic(node: "_Node", d: int) -> bool:
@@ -522,7 +549,7 @@ class MultiLevelSMR:
             for fl, _ in node.fluids():
                 w = states[node.index][fl]["w"]
                 if node.parent is None:
-                    wp[fl] = bc_mod.pad_and_fill(w, node.grid, fl, self.bc_custom)
+                    wp[fl] = self._root_fill(w, node, fl)
                 else:
                     wp[fl] = node.fill_fine_ghosts(
                         w, states[node.parent.index][fl]["w"], los[node.index])
@@ -937,7 +964,7 @@ class SMRDriver:
     def __init__(self, grid, integrator, gas_cfg, pin, dust_cfg=None,
                  sources_factory=None, diffusion_factory=None,
                  bc_custom=None, omf=0.0, nbody=None, fine_prims=None,
-                 radiation_factory=None):
+                 radiation_factory=None, nshards=1, shard_axis=3, mesh=None):
         self.gas_cfg = gas_cfg
         self.dust_cfg = dust_cfg
         self.nbody = nbody
@@ -989,12 +1016,28 @@ class SMRDriver:
                 if rd > 0.0:
                     track.append((k, rd))
 
-        self.smr = MultiLevelSMR(
-            grid, integrator, gas_cfg, dust_cfg=dust_cfg,
-            sources_factory=sources_factory,
-            diffusion_factory=diffusion_factory, bc_custom=bc_custom,
-            omf=omf, patches=patches, nbody=nbody,
-            radiation_factory=radiation_factory)
+        if nshards > 1:
+            from .parallel.amr import ShardedSMR
+
+            if self.adaptive:
+                raise ValueError("sharded refinement is static-only "
+                                 "(adaptive retagging gathers to the host)")
+            if track:
+                raise ValueError("sharded refinement does not compose with "
+                                 "refine_distance tracking patches yet")
+            self.smr = ShardedSMR(
+                grid, integrator, gas_cfg, dust_cfg=dust_cfg,
+                sources_factory=sources_factory,
+                diffusion_factory=diffusion_factory, bc_custom=bc_custom,
+                omf=omf, patches=patches, mesh=mesh, axis=shard_axis,
+                nbody=nbody, radiation_factory=radiation_factory)
+        else:
+            self.smr = MultiLevelSMR(
+                grid, integrator, gas_cfg, dust_cfg=dust_cfg,
+                sources_factory=sources_factory,
+                diffusion_factory=diffusion_factory, bc_custom=bc_custom,
+                omf=omf, patches=patches, nbody=nbody,
+                radiation_factory=radiation_factory)
 
         for (k, rd) in track:
             pos = np.asarray(nbody.pos)[k] - np.asarray(nbody.Rf)

@@ -227,9 +227,33 @@ class Simulation:
             from .amr import SMRDriver
             from .sources import Drag as _DragF
 
+            shard_kw = {}
             if nshards > 1:
-                raise ValueError("refinement does not compose with "
-                                 "sharding yet")
+                from .parallel.mesh import make_device_mesh
+
+                axis_key = pin.get_or_add_str("parthenon/mesh",
+                                              "shard_axis", "auto")
+                if axis_key == "auto":
+                    shard_axis = None
+                    for d in (3, 2, 1):
+                        nd = self.grid.nx[d - 1]
+                        if (nd > 1 and nd % nshards == 0
+                                and nd // nshards >= 2
+                                and self.grid.bc[d - 1]
+                                == ("periodic", "periodic")):
+                            shard_axis = d
+                            break
+                    if shard_axis is None:
+                        raise ValueError(
+                            "sharded refinement needs a periodic axis "
+                            f"divisible into {nshards} shards")
+                else:
+                    shard_axis = {"x1": 1, "x2": 2, "x3": 3}[axis_key]
+                shard_kw = dict(nshards=nshards, shard_axis=shard_axis,
+                                mesh=make_device_mesh(nshards))
+                self.problem.bc_custom = self._shard_bc_custom(
+                    self.problem.bc_custom, problem_name, pin, gas_cfg,
+                    dust_cfg, nshards, shard_axis)
 
             def src_factory(g):
                 if g is self.grid:
@@ -252,13 +276,14 @@ class Simulation:
                 sources_factory=src_factory,
                 diffusion_factory=diffusion_factory,
                 bc_custom=self.problem.bc_custom, omf=omf, nbody=self.nbody,
-                radiation_factory=radiation_factory)
+                radiation_factory=radiation_factory, **shard_kw)
             # fine-level ICs from the problem generator on each patch grid
+            # (GLOBAL grids — sharded trees hold local windows in nodes)
             fine = []
-            for node in self.driver.smr.nodes[1:]:
+            for g_node in self.driver.smr.ic_grids[1:]:
                 pb = build_problem(problem_name,
                                    ParameterInput.from_string(repr(pin)),
-                                   node.grid, gas_cfg, dust_cfg)
+                                   g_node, gas_cfg, dust_cfg)
                 fine.append(dict(pb.prims))
             self.driver._fine_prims = fine
         elif nshards > 1:
@@ -294,30 +319,9 @@ class Simulation:
             # come from the shard-0 build and must be window-invariant on
             # the transverse boundaries (sharded-axis edge fills receive
             # the edge-local grids at fill time)
-            bc_custom = self.problem.bc_custom
-            if bc_custom:
-                from .parallel.mesh import (_local_grid_at,
-                                            check_bc_x3_independent,
-                                            localize_bc_caches)
-
-                n_local = self.grid.nx[shard_axis - 1] // nshards
-                loc0 = _local_grid_at(self.grid, nshards, 0, shard_axis)
-                p0 = build_problem(problem_name, ParameterInput.from_string(repr(pin)),
-                                   loc0, gas_cfg, dust_cfg)
-                localized = localize_bc_caches(bc_custom, p0.bc_custom,
-                                               n_local, shard_axis, nshards)
-                rest = {k: v for k, v in p0.bc_custom.items()
-                        if k not in localized}
-                if rest and nshards > 1:
-                    loc1 = _local_grid_at(self.grid, nshards, 1, shard_axis)
-                    p1 = build_problem(problem_name,
-                                       ParameterInput.from_string(repr(pin)),
-                                       loc1, gas_cfg, dust_cfg)
-                    check_bc_x3_independent(
-                        rest, {k: p1.bc_custom[k] for k in rest}, loc0,
-                        gas_cfg, dust_cfg, skip_d=shard_axis)
-                bc_custom = {k: (bc_custom[k] if k in localized
-                                 else p0.bc_custom[k]) for k in bc_custom}
+            bc_custom = self._shard_bc_custom(
+                self.problem.bc_custom, problem_name, pin, gas_cfg, dust_cfg,
+                nshards, shard_axis)
             self.driver = ShardedDriver(
                 self.grid,
                 integrator,
@@ -468,6 +472,36 @@ class Simulation:
         if self.nbody is not None:
             obs.append(_NBodyOutputs(self))
         return obs
+
+    def _shard_bc_custom(self, bc_custom, problem_name, pin, gas_cfg,
+                         dust_cfg, nshards, shard_axis):
+        """Per-shard-localize custom-BC value caches for a sharded run:
+        fills declaring ``shard_caches`` get per-shard window views of the
+        GLOBAL build; the rest come from the shard-0 build and are checked
+        window-invariant on the transverse boundaries."""
+        if not bc_custom or nshards <= 1:
+            return bc_custom
+        from .parallel.mesh import (_local_grid_at, check_bc_x3_independent,
+                                    localize_bc_caches)
+        from .pgen import build_problem
+
+        n_local = self.grid.nx[shard_axis - 1] // nshards
+        loc0 = _local_grid_at(self.grid, nshards, 0, shard_axis)
+        p0 = build_problem(problem_name, ParameterInput.from_string(repr(pin)),
+                           loc0, gas_cfg, dust_cfg)
+        localized = localize_bc_caches(bc_custom, p0.bc_custom,
+                                       n_local, shard_axis, nshards)
+        rest = {k: v for k, v in p0.bc_custom.items() if k not in localized}
+        if rest:
+            loc1 = _local_grid_at(self.grid, nshards, 1, shard_axis)
+            p1 = build_problem(problem_name,
+                               ParameterInput.from_string(repr(pin)),
+                               loc1, gas_cfg, dust_cfg)
+            check_bc_x3_independent(
+                rest, {k: p1.bc_custom[k] for k in rest}, loc0,
+                gas_cfg, dust_cfg, skip_d=shard_axis)
+        return {k: (bc_custom[k] if k in localized else p0.bc_custom[k])
+                for k in bc_custom}
 
     def run(self, log_every: int = 0, extra_observers=(), walltime=None):
         import time as _t
