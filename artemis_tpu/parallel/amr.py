@@ -43,9 +43,6 @@ class ShardedSMR(MultiLevelSMR):
                  patches: Optional[List[dict]] = None,
                  mesh: Optional[Mesh] = None, axis: int = 3, nbody=None,
                  radiation_factory=None):
-        if nbody is not None:
-            raise ValueError("sharded refinement does not compose with "
-                             "nbody yet")
         self.mesh_dev = mesh if mesh is not None else make_device_mesh()
         self.nshards = int(self.mesh_dev.devices.size)
         d = int(axis)
@@ -80,11 +77,18 @@ class ShardedSMR(MultiLevelSMR):
                          sources_factory=sources_factory,
                          diffusion_factory=diffusion_factory,
                          bc_custom=bc_custom, omf=omf, patches=local_patches,
-                         radiation_factory=radiation_factory)
+                         radiation_factory=radiation_factory, nbody=nbody)
+        from ..sources import NBodyGravity as _NBG
+
         for node in self.nodes:
             if node.radiation is not None:
                 # per-level FLD: ppermute stencil halos + psum CG dots
                 node.radiation.enable_sharding(d, AXIS, n)
+            for src in node.sources:
+                if isinstance(src, _NBG):
+                    # particle force rows reduce across shards (the
+                    # particle system itself is replicated on the host)
+                    src.psum = lambda x: lax.psum(x, AXIS)
         for node in self.nodes:
             rim = node.rim[d - 1] if node.parent is not None else 0
             need = max(node.grid.ng[d - 1], rim)
@@ -187,8 +191,17 @@ class ShardedSMR(MultiLevelSMR):
         return spec
 
     def _compile(self):
-        self._stage_jits = None
         spec = self._spec()
+        self._stage_jits = None
+        if self.nbody is not None:
+            parts = [None, None, None, None, None]
+            parts[2 + (3 - self._shard_axis)] = AXIS
+            arr5 = P(*parts)
+            self._stage_jits = [jax.jit(jax.shard_map(
+                self._make_stage(s_), mesh=self.mesh_dev,
+                in_specs=(spec, arr5, P(), P(), P(), P()),
+                out_specs=(spec, P()), check_vma=False))
+                for s_ in range(1, self.integ.nstages + 1)]
         base_step = MultiLevelSMR._build_step(self)
         self._step = jax.jit(jax.shard_map(
             base_step, mesh=self.mesh_dev,

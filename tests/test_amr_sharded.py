@@ -110,3 +110,29 @@ def test_sharded_amr_radiation(tmp_path):
         assert np.isfinite(b).all()
         rel = np.abs(a - b).max() / np.abs(a).max()
         assert rel < 1e-11, (key, kind, rel)
+
+
+def test_sharded_amr_nbody(tmp_path):
+    """Live planets under sharded refinement: per-shard grid-force rows
+    psum across the mesh, the replicated host particle system advances
+    identically, and the gas matches the serial refined run (2-D
+    cylindrical planet disk, phi-decomposed full-span ring patch)."""
+    deck = os.path.join(INP, "disk_nbody_cyl.in")
+    args = ["parthenon/time/nlim=10",
+            "parthenon/mesh/nx1=64", "parthenon/mesh/nx2=64",
+            "parthenon/mesh/nx3=1",
+            "parthenon/mesh/refinement=static",
+            "parthenon/refinement/patch_nx1=32",
+            "parthenon/refinement/patch_nx2=64"]
+    s0 = Simulation(deck, overrides=args, data_dir=str(tmp_path / "serial"))
+    s0.run()
+    s1 = Simulation(deck, overrides=args, data_dir=str(tmp_path / "shard"),
+                    nshards=4)
+    s1.run()
+    a = np.asarray(s0.state["gas"]["w"])
+    b = np.asarray(s1.state["gas"]["w"])
+    assert np.isfinite(b).all()
+    rel = np.abs(a - b).max() / np.abs(a).max()
+    assert rel < 1e-11, rel
+    assert np.abs(np.asarray(s0.nbody.pos) - np.asarray(s1.nbody.pos)).max() \
+        < 1e-14
