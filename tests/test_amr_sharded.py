@@ -136,3 +136,40 @@ def test_sharded_amr_nbody(tmp_path):
     assert rel < 1e-11, rel
     assert np.abs(np.asarray(s0.nbody.pos) - np.asarray(s1.nbody.pos)).max() \
         < 1e-14
+
+
+def test_sharded_amr_restart_bitexact(tmp_path):
+    """Restart of a sharded refined run restores every level bit-exactly
+    (payloads gather the sharded fine states; reload reshards them)."""
+    deck = os.path.join(INP, "linwave.in")
+    args = ["parthenon/mesh/nghost=2",
+            "parthenon/mesh/nx1=32", "parthenon/mesh/nx2=8",
+            "parthenon/mesh/nx3=16", "problem/amp=1.0e-6",
+            "gas/reconstruct=plm", "parthenon/time/tlim=0.3",
+            "parthenon/mesh/refinement=static",
+            "parthenon/refinement/patch_nx1=16",
+            "parthenon/refinement/patch_nx2=4",
+            "parthenon/refinement/patch_nx3=16"]
+    d1 = str(tmp_path / "straight")
+    s1 = Simulation(deck, overrides=args, data_dir=d1, nshards=4)
+    s1.run()
+
+    d2 = str(tmp_path / "chunked")
+    s2 = Simulation(deck, overrides=args + [
+        "parthenon/output9/file_type=rst",
+        "parthenon/output9/dt=0.1",
+        "parthenon/time/nlim=10"], data_dir=d2, nshards=4)
+    s2.run()
+    rst = os.path.join(d2, [f for f in os.listdir(d2)
+                            if f.endswith("final.rst.npz")][0])
+    s3 = Simulation(deck, overrides=args, data_dir=d2, restart=rst,
+                    nshards=4)
+    assert s3.driver._states is not None, "fine level not restored"
+    s3.run()
+
+    assert s3.tm.ncycle == s1.tm.ncycle
+    for lvl in (0, 1):
+        a = np.asarray(s1.driver._states[lvl]["gas"]["u"])
+        b = np.asarray(s3.driver._states[lvl]["gas"]["u"])
+        assert np.array_equal(a, b), \
+            f"level-{lvl} restart mismatch: {np.abs(a - b).max():g}"
