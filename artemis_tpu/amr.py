@@ -456,6 +456,12 @@ class MultiLevelSMR:
         """Pad + fill the root node's ghosts (deck BCs)."""
         return bc_mod.pad_and_fill(w, node.grid, fluid, self.bc_custom)
 
+    def _ic_hydro(self, node: "_Node"):
+        """Hydro whose geometry matches GLOBAL-shaped arrays (host-side
+        retag/prolongation paths; the sharded tree substitutes the
+        global-grid build)."""
+        return node.hydro
+
     @staticmethod
     def _axis_periodic(node: "_Node", d: int) -> bool:
         """True when axis ``d`` of ``node`` is (transitively) periodic:
@@ -789,7 +795,7 @@ class MultiLevelSMR:
             new_lo = [int(v) for v in lo_np]
             pg = node.parent.grid
             for d in (1, 2, 3):
-                if pg.nx[d - 1] <= 1:
+                if pg.nx[d - 1] <= 1 or node.wrap[d - 1]:
                     continue
                 ax = 3 - d
                 c0, c1 = int(idx[ax].min()), int(idx[ax].max())
@@ -860,11 +866,32 @@ class MultiLevelSMR:
             raise ValueError("cannot move a patch that has children")
         st = {}
         for fl, cfg in node.fluids():
-            sl = tuple(slice(new_lo[2 - i], new_lo[2 - i] + node.n[2 - i])
-                       if node.active[2 - i] else slice(0, 1) for i in range(3))
-            wf = prolong_minmod(states[node.parent.index][fl]["w"][(Ellipsis, *sl)],
-                                node.active)
-            u, w = node.hydro.prim_to_cons(wf, cfg)
+            wp = states[node.parent.index][fl]["w"]
+            sl = []
+            pad_axes = []
+            for i in range(3):
+                d = 2 - i
+                if not node.active[d]:
+                    sl.append(slice(0, 1))
+                elif node.wrap[d]:
+                    # full (global) periodic axis; pad one wrapped cell on
+                    # each side so the prolongation slopes see the seam
+                    sl.append(slice(0, wp.shape[wp.ndim - 3 + i]))
+                    pad_axes.append(wp.ndim - 3 + i)
+                else:
+                    sl.append(slice(new_lo[d], new_lo[d] + node.n[d]))
+            reg = wp[(Ellipsis, *sl)]
+            for ax_ in pad_axes:
+                lo_p = jax.lax.slice_in_dim(reg, reg.shape[ax_] - 1,
+                                            reg.shape[ax_], axis=ax_)
+                hi_p = jax.lax.slice_in_dim(reg, 0, 1, axis=ax_)
+                reg = jnp.concatenate([lo_p, reg, hi_p], axis=ax_)
+            wf = prolong_minmod(reg, node.active)
+            crop = [slice(None)] * wf.ndim
+            for ax_ in pad_axes:
+                crop[ax_] = slice(2, wf.shape[ax_] - 2)
+            wf = wf[tuple(crop)]
+            u, w = self._ic_hydro(node).prim_to_cons(wf, cfg)
             st[fl] = {"u": u, "w": w}
         states[node.index] = st
         los[node.index] = jnp.asarray(np.array(new_lo, dtype=np.int32))
@@ -1019,9 +1046,6 @@ class SMRDriver:
         if nshards > 1:
             from .parallel.amr import ShardedSMR
 
-            if self.adaptive:
-                raise ValueError("sharded refinement is static-only "
-                                 "(adaptive retagging gathers to the host)")
             if track:
                 raise ValueError("sharded refinement does not compose with "
                                  "refine_distance tracking patches yet")

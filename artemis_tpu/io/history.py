@@ -49,7 +49,12 @@ class HistoryOutput:
         return labels
 
     def _reduce(self, state):
-        vol = jnp.asarray(self.sim.driver.hydro.vol)
+        # GLOBAL interior volume: under domain decomposition the driver's
+        # hydro holds the shard-local window, but the state arrays seen
+        # here are global
+        g = self.sim.grid
+        vol = jnp.asarray(np.ascontiguousarray(
+            np.broadcast_to(g.geom.volume(), g.shape_entire)[g.int_slices]))
         vals = []
         drv = self.sim.driver
         if drv.gas_cfg is not None:

@@ -126,6 +126,9 @@ class ShardedSMR(MultiLevelSMR):
     def ic_grids(self):
         return [gn.grid for gn in self._gtree.nodes]
 
+    def _ic_hydro(self, node):
+        return self._gtree.nodes[node.index].hydro
+
     # -- sharding hooks ---------------------------------------------------
     def _exchange(self, tail, head, d):
         if self.nshards == 1 or d != self._shard_axis - 1:
