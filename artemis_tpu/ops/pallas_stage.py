@@ -132,11 +132,12 @@ def _stage_kernel(bdt_ref, u0_ref, u1_ref, wp_hbm, u_ref, w_ref, dm_ref,
 
     u0 = u0_ref[...]
     u1 = u1_ref[...]
-    divf = [(ax(Fx[c], 2, 0, nx) - ax(Fx[c], 2, 1, nx + 1)) / dx
-            + (ax(Fy[c], 1, 0, TY) - ax(Fy[c], 1, 1, TY + 1)) / dy
+    idx, idy, idz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    divf = [(ax(Fx[c], 2, 0, nx) - ax(Fx[c], 2, 1, nx + 1)) * idx
+            + (ax(Fy[c], 1, 0, TY) - ax(Fy[c], 1, 1, TY + 1)) * idy
             for c in range(6)]
     if active_z:
-        divf = [divf[c] + (ax(Fz[c], 0, 0, tz) - ax(Fz[c], 0, 1, tz + 1)) / dz
+        divf = [divf[c] + (ax(Fz[c], 0, 0, tz) - ax(Fz[c], 0, 1, tz + 1)) * idz
                 for c in range(6)]
     u = [gam0 * u0[c] + gam1 * u1[c] + bdt * divf[c] for c in range(6)]
 
@@ -145,29 +146,31 @@ def _stage_kernel(bdt_ref, u0_ref, u1_ref, wp_hbm, u_ref, w_ref, dm_ref,
     vxl, vxh = ax(vfx, 2, 0, nx), ax(vfx, 2, 1, nx + 1)
     pyl, pyh = ax(pfy, 1, 0, TY), ax(pfy, 1, 1, TY + 1)
     vyl, vyh = ax(vfy, 1, 0, TY), ax(vfy, 1, 1, TY + 1)
-    u[1] = u[1] + (bdt / dx) * (pxl - pxh)
-    u[2] = u[2] + (bdt / dy) * (pyl - pyh)
-    u[5] = u[5] - (bdt / dx) * 0.5 * (pxl + pxh) * (vxh - vxl)
-    u[5] = u[5] - (bdt / dy) * 0.5 * (pyl + pyh) * (vyh - vyl)
+    u[1] = u[1] + (bdt * idx) * (pxl - pxh)
+    u[2] = u[2] + (bdt * idy) * (pyl - pyh)
+    u[5] = u[5] - (bdt * idx) * 0.5 * (pxl + pxh) * (vxh - vxl)
+    u[5] = u[5] - (bdt * idy) * 0.5 * (pyl + pyh) * (vyh - vyl)
     if active_z:
         pzl, pzh = ax(pfz, 0, 0, tz), ax(pfz, 0, 1, tz + 1)
         vzl, vzh = ax(vfz, 0, 0, tz), ax(vfz, 0, 1, tz + 1)
-        u[3] = u[3] + (bdt / dz) * (pzl - pzh)
-        u[5] = u[5] - (bdt / dz) * 0.5 * (pzl + pzh) * (vzh - vzl)
+        u[3] = u[3] + (bdt * idz) * (pzl - pzh)
+        u[5] = u[5] - (bdt * idz) * 0.5 * (pzl + pzh) * (vzh - vzl)
 
-    # dual-energy sync (SetAuxillaryFields)
+    # dual-energy sync (SetAuxillaryFields); one tile reciprocal feeds
+    # the kinetic energy, dual-energy switch and C2P velocities
     rho = jnp.maximum(u[0], dfloor)
-    ke = 0.5 * (u[1] ** 2 + u[2] ** 2 + u[3] ** 2) / rho
+    irho = 1.0 / rho
+    ke = 0.5 * (u[1] ** 2 + u[2] ** 2 + u[3] ** 2) * irho
     ue = u[4] - ke
-    sie = jnp.where(ue > de_switch * u[4], ue / rho, u[5] / rho)
+    sie = jnp.where(ue > de_switch * u[4], ue * irho, u[5] * irho)
     sie = jnp.maximum(sie, siefloor)
     u[5] = jnp.maximum(sie * rho, siefloor * rho)
 
     # C2P + P2C floor re-sync (fill_derived.cpp)
-    v1 = u[1] / rho
-    v2 = u[2] / rho
-    v3 = u[3] / rho
-    sie = jnp.maximum(u[5] / rho, siefloor)
+    v1 = u[1] * irho
+    v2 = u[2] * irho
+    v3 = u[3] * irho
+    sie = jnp.maximum(u[5] * irho, siefloor)
     p = (gamma - 1.0) * rho * sie
     eint = sie * rho
     etot = eint + 0.5 * rho * (v1 * v1 + v2 * v2 + v3 * v3)
@@ -178,9 +181,9 @@ def _stage_kernel(bdt_ref, u0_ref, u1_ref, wp_hbm, u_ref, w_ref, dm_ref,
     # fused CFL denominator (EstimateTimestepMesh): block max of
     # sum_d (|v_d|+cs)/dx_d -> dt = cfl / global max
     cs = jnp.sqrt(gamma * (gamma - 1.0) * sie)
-    den = (jnp.abs(v1) + cs) / dx + (jnp.abs(v2) + cs) / dy
+    den = (jnp.abs(v1) + cs) * idx + (jnp.abs(v2) + cs) * idy
     if active_z:
-        den = den + (jnp.abs(v3) + cs) / dz
+        den = den + (jnp.abs(v3) + cs) * idz
     dm_ref[pl.program_id(0), pl.program_id(1)] = jnp.max(den)
 
 
@@ -353,11 +356,12 @@ def _stage_kernel_periodic(bdt_ref, u0_ref, u1_ref, w_hbm, u_ref, w_ref,
 
     u0 = u0_ref[...]
     u1 = u1_ref[...]
-    divf = [(ax(Fx[c], 2, 0, nx) - ax(Fx[c], 2, 1, nx + 1)) / dx
-            + (ax(Fy[c], 1, 0, ty) - ax(Fy[c], 1, 1, ty + 1)) / dy
+    idx, idy, idz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    divf = [(ax(Fx[c], 2, 0, nx) - ax(Fx[c], 2, 1, nx + 1)) * idx
+            + (ax(Fy[c], 1, 0, ty) - ax(Fy[c], 1, 1, ty + 1)) * idy
             for c in range(6)]
     if active_z:
-        divf = [divf[c] + (ax(Fz[c], 0, 0, tz) - ax(Fz[c], 0, 1, tz + 1)) / dz
+        divf = [divf[c] + (ax(Fz[c], 0, 0, tz) - ax(Fz[c], 0, 1, tz + 1)) * idz
                 for c in range(6)]
     u = [gam0 * u0[c] + gam1 * u1[c] + bdt * divf[c] for c in range(6)]
 
@@ -365,27 +369,28 @@ def _stage_kernel_periodic(bdt_ref, u0_ref, u1_ref, w_hbm, u_ref, w_ref,
     vxl, vxh = ax(vfx, 2, 0, nx), ax(vfx, 2, 1, nx + 1)
     pyl, pyh = ax(pfy, 1, 0, ty), ax(pfy, 1, 1, ty + 1)
     vyl, vyh = ax(vfy, 1, 0, ty), ax(vfy, 1, 1, ty + 1)
-    u[1] = u[1] + (bdt / dx) * (pxl - pxh)
-    u[2] = u[2] + (bdt / dy) * (pyl - pyh)
-    u[5] = u[5] - (bdt / dx) * 0.5 * (pxl + pxh) * (vxh - vxl)
-    u[5] = u[5] - (bdt / dy) * 0.5 * (pyl + pyh) * (vyh - vyl)
+    u[1] = u[1] + (bdt * idx) * (pxl - pxh)
+    u[2] = u[2] + (bdt * idy) * (pyl - pyh)
+    u[5] = u[5] - (bdt * idx) * 0.5 * (pxl + pxh) * (vxh - vxl)
+    u[5] = u[5] - (bdt * idy) * 0.5 * (pyl + pyh) * (vyh - vyl)
     if active_z:
         pzl, pzh = ax(pfz, 0, 0, tz), ax(pfz, 0, 1, tz + 1)
         vzl, vzh = ax(vfz, 0, 0, tz), ax(vfz, 0, 1, tz + 1)
-        u[3] = u[3] + (bdt / dz) * (pzl - pzh)
-        u[5] = u[5] - (bdt / dz) * 0.5 * (pzl + pzh) * (vzh - vzl)
+        u[3] = u[3] + (bdt * idz) * (pzl - pzh)
+        u[5] = u[5] - (bdt * idz) * 0.5 * (pzl + pzh) * (vzh - vzl)
 
     rho = jnp.maximum(u[0], dfloor)
-    ke = 0.5 * (u[1] ** 2 + u[2] ** 2 + u[3] ** 2) / rho
+    irho = 1.0 / rho
+    ke = 0.5 * (u[1] ** 2 + u[2] ** 2 + u[3] ** 2) * irho
     ue = u[4] - ke
-    sie = jnp.where(ue > de_switch * u[4], ue / rho, u[5] / rho)
+    sie = jnp.where(ue > de_switch * u[4], ue * irho, u[5] * irho)
     sie = jnp.maximum(sie, siefloor)
     u[5] = jnp.maximum(sie * rho, siefloor * rho)
 
-    v1 = u[1] / rho
-    v2 = u[2] / rho
-    v3 = u[3] / rho
-    sie = jnp.maximum(u[5] / rho, siefloor)
+    v1 = u[1] * irho
+    v2 = u[2] * irho
+    v3 = u[3] * irho
+    sie = jnp.maximum(u[5] * irho, siefloor)
     p = (gamma - 1.0) * rho * sie
     eint = sie * rho
     etot = eint + 0.5 * rho * (v1 * v1 + v2 * v2 + v3 * v3)
@@ -394,9 +399,9 @@ def _stage_kernel_periodic(bdt_ref, u0_ref, u1_ref, w_hbm, u_ref, w_ref,
     w_ref[...] = jnp.stack([rho, v1, v2, v3, p, sie])
 
     cs = jnp.sqrt(gamma * (gamma - 1.0) * sie)
-    den = (jnp.abs(v1) + cs) / dx + (jnp.abs(v2) + cs) / dy
+    den = (jnp.abs(v1) + cs) * idx + (jnp.abs(v2) + cs) * idy
     if active_z:
-        den = den + (jnp.abs(v3) + cs) / dz
+        den = den + (jnp.abs(v3) + cs) * idz
     dm_ref[pl.program_id(0), pl.program_id(1)] = jnp.max(den)
 
 

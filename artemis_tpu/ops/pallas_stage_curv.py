@@ -498,16 +498,23 @@ def _plm_g(q, axis, lo, count, xv, xlo, xhi, dx, pcm):
     dx0 = bc(rsl(dx, 1, n - 2))
     xlo0 = bc(rsl(xlo, 1, n - 2))
     xhi0 = bc(rsl(xhi, 1, n - 2))
-    dql = (q0 - qm) * dx0 / (xv0 - xvm)
-    dqr = (qp - q0) * dx0 / (xvp - xv0)
+    # all coordinate ratios are row-level (1-D) arithmetic on rows already
+    # resident in VMEM; keeping the divisions out of the tile-wide ops
+    # replaces 4 broadcast tile divisions per call with tile multiplies
+    rl = dx0 / (xv0 - xvm)
+    rr = dx0 / (xvp - xv0)
+    dql = (q0 - qm) * rl
+    dqr = (qp - q0) * rr
     dq2 = dql * dqr
     cr = (xvp - xv0) / (xhi0 - xv0)
     cl = (xv0 - xvm) / (xv0 - xlo0)
     denom = dql * dql + dqr * dqr + dq2 * (cl + cr - 2.0)
     denom = jnp.where(dq2 > 0.0, denom, 1.0)
     dqm_ = jnp.where(dq2 > 0.0, dq2 * (cr * dql + cl * dqr) / denom, 0.0)
-    ql = q0 + dqm_ * (xhi0 - xv0) / dx0
-    qr = q0 - dqm_ * (xv0 - xlo0) / dx0
+    fl = (xhi0 - xv0) / dx0
+    fr = (xv0 - xlo0) / dx0
+    ql = q0 + dqm_ * fl
+    qr = q0 - dqm_ * fr
     # cells 1..n-2 hold ql/qr at index cell-1; face f: wl=ql[f-2], wr=qr[f-1]
     return sl(ql, lo - 2, count), sl(qr, lo - 1, count)
 
@@ -766,11 +773,18 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
         inv_r = jax.lax.rsqrt(r2)
         if gmode == "sph":
             # spherical/axisymmetric branch: g = -gm/(r^2+soft^2) r-hat
-            gmag = -gm_ / (r2 + soft2_) * inv_r
+            if soft2_ == 0.0:
+                gmag = (-gm_) * inv_r * inv_r * inv_r
+            else:
+                gmag = -gm_ / (r2 + soft2_) * inv_r
         else:
             # general (cylindrical-3D) branch: g = -gm r_vec/(r^2+soft^2)^1.5
-            rs2 = r2 + soft2_
-            gmag = -gm_ / (rs2 * jnp.sqrt(rs2))
+            if soft2_ == 0.0:
+                gmag = (-gm_) * inv_r * inv_r * inv_r
+            else:
+                rs2 = r2 + soft2_
+                irs = jax.lax.rsqrt(rs2)
+                gmag = (-gm_) * irs * irs * irs
         wi_g = s[:, zc, 2:2 + ty, ng:ng + nx]
         rho_g = wi_g[0]
         hx_g = [b1(rx(ix["hv_1"][c])[ng:ng + nx]) * b2(ry(ix["hv_2"][c]))
@@ -806,21 +820,28 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
             """Slice a [Zw, Yw, Xw] window value."""
             return a[_zsl(zr), yr[0]:yr[0] + yr[1], xr[0]:xr[0] + xr[1]]
 
-        def prow(base, zr, yr, xr, clamp=None):
+        def prow(base, zr, yr, xr, clamp=None, inv=False):
             """Product of per-axis rows (kx, ky, kz index keys) over the
-            given window ranges."""
+            given window ranges.  ``inv=True`` builds the reciprocal
+            product from row-level reciprocals (1-D ops) so callers can
+            multiply instead of dividing tile-wide."""
             kx, ky, kz = base
+
+            def f(r):
+                return 1.0 / r if inv else r
+
             out = 1.0
             if kx is not None:
-                out = out * b1(rxw(kx)[xr[0]:xr[0] + xr[1]])
+                out = out * b1(f(rxw(kx)[xr[0]:xr[0] + xr[1]]))
             if ky is not None:
-                out = out * b2(ryw(ky)[yr[0]:yr[0] + yr[1]])
+                out = out * b2(f(ryw(ky)[yr[0]:yr[0] + yr[1]]))
             if kz is not None:
                 rzr = rzw(kz)
-                out = out * b3(rzr[zr[0]:zr[0] + zr[1]] if active_z
-                               else rzr[0:1])
+                out = out * b3(f(rzr[zr[0]:zr[0] + zr[1]] if active_z
+                                 else rzr[0:1]))
             if clamp is not None:
-                out = jnp.maximum(out, clamp)
+                out = (jnp.minimum(out, 1.0 / clamp) if inv
+                       else jnp.maximum(out, clamp))
             return out
 
         def ryw(k):
@@ -859,8 +880,8 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
         sie_w = sW[5]
         inv_h = []
         for cc in range(3):
-            hcc = prow((ix["hv_1"][cc], ix["hv_2"][cc], None), fz, fy, fx)
-            inv_h.append(1.0 / hcc)
+            inv_h.append(prow((ix["hv_1"][cc], ix["hv_2"][cc], None),
+                              fz, fy, fx, inv=True))
         vcon = [sW[1 + cc] * inv_h[cc] for cc in range(3)]
 
         def mu_model(dp):
@@ -870,25 +891,25 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
                 Rc = prow((ix["rcyl_1"], ix["rcyl_2"], None), fz, fy, fx)
                 out = a_ * rho_w
                 if c_ != 0.0:
-                    out = out * (Rc / d_) ** c_
+                    out = out * (Rc * (1.0 / d_)) ** c_
                 return out
             if kind == "viscosity_alpha":
                 # a=alpha, b=eta, c=R0, d=Omega0
                 Rc = prow((ix["rcyl_1"], ix["rcyl_2"], None), fz, fy, fx)
                 zc_w = prow((ix["zc_1"], ix["zc_2"], ix["zc_3"]), fz, fy, fx)
-                r2 = (Rc * Rc + zc_w * zc_w) / (c_ * c_)
-                # (r/R0)^-1.5 = r2^-0.75 = rsqrt(r2) * sqrt(rsqrt(r2))
+                r2 = (Rc * Rc + zc_w * zc_w) * (1.0 / (c_ * c_))
+                # 1/Omega_K = (1/Om0) (r/R0)^1.5 = (1/Om0) r2^0.75, and
+                # r2^0.75 = r2 * rsqrt(sqrt(r2)) — no tile division, no pow
                 # (pow would lower to exp/log transcendentals on the VPU)
-                ir = jax.lax.rsqrt(r2)
-                Omk = d_ * ir * jnp.sqrt(ir)
-                return a_ * gamma * (gamma - 1.0) * rho_w * sie_w / Omk
+                iOmk = (1.0 / d_) * r2 * jax.lax.rsqrt(jnp.sqrt(r2))
+                return a_ * gamma * (gamma - 1.0) * rho_w * sie_w * iOmk
             # conduction: a=coef, c=temp_exp, d=rho_exp, e=T0, f=d0
-            T = sie_w / cv
+            T = sie_w * (1.0 / cv)
             base = 1.0
             if c_ != 0.0:
-                base = base * (T / e_) ** c_
+                base = base * (T * (1.0 / e_)) ** c_
             if d_ != 0.0:
-                base = base * (rho_w / f_) ** d_
+                base = base * (rho_w * (1.0 / f_)) ** d_
             if kind == "conductivity_plaw":
                 return a_ * base
             return a_ * base * rho_w * cv  # thermaldiff_plaw
@@ -962,7 +983,7 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
 
         if cond is not None:
             kap_w = mu_model(cond)
-            T_w = sie_w / cv
+            T_w = sie_w * (1.0 / cv)
 
         def face_avg(dp, a, d):
             lo = wv(a, *axr(d, LO))
@@ -993,8 +1014,8 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
         dF = {}
         diag_face = {}
         for d in dims:
-            d1r = prow((ix[f"d1_{d}_1"], ix[f"d1_{d}_2"], ix[f"d1_{d}_3"]),
-                       *axr(d, HI), clamp=tiny)
+            i1r = prow((ix[f"d1_{d}_1"], ix[f"d1_{d}_2"], ix[f"d1_{d}_3"]),
+                       *axr(d, HI), clamp=tiny, inv=True)
             rows_f = None
             if visc is not None:
                 mus = face_avg(visc, mu_w, d)
@@ -1002,7 +1023,7 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
                 rows_f = []
                 for comp in (1, 2, 3):
                     if comp == d:
-                        t = (2.0 * ddiff(vcon[d - 1], d) / d1r
+                        t = (2.0 * ddiff(vcon[d - 1], d) * i1r
                              + 0.5 * (wv(src[d], *axr(d, HI))
                                       + wv(src[d], *axr(d, LO))))
                         # divu lives on the inner window (offset -1)
@@ -1018,31 +1039,32 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
                             t - (1.0 / 3.0) * (1.0 - eta_b)
                             * (davg_hi + davg_lo))
                     else:
-                        t = ddiff(vcon[comp - 1], d) / d1r
+                        t = ddiff(vcon[comp - 1], d) * i1r
                         hcf = fh_prod(d, comp - 1, None)
                         ratio = (hcf / hdf) ** 2
                         tt = 0.0
                         if comp in dims:
-                            d2r = prow((ix[f"d2_{comp}_1"],
-                                        ix[f"d2_{comp}_2"],
-                                        ix[f"d2_{comp}_3"]),
-                                       *axr(d, HI), clamp=tiny)
-                            d2r_lo = prow((ix[f"d2_{comp}_1"],
-                                           ix[f"d2_{comp}_2"],
-                                           ix[f"d2_{comp}_3"]),
-                                          *axr(d, LO), clamp=tiny)
+                            # transverse gradient ONCE at cells over the
+                            # inner window along d, then slice the
+                            # face-adjacent HI/LO cells — bit-identical to
+                            # the per-face recompute, half the arithmetic
+                            i2rc = prow((ix[f"d2_{comp}_1"],
+                                         ix[f"d2_{comp}_2"],
+                                         ix[f"d2_{comp}_3"]),
+                                        *axr(d, INN), clamp=tiny, inv=True)
 
-                            def sh2(off_d, off_c):
-                                zr, yr, xr = axr(d, HI if off_d == 0 else LO)
-                                # off_d handled by HI/LO; apply off_c on axis comp
+                            def shc(off_c):
+                                zr, yr, xr = axr(d, INN)
                                 rngs = {3: list(zr), 2: list(yr), 1: list(xr)}
                                 rngs[comp][0] += off_c
                                 return wv(vcon[d - 1],
                                           tuple(rngs[3]), tuple(rngs[2]),
                                           tuple(rngs[1]))
 
-                            tr_hi = (sh2(0, +1) - sh2(0, -1)) / d2r
-                            tr_lo = (sh2(1, +1) - sh2(1, -1)) / d2r_lo
+                            trc = (shc(+1) - shc(-1)) * i2rc
+                            ad = 3 - d  # array axis of direction d
+                            tr_hi = ax(trc, ad, 1, nsz[d] + 2)
+                            tr_lo = ax(trc, ad, 0, nsz[d] + 1)
                             tt = 0.5 * (tr_hi + tr_lo)
                         f = hdf * mus * (tt + ratio * t)
                     rows_f.append(f)
@@ -1054,7 +1076,7 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
                 rows_f = rows_f + [fen]
             if cond is not None:
                 kcond = face_avg(cond, kap_w, d)
-                qf = kcond * ddiff(T_w, d) / d1r
+                qf = kcond * ddiff(T_w, d) * i1r
                 if rows_f is not None:
                     rows_f[3] = rows_f[3] + qf
                 else:
@@ -1096,11 +1118,12 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
         heat = -bdt * ddv[3]
         if visc is not None:
             wi = s[:, zc, 2:2 + ty, ng:ng + nx]
-            hvi = [prow((ix["hv_1"][cc], ix["hv_2"][cc], None),
-                        W_INT[3], W_INT[2], W_INT[1]) for cc in range(3)]
-            heat = heat + bdt * (ddv[0] * wi[1] / hvi[0]
-                                 + ddv[1] * wi[2] / hvi[1]
-                                 + ddv[2] * wi[3] / hvi[2])
+            ihvi = [prow((ix["hv_1"][cc], ix["hv_2"][cc], None),
+                         W_INT[3], W_INT[2], W_INT[1], inv=True)
+                    for cc in range(3)]
+            heat = heat + bdt * (ddv[0] * wi[1] * ihvi[0]
+                                 + ddv[1] * wi[2] * ihvi[1]
+                                 + ddv[2] * wi[3] * ihvi[2])
         u[5] = u[5] + heat
 
         if full:
@@ -1138,17 +1161,25 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
     # ---- dual-energy + C2P/P2C with scale factors ----------------------
     hx = [b1(rx(ix["hv_1"][c])[ng:ng + nx]) * b2(ry(ix["hv_2"][c]))
           for c in range(3)]
+    # reciprocal scale-factor planes from row-level reciprocals; one
+    # tile-wide reciprocal (1/rho) then multiplies — replaces 7 tile
+    # divisions in the C2P/dual-energy pass
+    ihx = [b1(1.0 / rx(ix["hv_1"][c])[ng:ng + nx])
+           * b2(1.0 / ry(ix["hv_2"][c])) for c in range(3)]
     rho = jnp.maximum(u[0], dfloor)
-    ke = 0.5 * ((u[1] / hx[0]) ** 2 + (u[2] / hx[1]) ** 2
-                + (u[3] / hx[2]) ** 2) / rho
+    irho = 1.0 / rho
+    m1 = u[1] * ihx[0]
+    m2 = u[2] * ihx[1]
+    m3 = u[3] * ihx[2]
+    ke = 0.5 * (m1 * m1 + m2 * m2 + m3 * m3) * irho
     ue = u[4] - ke
-    sie = jnp.where(ue > de_switch * u[4], ue / rho, u[5] / rho)
+    sie = jnp.where(ue > de_switch * u[4], ue * irho, u[5] * irho)
     sie = jnp.maximum(sie, siefloor)
     eint0 = jnp.maximum(sie * rho, siefloor * rho)
-    v1 = u[1] / (rho * hx[0])
-    v2 = u[2] / (rho * hx[1])
-    v3 = u[3] / (rho * hx[2])
-    sie = jnp.maximum(eint0 / rho, siefloor)
+    v1 = m1 * irho
+    v2 = m2 * irho
+    v3 = m3 * irho
+    sie = jnp.maximum(eint0 * irho, siefloor)
     p = (gamma - 1.0) * rho * sie
     eint = sie * rho
     etot = eint + 0.5 * rho * (v1 * v1 + v2 * v2 + v3 * v3)

@@ -44,8 +44,13 @@ def _hllc(wl, wr, ivx, ivy, ivz, gamma):
     igm1 = 1.0 / gm1
     alpha = (gamma + 1.0) / (2.0 * gamma)
 
-    al = jnp.sqrt(gamma * pl_ / dl)
-    ar = jnp.sqrt(gamma * pr_ / dr)
+    # one rsqrt per side feeds the sound speeds and the face-velocity
+    # reciprocal; shared denominators (ml+mr, am-bm, bp-am) are inverted
+    # once — replaces 7 tile divisions with 3 reciprocals + multiplies
+    isq_l = jax.lax.rsqrt(dl)
+    isq_r = jax.lax.rsqrt(dr)
+    al = jnp.sqrt(gamma * pl_) * isq_l
+    ar = jnp.sqrt(gamma * pr_) * isq_r
     el = pl_ * igm1 + 0.5 * dl * (vxl**2 + vyl**2 + vzl**2)
     er = pr_ * igm1 + 0.5 * dr * (vxr**2 + vyr**2 + vzr**2)
     cbar = 0.25 * (dl + dr) * (al + ar)
@@ -60,16 +65,19 @@ def _hllc(wl, wr, ivx, ivy, ivz, gamma):
     tr = pr_ + (vxr - sr) * dr * vxr
     ml = dl * (vxl - sl)
     mr = -(dr * (vxr - sr))
-    am = (tl - tr) / (ml + mr)
-    cp = jnp.maximum((ml * tr + mr * tl) / (ml + mr), 0.0)
+    imlr = 1.0 / (ml + mr)
+    am = (tl - tr) * imlr
+    cp = jnp.maximum((ml * tr + mr * tl) * imlr, 0.0)
     qe = dl * (vxl - bm)
     qf = dr * (vxr - bp)
     fle = el * (vxl - bm) + pl_ * vxl
     fre = er * (vxr - bp) + pr_ * vxr
     pos = am >= 0.0
-    wc_l = jnp.where(pos, am / (am - bm), 0.0)
-    wc_r = jnp.where(pos, 0.0, -am / (bp - am))
-    wc_c = jnp.where(pos, -bm / (am - bm), bp / (bp - am))
+    iamb = 1.0 / (am - bm)
+    ibpa = 1.0 / (bp - am)
+    wc_l = jnp.where(pos, am * iamb, 0.0)
+    wc_r = jnp.where(pos, 0.0, -am * ibpa)
+    wc_c = jnp.where(pos, -bm * iamb, bp * ibpa)
     pface = wc_l * pl_ + wc_r * pr_ + wc_c * cp
     frho = wc_l * qe + wc_r * qf
     fmx = wc_l * qe * vxl + wc_r * qf * vxr
@@ -78,7 +86,7 @@ def _hllc(wl, wr, ivx, ivy, ivz, gamma):
     fen = wc_l * fle + wc_r * fre + wc_c * cp * am
     upw = frho >= 0.0
     feint = frho * jnp.where(upw, sel, ser)
-    vface = frho / jnp.where(upw, dl, dr)
+    vface = frho * jnp.where(upw, isq_l * isq_l, isq_r * isq_r)
     out = [None] * 6
     out[0] = frho
     out[ivx] = fmx
@@ -101,17 +109,21 @@ def _hlle(wl, wr, ivx, ivy, ivz, gamma):
 
     gm1 = gamma - 1.0
     igm1 = 1.0 / gm1
-    sqrtdl = jnp.sqrt(dl)
-    sqrtdr = jnp.sqrt(dr)
+    # one rsqrt per side feeds sqrt(d), 1/sqrt(d) and the sound speeds —
+    # replaces four tile divisions with multiplies
+    isq_l = jax.lax.rsqrt(dl)
+    isq_r = jax.lax.rsqrt(dr)
+    sqrtdl = dl * isq_l
+    sqrtdr = dr * isq_r
     isdlpdr = 1.0 / (sqrtdl + sqrtdr)
     wroe_vx = (sqrtdl * vxl + sqrtdr * vxr) * isdlpdr
     wroe_vy = (sqrtdl * vyl + sqrtdr * vyr) * isdlpdr
     wroe_vz = (sqrtdl * vzl + sqrtdr * vzr) * isdlpdr
     el = pl_ * igm1 + 0.5 * dl * (vxl**2 + vyl**2 + vzl**2)
     er = pr_ * igm1 + 0.5 * dr * (vxr**2 + vyr**2 + vzr**2)
-    hroe = ((el + pl_) / sqrtdl + (er + pr_) / sqrtdr) * isdlpdr
-    qa = jnp.sqrt(gamma * pl_ / dl)
-    qb = jnp.sqrt(gamma * pr_ / dr)
+    hroe = ((el + pl_) * isq_l + (er + pr_) * isq_r) * isdlpdr
+    qa = jnp.sqrt(gamma * pl_) * isq_l
+    qb = jnp.sqrt(gamma * pr_) * isq_r
     a2 = hroe - 0.5 * (wroe_vx**2 + wroe_vy**2 + wroe_vz**2)
     a = jnp.sqrt(gm1 * jnp.maximum(a2, 0.0))
     sl = jnp.minimum(wroe_vx - a, vxl - qa)
@@ -132,7 +144,7 @@ def _hlle(wl, wr, ivx, ivy, ivz, gamma):
     fen = 0.5 * (fl_e + fr_e) + w * (fl_e - fr_e)
     upw = frho >= 0.0
     feint = frho * jnp.where(upw, sel, ser)
-    vface = frho / jnp.where(upw, dl, dr)
+    vface = frho * jnp.where(upw, isq_l * isq_l, isq_r * isq_r)
     pface = 0.5 * (pl_ + pr_) + w * (pl_ - pr_)
     out = [None] * 6
     out[0] = frho
