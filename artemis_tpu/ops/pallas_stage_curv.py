@@ -996,20 +996,20 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
             """a[hi cells] - a[lo cells] at faces along d."""
             return wv(a, *axr(d, HI)) - wv(a, *axr(d, LO))
 
-        def fh_prod(d, comp, face_axis_rng):
-            """h_comp at faces along d (separable face_h factors)."""
+        def fh_rows(d, comp):
+            """Separable rows of h_comp at faces along d."""
             kx = ix[f"fh{d}_1"][comp]
             ky = ix[f"fh{d}_2"][comp]
             if d == 1:
-                f1 = b1(rx(kx)[ng:ng + nx + 1])
-                f2 = b2(ryw(ky)[2:2 + ty])
-            elif d == 2:
-                f1 = b1(rx(kx)[ng:ng + nx])
-                f2 = b2(ryw(ky)[2:2 + ty + 1])
-            else:
-                f1 = b1(rx(kx)[ng:ng + nx])
-                f2 = b2(ryw(ky)[2:2 + ty])
-            return f1 * f2
+                return rx(kx)[ng:ng + nx + 1], ryw(ky)[2:2 + ty]
+            if d == 2:
+                return rx(kx)[ng:ng + nx], ryw(ky)[2:2 + ty + 1]
+            return rx(kx)[ng:ng + nx], ryw(ky)[2:2 + ty]
+
+        def fh_prod(d, comp, face_axis_rng):
+            """h_comp at faces along d (separable face_h factors)."""
+            f1, f2 = fh_rows(d, comp)
+            return b1(f1) * b2(f2)
 
         dF = {}
         diag_face = {}
@@ -1019,7 +1019,8 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
             rows_f = None
             if visc is not None:
                 mus = face_avg(visc, mu_w, d)
-                hdf = fh_prod(d, d - 1, None)
+                f1d, f2d = fh_rows(d, d - 1)
+                hdf = b1(f1d) * b2(f2d)
                 rows_f = []
                 for comp in (1, 2, 3):
                     if comp == d:
@@ -1040,8 +1041,11 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
                             * (davg_hi + davg_lo))
                     else:
                         t = ddiff(vcon[comp - 1], d) * i1r
-                        hcf = fh_prod(d, comp - 1, None)
-                        ratio = (hcf / hdf) ** 2
+                        # (h_c/h_d)^2 at faces from squared row ratios —
+                        # row-level divisions, one plane multiply
+                        f1c, f2c = fh_rows(d, comp - 1)
+                        ratio = (b1((f1c / f1d) ** 2)
+                                 * b2((f2c / f2d) ** 2))
                         tt = 0.0
                         if comp in dims:
                             # transverse gradient ONCE at cells over the
