@@ -347,10 +347,20 @@ class _Node:
         idx_hi[ax] = slice(ng + nint, None)
         return a.at[tuple(idx_lo)].set(lo_img).at[tuple(idx_hi)].set(hi_img)
 
-    def flux_correct(self, fx_c, fx_f, lo):
-        """Replace parent patch-boundary fluxes with summed child fluxes."""
+    def flux_correct(self, fx_c, fx_f, lo, hc=None, scatter=None):
+        """Replace parent patch-boundary fluxes with summed child fluxes.
+
+        ``hc``: parent Hydro supplying face areas (the sharded tree passes
+        the GLOBAL-grid build for replicated patches).  ``scatter``: how a
+        face-plane update lands in the parent flux array — defaults to
+        ``dynamic_update_slice``; the sharded tree substitutes a masked
+        global-frame scatter for replicated patches."""
         n = self.n
-        hc = self.parent.hydro
+        if hc is None:
+            hc = self.parent.hydro
+        if scatter is None:
+            def scatter(A, upd, starts, d):
+                return jax.lax.dynamic_update_slice(A, upd, tuple(starts))
         out = {}
         for d in hc.dims:
             if self.wrap[d - 1]:
@@ -405,7 +415,7 @@ class _Node:
                     else:
                         starts.append(0)
                 starts = [jnp.asarray(v, jnp.int32) for v in starts]
-                Fc = jax.lax.dynamic_update_slice(Fc, update, tuple(starts))
+                Fc = scatter(Fc, update, starts, d)
             out[d] = (Fc,) + fx_c[d][1:]
         return out
 
@@ -461,6 +471,26 @@ class MultiLevelSMR:
         retag/prolongation paths; the sharded tree substitutes the
         global-grid build)."""
         return node.hydro
+
+    def _parent_arr(self, states, node: "_Node", key: str, kind: str):
+        """Parent array feeding this node's ghost prolongation.  The
+        sharded tree all-gathers it along the decomposition axis for
+        replicated (non-wrap) patches."""
+        return states[node.parent.index][key][kind]
+
+    def _parent_grid(self, node: "_Node"):
+        """Parent grid in the frame of ``node.lo`` (GLOBAL for replicated
+        patches of a sharded parent)."""
+        return node.parent.grid
+
+    def _flux_correct(self, node: "_Node", fx_c, fx_f, lo):
+        return node.flux_correct(fx_c, fx_f, lo)
+
+    def _restrict_into(self, node: "_Node", arr, res, lo):
+        """Deposit a restricted child array into the parent at ``lo``."""
+        starts = [jnp.asarray(v, jnp.int32)
+                  for v in [0] * (arr.ndim - 3) + [lo[2], lo[1], lo[0]]]
+        return jax.lax.dynamic_update_slice(arr, res, tuple(starts))
 
     @staticmethod
     def _axis_periodic(node: "_Node", d: int) -> bool:
@@ -558,7 +588,8 @@ class MultiLevelSMR:
                     wp[fl] = self._root_fill(w, node, fl)
                 else:
                     wp[fl] = node.fill_fine_ghosts(
-                        w, states[node.parent.index][fl]["w"], los[node.index])
+                        w, self._parent_arr(states, node, fl, "w"),
+                        los[node.index])
             wpads.append(wp)
 
         # 2. fluxes per node per fluid
@@ -576,8 +607,9 @@ class MultiLevelSMR:
                 continue
             p = node.parent.index
             for fl, _ in node.fluids():
-                fxs[p][fl] = node.flux_correct(fxs[p][fl], fxs[node.index][fl],
-                                               los[node.index])
+                fxs[p][fl] = self._flux_correct(node, fxs[p][fl],
+                                                fxs[node.index][fl],
+                                                los[node.index])
 
         # 4. update + diffusion + sources per node
         new_states = []
@@ -615,14 +647,10 @@ class MultiLevelSMR:
             p = node.parent.index
             lo = los[node.index]
             for fl, _ in node.fluids():
-                up = new_states[p][fl]["u"]
-                starts = [jnp.asarray(v, jnp.int32)
-                          for v in [0] * (up.ndim - 3) + [lo[2], lo[1], lo[0]]]
-                up = jax.lax.dynamic_update_slice(
-                    up, restrict_average(new_states[node.index][fl]["u"],
-                                         node.active, volf=node.volf),
-                    tuple(starts))
-                new_states[p][fl]["u"] = up
+                new_states[p][fl]["u"] = self._restrict_into(
+                    node, new_states[p][fl]["u"],
+                    restrict_average(new_states[node.index][fl]["u"],
+                                     node.active, volf=node.volf), lo)
 
         # 6. prims re-sync per node
         out = []
@@ -650,7 +678,7 @@ class MultiLevelSMR:
             if node.parent is None:
                 st = node.radiation.step(st, dt)
             else:
-                Erp = states[node.parent.index]["rad"]["Er"]
+                Erp = self._parent_arr(states, node, "rad", "Er")
                 Er_pad = node.fill_fine_ghosts(st["rad"]["Er"], Erp,
                                                los[i])
                 gh = {}
@@ -685,14 +713,10 @@ class MultiLevelSMR:
             lo = los[node.index]
             pst = dict(states[p])
             for key, kind in (("gas", "u"), ("rad", "Er")):
-                arr = pst[key][kind]
-                starts = [jnp.asarray(v, jnp.int32)
-                          for v in [0] * (arr.ndim - 3) + [lo[2], lo[1],
-                                                           lo[0]]]
-                arr = jax.lax.dynamic_update_slice(
-                    arr, restrict_average(states[node.index][key][kind],
-                                          node.active, volf=node.volf),
-                    tuple(starts))
+                arr = self._restrict_into(
+                    node, pst[key][kind],
+                    restrict_average(states[node.index][key][kind],
+                                     node.active, volf=node.volf), lo)
                 pst[key] = dict(pst[key])
                 pst[key][kind] = arr
             states[p] = pst
@@ -793,7 +817,7 @@ class MultiLevelSMR:
             idx = np.nonzero(tags)
             lo_np = np.asarray(new_los[node.index])
             new_lo = [int(v) for v in lo_np]
-            pg = node.parent.grid
+            pg = self._parent_grid(node)
             for d in (1, 2, 3):
                 if pg.nx[d - 1] <= 1 or node.wrap[d - 1]:
                     continue
@@ -817,7 +841,7 @@ class MultiLevelSMR:
             if node.index not in particle_nodes:
                 continue
             k = particle_nodes[node.index]
-            pg = node.parent.grid
+            pg = self._parent_grid(node)
             want = self._cell_of(pg, positions[k])
             if want is None:
                 continue
@@ -1046,9 +1070,6 @@ class SMRDriver:
         if nshards > 1:
             from .parallel.amr import ShardedSMR
 
-            if track:
-                raise ValueError("sharded refinement does not compose with "
-                                 "refine_distance tracking patches yet")
             self.smr = ShardedSMR(
                 grid, integrator, gas_cfg, dust_cfg=dust_cfg,
                 sources_factory=sources_factory,
@@ -1215,7 +1236,8 @@ class SMRDriver:
             if self.criterion is not None:
                 self._states, self._los = self.smr.retag_criteria(
                     self._states, self._los, self.criterion)
-            if self._particle_nodes and not self.smr.nodes[1].curv:
+            if self._particle_nodes and not self.smr.nodes[
+                    next(iter(self._particle_nodes))].curv:
                 self._states, self._los = self.smr.retag_particles(
                     self._states, self._los, self._particle_nodes,
                     np.asarray(self.nbody.pos) - np.asarray(self.nbody.Rf))

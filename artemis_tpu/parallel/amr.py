@@ -51,36 +51,26 @@ class ShardedSMR(MultiLevelSMR):
         self._shard_axis = d
         if global_grid.bc[d - 1] != ("periodic", "periodic"):
             raise ValueError(
-                "sharded refinement needs a periodic sharded axis (patches "
-                "wrap there; coarse-fine faces across shards are not "
-                "supported)")
-        # geometry-only global tree: IC grids + per-node field localization
+                "sharded refinement needs a periodic sharded axis")
+        # global tree, built patch-by-patch in LOCKSTEP with the local tree
+        # (add_patch appends to both): IC grids, field localization, and
+        # the global-frame geometry of replicated (non-wrap) patches
         self._gtree = MultiLevelSMR(global_grid, integrator, gas_cfg,
-                                    dust_cfg=dust_cfg, patches=patches)
+                                    dust_cfg=dust_cfg, patches=None)
         n = self.nshards
-        local_patches = []
-        for gn in self._gtree.nodes[1:]:
-            if not gn.wrap[d - 1]:
-                raise ValueError(
-                    f"sharded refinement requires every patch to span the "
-                    f"full sharded axis x{d} (got lo={gn.lo} n={gn.n})")
-            nn = list(gn.n)
-            if nn[d - 1] % n:
-                raise ValueError(
-                    f"patch x{d} extent {nn[d - 1]} not divisible by "
-                    f"{n} shards")
-            nn[d - 1] //= n
-            local_patches.append(dict(level=gn.level, lo=tuple(gn.lo),
-                                      n=tuple(nn)))
         local_root = _local_grid(global_grid, n, d)
         super().__init__(local_root, integrator, gas_cfg, dust_cfg=dust_cfg,
                          sources_factory=sources_factory,
                          diffusion_factory=diffusion_factory,
-                         bc_custom=bc_custom, omf=omf, patches=local_patches,
+                         bc_custom=bc_custom, omf=omf, patches=patches,
                          radiation_factory=radiation_factory, nbody=nbody)
         from ..sources import NBodyGravity as _NBG
 
         for node in self.nodes:
+            if self._is_rep(node):
+                # replicated patches compute identically on every shard:
+                # unsharded radiation solve, identity force-row reduction
+                continue
             if node.radiation is not None:
                 # per-level FLD: ppermute stencil halos + psum CG dots
                 node.radiation.enable_sharding(d, AXIS, n)
@@ -90,6 +80,8 @@ class ShardedSMR(MultiLevelSMR):
                     # particle system itself is replicated on the host)
                     src.psum = lambda x: lax.psum(x, AXIS)
         for node in self.nodes:
+            if self._is_rep(node):
+                continue
             rim = node.rim[d - 1] if node.parent is not None else 0
             need = max(node.grid.ng[d - 1], rim)
             if n > 1 and node.grid.nx[d - 1] < need:
@@ -100,10 +92,13 @@ class ShardedSMR(MultiLevelSMR):
         if n > 1:
             # per-node localization: any precomputed Hydro / diffusion /
             # source field that varies with the shard's window becomes a
-            # lazy per-shard view of the global-node build
+            # lazy per-shard view of the global-node build (replicated
+            # nodes are already built on their global patch geometry)
             from ..ops.hydro import Hydro as _Hydro
 
             for node, gn in zip(self.nodes, self._gtree.nodes):
+                if self._is_rep(node):
+                    continue
                 gg = gn.grid
                 n_loc = gg.nx[d - 1] // n
                 g1 = _local_grid_at(gg, n, 1, d)
@@ -119,6 +114,143 @@ class ShardedSMR(MultiLevelSMR):
                         diffusion_factory(_Hydro(gg, gas_cfg, dust_cfg)),
                         n, n_loc, d,
                         obj1=diffusion_factory(_Hydro(g1, gas_cfg, dust_cfg)))
+
+    @staticmethod
+    def _is_rep(node):
+        return getattr(node, "replicated", False)
+
+    def add_patch(self, level: int, lo, n):
+        """Register a patch in BOTH trees (global + local, same index).
+
+        A patch that spans the full sharded axis ("wrap") is block-sharded
+        like the root.  Any OTHER patch becomes a REPLICATED node: it keeps
+        its global geometry and every shard computes it identically; the
+        parent coupling goes through an all-gather (ghost prolongation)
+        and masked global-frame scatters (restriction, flux correction).
+        This is what makes nbody ``refine_distance`` tracking patches —
+        small boxes around planets — work under domain decomposition
+        (ref nbody.cpp:276-312)."""
+        from ..amr import _Node
+        from ..ops.hydro import Hydro
+
+        d = self._shard_axis
+        gn = self._gtree.add_patch(level, lo, n)
+        parent = self.nodes[gn.parent.index]
+        if gn.wrap[d - 1]:
+            if self._is_rep(parent):
+                raise ValueError("a wrap patch cannot nest inside a "
+                                 "replicated (non-wrap) patch")
+            nn = list(gn.n)
+            if nn[d - 1] % self.nshards:
+                raise ValueError(
+                    f"patch x{d} extent {nn[d - 1]} not divisible by "
+                    f"{self.nshards} shards")
+            nn[d - 1] //= self.nshards
+            node = MultiLevelSMR.add_patch(self, level, lo, tuple(nn))
+            node.replicated = False
+            return node
+        node = _Node.__new__(_Node)
+        for k_, v_ in gn.__dict__.items():
+            if k_ not in ("ml", "parent", "children", "index", "hydro",
+                          "sources", "diffusion", "radiation"):
+                setattr(node, k_, v_)
+        node.ml = self
+        node.parent = parent
+        node.children = []
+        node.index = len(self.nodes)
+        self.nodes.append(node)
+        parent.children.append(node)
+        node.hydro = Hydro(gn.grid, self.cfg, self.dust_cfg)
+        node.sources = (list(self.sources_factory(gn.grid))
+                        if self.sources_factory else [])
+        node.diffusion = (self.diffusion_factory(node.hydro)
+                          if self.diffusion_factory else None)
+        node.radiation = (self.radiation_factory(node.hydro)
+                          if self.radiation_factory else None)
+        node.replicated = True
+        return node
+
+    # -- replicated-patch <-> sharded-parent coupling ---------------------
+    def _gather_axis(self, a):
+        """Reassemble the GLOBAL array along the decomposition axis."""
+        return lax.all_gather(a, AXIS, axis=a.ndim - self._shard_axis,
+                              tiled=True)
+
+    def _scatter_axis(self, A, upd, starts, face=False):
+        """Masked scatter of ``upd`` at GLOBAL-frame ``starts`` into the
+        shard-local window of ``A``: place into a global-extent zero
+        buffer, slice this shard's window (``axis_index``), blend where
+        touched.  ``face=True`` for arrays with face extent (n+1) along
+        the sharded axis — a seam face is updated on BOTH shards that
+        carry a copy of it."""
+        d = self._shard_axis
+        axg = A.ndim - d
+        ncell = A.shape[axg] - (1 if face else 0)
+        shape = list(A.shape)
+        shape[axg] = ncell * self.nshards + (1 if face else 0)
+        starts = tuple(jnp.asarray(s, jnp.int32) for s in starts)
+        B = lax.dynamic_update_slice(jnp.zeros(shape, A.dtype),
+                                     upd.astype(A.dtype), starts)
+        M = lax.dynamic_update_slice(jnp.zeros(shape, jnp.bool_),
+                                     jnp.ones(upd.shape, jnp.bool_), starts)
+        k = lax.axis_index(AXIS)
+        ls = [jnp.int32(0)] * A.ndim
+        ls[axg] = jnp.int32(k * ncell)
+        Bw = lax.dynamic_slice(B, tuple(ls), A.shape)
+        Mw = lax.dynamic_slice(M, tuple(ls), A.shape)
+        return jnp.where(Mw, Bw, A)
+
+    def _parent_arr(self, states, node, key, kind):
+        w = states[node.parent.index][key][kind]
+        if (self.nshards > 1 and self._is_rep(node)
+                and not self._is_rep(node.parent)):
+            w = self._gather_axis(w)
+        return w
+
+    def _parent_grid(self, node):
+        if self._is_rep(node) and not self._is_rep(node.parent):
+            return self._gtree.nodes[node.parent.index].grid
+        return node.parent.grid
+
+    def _flux_correct(self, node, fx_c, fx_f, lo):
+        if (self.nshards == 1 or not self._is_rep(node)
+                or self._is_rep(node.parent)):
+            return node.flux_correct(fx_c, fx_f, lo)
+        hc = self._gtree.nodes[node.parent.index].hydro  # global face areas
+
+        def scatter(A, upd, starts, d):
+            return self._scatter_axis(A, upd, starts,
+                                      face=(d == self._shard_axis))
+
+        return node.flux_correct(fx_c, fx_f, lo, hc=hc, scatter=scatter)
+
+    def _restrict_into(self, node, arr, res, lo):
+        if (self.nshards == 1 or not self._is_rep(node)
+                or self._is_rep(node.parent)):
+            return MultiLevelSMR._restrict_into(self, node, arr, res, lo)
+        starts = [0] * (arr.ndim - 3) + [lo[2], lo[1], lo[0]]
+        return self._scatter_axis(arr, res, starts)
+
+    def _cover_mask(self, node, los):
+        if not node.children:
+            return None
+        reps = [ch for ch in node.children
+                if self._is_rep(ch) and not self._is_rep(node)]
+        if self.nshards == 1 or not reps:
+            return MultiLevelSMR._cover_mask(self, node, los)
+        mask = jnp.ones(tuple(reversed(node.grid.nx)))
+        for ch in node.children:
+            lo = los[ch.index]
+            zeros = jnp.zeros(tuple(ch.n[2 - i] if node.grid.nx[2 - i] > 1
+                                    else 1 for i in range(3)))
+            starts = [jnp.asarray(lo[2 - i] if node.grid.nx[2 - i] > 1
+                                  else 0, jnp.int32) for i in range(3)]
+            if ch in reps:
+                mask = self._scatter_axis(mask, zeros, starts)
+            else:
+                mask = jax.lax.dynamic_update_slice(mask, zeros,
+                                                    tuple(starts))
+        return mask
 
     # global-grid nodes for problem-generator ICs (pgens must see the full
     # domain, not shard 0's window)
@@ -178,7 +310,8 @@ class ShardedSMR(MultiLevelSMR):
     # -- compiled step ----------------------------------------------------
     def _spec(self):
         """Per-node state spec pytree ([ns,C,z,y,x] fluids + [ns,z,y,x]
-        rad Er, sharded along the decomposition axis)."""
+        rad Er, sharded along the decomposition axis; replicated patches
+        are fully replicated)."""
         parts = [None, None, None, None, None]
         parts[2 + (3 - self._shard_axis)] = AXIS
         arr5 = P(*parts)
@@ -187,22 +320,27 @@ class ShardedSMR(MultiLevelSMR):
         arr4 = P(*parts4)
         spec = []
         for node in self.nodes:
-            st = {fl: {"u": arr5, "w": arr5} for fl, _ in node.fluids()}
+            a5, a4 = (P(), P()) if self._is_rep(node) else (arr5, arr4)
+            st = {fl: {"u": a5, "w": a5} for fl, _ in node.fluids()}
             if node.radiation is not None:
-                st["rad"] = {"Er": arr4}
+                st["rad"] = {"Er": a4}
             spec.append(st)
         return spec
+
+    def _u1_spec(self):
+        parts = [None, None, None, None, None]
+        parts[2 + (3 - self._shard_axis)] = AXIS
+        arr5 = P(*parts)
+        return [{fl: (P() if self._is_rep(node) else arr5)
+                 for fl, _ in node.fluids()} for node in self.nodes]
 
     def _compile(self):
         spec = self._spec()
         self._stage_jits = None
         if self.nbody is not None:
-            parts = [None, None, None, None, None]
-            parts[2 + (3 - self._shard_axis)] = AXIS
-            arr5 = P(*parts)
             self._stage_jits = [jax.jit(jax.shard_map(
                 self._make_stage(s_), mesh=self.mesh_dev,
-                in_specs=(spec, arr5, P(), P(), P(), P()),
+                in_specs=(spec, self._u1_spec(), P(), P(), P(), P()),
                 out_specs=(spec, P()), check_vma=False))
                 for s_ in range(1, self.integ.nstages + 1)]
         base_step = MultiLevelSMR._build_step(self)
@@ -222,16 +360,38 @@ class ShardedSMR(MultiLevelSMR):
     def initialize(self, prims_per_node):
         """Shard each node's GLOBAL primitive arrays over the mesh, then
         run P2C under shard_map."""
+        from ..amr import prolong_minmod
+
+        prims = list(prims_per_node)
+        # replicated (e.g. particle-tracking) patches may come without
+        # explicit ICs: prolong host-side from the parent's GLOBAL prims
+        for node in self.nodes:
+            if not self._is_rep(node) or prims[node.index] is not None:
+                continue
+            src = prims[node.parent.index]
+            if src is None:
+                raise ValueError("replicated patch needs parent ICs")
+            pr = {}
+            for fl, _ in node.fluids():
+                wp = jnp.asarray(src[fl])
+                sl = tuple(
+                    slice(node.lo[2 - i], node.lo[2 - i] + node.n[2 - i])
+                    if node.active[2 - i] else slice(0, 1) for i in range(3))
+                pr[fl] = prolong_minmod(wp[(Ellipsis, *sl)], node.active,
+                                        spacings=None)
+            prims[node.index] = pr
         spec = self._spec()
         parts = [None, None, None, None, None]
         parts[2 + (3 - self._shard_axis)] = AXIS
         sh = NamedSharding(self.mesh_dev, P(*parts))
+        sh_rep = NamedSharding(self.mesh_dev, P())
         ws = []
-        for node, pr in zip(self.nodes, prims_per_node):
+        for node, pr in zip(self.nodes, prims):
             if pr is None:
                 raise ValueError("sharded refinement needs explicit ICs for "
                                  "every node (pgen per patch grid)")
-            ws.append({fl: jax.device_put(jnp.asarray(pr[fl]), sh)
+            sh_n = sh_rep if self._is_rep(node) else sh
+            ws.append({fl: jax.device_put(jnp.asarray(pr[fl]), sh_n)
                        for fl, _ in node.fluids()})
 
         def init_local(ws):
@@ -249,8 +409,8 @@ class ShardedSMR(MultiLevelSMR):
                 out.append(st)
             return out
 
-        ws_spec = [{fl: P(*parts) for fl, _ in node.fluids()}
-                   for node in self.nodes]
+        ws_spec = [{fl: (P() if self._is_rep(node) else P(*parts))
+                    for fl, _ in node.fluids()} for node in self.nodes]
         return jax.jit(jax.shard_map(
             init_local, mesh=self.mesh_dev, in_specs=(ws_spec,),
             out_specs=spec, check_vma=False))(ws)

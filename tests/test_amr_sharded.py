@@ -69,20 +69,34 @@ def test_sharded_amr_disk_phi(tmp_path):
     assert rel < 1e-9, rel
 
 
-def test_sharded_amr_requires_wrap_patch(tmp_path):
-    """Patches that do NOT span the sharded periodic axis are rejected
-    with a clear error (coarse-fine faces across shard boundaries are
-    not supported)."""
+def test_sharded_amr_nonwrap_patch_replicated(tmp_path):
+    """A patch that does NOT span the sharded periodic axis runs as a
+    REPLICATED node: every shard computes the patch identically, ghost
+    prolongation all-gathers the sharded parent, and restriction / flux
+    correction land through masked global-frame scatters.  The sharded
+    run matches the serial refined run to roundoff (coarse-fine faces
+    across shard boundaries, ref Parthenon block distribution)."""
     deck = os.path.join(INP, "linwave.in")
-    args = ["parthenon/mesh/nx1=32", "parthenon/mesh/nx2=8",
-            "parthenon/mesh/nx3=16", "parthenon/mesh/nghost=2",
+    args = ["parthenon/time/nlim=20", "parthenon/mesh/nghost=2",
+            "parthenon/mesh/nx1=32", "parthenon/mesh/nx2=8",
+            "parthenon/mesh/nx3=16", "problem/amp=1.0e-6",
+            "gas/reconstruct=plm",
             "parthenon/mesh/refinement=static",
             "parthenon/refinement/patch_nx1=16",
             "parthenon/refinement/patch_nx2=4",
             "parthenon/refinement/patch_nx3=8"]
-    with pytest.raises(ValueError, match="span the full sharded axis"):
-        Simulation(deck, overrides=args, data_dir=str(tmp_path),
-                   nshards=4)
+    s0 = Simulation(deck, overrides=args, data_dir=str(tmp_path / "serial"))
+    s0.run()
+    s1 = Simulation(deck, overrides=args, data_dir=str(tmp_path / "shard"),
+                    nshards=4)
+    assert s1.driver.smr.nodes[1].replicated
+    assert not s1.driver.smr.nodes[1].wrap[2]
+    s1.run()
+    for lvl in (0, 1):
+        a = np.asarray(s0.driver._states[lvl]["gas"]["w"])
+        b = np.asarray(s1.driver._states[lvl]["gas"]["w"])
+        assert np.isfinite(b).all()
+        assert np.abs(a - b).max() < 1e-13, (lvl, np.abs(a - b).max())
 
 
 def test_sharded_amr_radiation(tmp_path):
@@ -256,6 +270,44 @@ pres = 1.0
     b = np.asarray(st1[0]["gas"]["w"])
     assert np.isfinite(b).all()
     assert np.abs(a - b).max() < 1e-13
+
+
+def test_sharded_refine_distance_tracking(tmp_path):
+    """nbody ``refine_distance`` tracking patches under domain
+    decomposition (ref nbody.cpp:276-312 + Parthenon block
+    distribution): the planet's patch is a small (r,phi) box that does
+    NOT wrap the sharded phi axis, so it runs as a replicated node —
+    ghosts prolonged from the all-gathered parent, restriction and
+    area-weighted flux correction scattered back into each shard's
+    window.  Matches the serial tracked run to roundoff."""
+    deck = os.path.join(INP, "disk_nbody_cyl.in")
+    args = ["parthenon/time/nlim=10",
+            "parthenon/mesh/nx1=64", "parthenon/mesh/nx2=64",
+            "parthenon/mesh/nx3=1",
+            "parthenon/mesh/refinement=static",
+            "parthenon/mesh/numlevel=1",
+            "nbody/planet1/mass=1.0e-4",
+            "nbody/planet1/a=2.0",
+            "nbody/planet1/f=0.0",
+            "nbody/planet1/refine_distance=0.3"]
+    s0 = Simulation(deck, overrides=args, data_dir=str(tmp_path / "serial"))
+    assert s0.driver._particle_nodes, "no tracking patch (serial)"
+    s0.run()
+    s1 = Simulation(deck, overrides=args, data_dir=str(tmp_path / "shard"),
+                    nshards=4)
+    assert s1.driver._particle_nodes, "no tracking patch (sharded)"
+    ni = next(iter(s1.driver._particle_nodes))
+    node = s1.driver.smr.nodes[ni]
+    assert node.replicated and not any(node.wrap)
+    s1.run()
+    for idx in (0, ni):
+        a = np.asarray(s0.driver._states[idx]["gas"]["w"])
+        b = np.asarray(s1.driver._states[idx]["gas"]["w"])
+        assert np.isfinite(b).all()
+        rel = np.abs(a - b).max() / np.abs(a).max()
+        assert rel < 1e-11, (idx, rel)
+    assert np.abs(np.asarray(s0.nbody.pos) - np.asarray(s1.nbody.pos)).max() \
+        < 1e-14
 
 
 def test_sharded_adaptive_deck(tmp_path):
