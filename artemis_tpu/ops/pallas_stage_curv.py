@@ -37,9 +37,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..geometry import geometry as geo
 from .pallas_sweeps import RIEMANN
 
-TY = 32  # y rows per block
-TZ = 8   # z planes per block
-YS = 40  # DMA'd y-slab rows (TY + 4 halo, rounded to the 8-row tiling)
+import os as _os
+
+TY = int(_os.environ.get("ARTEMIS_CURV_TY", "32"))  # y rows per block
+TZ = int(_os.environ.get("ARTEMIS_CURV_TZ", "8"))   # z planes per block
+# DMA'd y-slab rows (TY + 4 halo, rounded to the 8-row tiling)
+YS = (TY + 4 + 7) // 8 * 8
+_VMEM = int(_os.environ.get("ARTEMIS_CURV_VMEM_MB", "100")) * 1024 * 1024
 
 
 # ---------------------------------------------------------------------------
@@ -1412,7 +1416,7 @@ def stage_curv_gather(w_int, u0, u1, grid, cfg, gam0, gam1, beta_dt,
             pltpu.SemaphoreType.DMA((n_dmas,)),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM),
         interpret=interpret,
     )(jnp.reshape(jnp.asarray(beta_dt, dt), (1,)),
       jnp.reshape(jnp.asarray(grav_dt, dt), (1,)), u0_, u1_, wi,
@@ -1533,7 +1537,7 @@ def stage_curv(w_pad, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM),
         interpret=interpret,
     )(jnp.reshape(jnp.asarray(beta_dt, dt), (1,)),
       jnp.reshape(jnp.asarray(grav_dt, dt), (1,)), u0_, u1_, wp,
