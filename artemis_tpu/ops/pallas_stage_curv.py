@@ -40,10 +40,20 @@ from .pallas_sweeps import RIEMANN
 import os as _os
 
 TY = int(_os.environ.get("ARTEMIS_CURV_TY", "32"))  # y rows per block
-TZ = int(_os.environ.get("ARTEMIS_CURV_TZ", "8"))   # z planes per block
+# preferred z planes per block: 16 (measured +5.5% over 8 on the v5e
+# disk bench at the 126 MB scoped VMEM limit); grids whose nz is not a
+# multiple fall back to 8-plane tiles
+TZ = int(_os.environ.get("ARTEMIS_CURV_TZ", "16"))
 # DMA'd y-slab rows (TY + 4 halo, rounded to the 8-row tiling)
 YS = (TY + 4 + 7) // 8 * 8
-_VMEM = int(_os.environ.get("ARTEMIS_CURV_VMEM_MB", "100")) * 1024 * 1024
+_VMEM = int(_os.environ.get("ARTEMIS_CURV_VMEM_MB", "126")) * 1024 * 1024
+
+
+def _pick_tz(nz: int) -> int:
+    """Largest supported z tile dividing ``nz`` (preferred TZ, else 8)."""
+    if nz % TZ == 0:
+        return TZ
+    return 8
 
 
 # ---------------------------------------------------------------------------
@@ -1347,7 +1357,7 @@ def stage_curv_gather(w_int, u0, u1, grid, cfg, gam0, gam1, beta_dt,
     u1_ = u1[0]
     CX, CY, CZ, ix = packed
     pcm = force_pcm or cfg.recon == "pcm"
-    tz = TZ if active_z else 1
+    tz = _pick_tz(nz) if active_z else 1
 
     diff_spec = None
     if coeffs.diff is not None:
@@ -1466,7 +1476,7 @@ def stage_curv(w_pad, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
     u1_ = u1[0]
     CX, CY, CZ, ix = packed
     pcm = force_pcm or cfg.recon == "pcm"
-    tz = TZ if active_z else 1
+    tz = _pick_tz(nz) if active_z else 1
 
     diff_spec = None
     if coeffs.diff is not None:
@@ -1562,4 +1572,4 @@ def supported_curv(grid, cfg) -> bool:
             and cfg.rsolver in ("hllc", "hlle") and cfg.recon in ("plm", "pcm")
             and grid.nghost == 2 and grid.nx[1] % TY == 0 and grid.nx[1] > 1
             and grid.nx[0] > 1
-            and (grid.nx[2] == 1 or grid.nx[2] % TZ == 0))
+            and (grid.nx[2] == 1 or grid.nx[2] % _pick_tz(grid.nx[2]) == 0))

@@ -310,6 +310,45 @@ def test_sharded_refine_distance_tracking(tmp_path):
         < 1e-14
 
 
+def test_sharded_tracking_restart_bitexact(tmp_path):
+    """Restart of a sharded run with a replicated tracking patch restores
+    the patch (and the particle system) bit-exactly."""
+    deck = os.path.join(INP, "disk_nbody_cyl.in")
+    args = ["parthenon/mesh/nx1=32", "parthenon/mesh/nx2=32",
+            "parthenon/mesh/nx3=1", "parthenon/time/tlim=0.2",
+            "parthenon/mesh/refinement=static",
+            "parthenon/mesh/numlevel=1",
+            "nbody/planet1/mass=1.0e-4",
+            "nbody/planet1/a=2.0",
+            "nbody/planet1/f=0.0",
+            "nbody/planet1/refine_distance=0.3"]
+    d1 = str(tmp_path / "straight")
+    s1 = Simulation(deck, overrides=args, data_dir=d1, nshards=4)
+    s1.run()
+
+    d2 = str(tmp_path / "chunked")
+    s2 = Simulation(deck, overrides=args + [
+        "parthenon/output9/file_type=rst",
+        "parthenon/output9/dt=0.05",
+        "parthenon/time/nlim=8"], data_dir=d2, nshards=4)
+    s2.run()
+    rst = os.path.join(d2, [f for f in os.listdir(d2)
+                            if f.endswith("final.rst.npz")][0])
+    s3 = Simulation(deck, overrides=args, data_dir=d2, restart=rst,
+                    nshards=4)
+    assert s3.driver._states is not None, "fine level not restored"
+    s3.run()
+
+    assert s3.tm.ncycle == s1.tm.ncycle
+    ni = next(iter(s1.driver._particle_nodes))
+    for lvl in (0, ni):
+        a = np.asarray(s1.driver._states[lvl]["gas"]["u"])
+        b = np.asarray(s3.driver._states[lvl]["gas"]["u"])
+        assert np.array_equal(a, b), \
+            f"node-{lvl} restart mismatch: {np.abs(a - b).max():g}"
+    assert np.array_equal(np.asarray(s1.nbody.pos), np.asarray(s3.nbody.pos))
+
+
 def test_sharded_adaptive_deck(tmp_path):
     """Deck-driven adaptive refinement under sharding (blast_amr with a
     periodic x3): the retag machinery runs end-to-end and the sharded
