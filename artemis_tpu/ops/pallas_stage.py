@@ -284,8 +284,10 @@ def supported(grid, cfg) -> bool:
 # (z, y) halos with 9 aligned DMAs from the unpadded interior array and
 # wraps x inside VMEM.  Removes the HBM pad round-trip entirely.
 # ---------------------------------------------------------------------------
-TZP = 8   # z planes per block (periodic kernel)
-TYP = 32  # y rows per block (periodic kernel)
+import os as _os
+
+TZP = int(_os.environ.get("ARTEMIS_CART_TZ", "8"))   # z planes per block
+TYP = int(_os.environ.get("ARTEMIS_CART_TY", "32"))  # y rows per block
 
 
 def _stage_kernel_periodic(bdt_ref, u0_ref, u1_ref, w_hbm, u_ref, w_ref,
