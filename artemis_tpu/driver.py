@@ -509,7 +509,8 @@ class Driver:
             from .ops import pallas_stage_curv as _psc
 
             nx, ny, nz = self.grid.nx
-            shape = (nz // _psc.TZ if nz > 1 else 1, ny // _psc.TY)
+            shape = (nz // _psc._pick_tz(nz) if nz > 1 else 1,
+                     ny // _psc.TY)
         else:
             from .ops import pallas_stage as _ps
 

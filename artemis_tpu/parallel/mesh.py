@@ -507,7 +507,8 @@ class ShardedDriver(Driver):
             from ..ops import pallas_stage_curv as _psc
 
             nx, ny, nz = self.grid.nx
-            shape_l = (nz // _psc.TZ if nz > 1 else 1, ny // _psc.TY)
+            shape_l = (nz // _psc._pick_tz(nz) if nz > 1 else 1,
+                       ny // _psc.TY)
         else:
             from ..ops import pallas_stage as _ps
 
