@@ -3,8 +3,10 @@
 Background shear vy = -q Omega x with vertically Gaussian density (3-D),
 run in the Cartesian rotating frame (shearing box forces).  Custom BCs:
 ``extrap`` on x1 (copy + no-inflow vx + linear vy extrapolation,
-strat.hpp:154-260) and ``inflow`` on x2 (upstream rows reset to the
-background shear, downstream no-inflow, strat.hpp:262-420).
+strat.hpp:154-260), ``inflow`` on x2 (upstream rows reset to the
+background shear, downstream no-inflow, strat.hpp:262-420), and
+``extrap`` on x3 (no-inflow vz + geometric density extrapolation of the
+stratified profile into the vertical ghosts, strat.hpp:477-639).
 """
 
 from __future__ import annotations
@@ -25,6 +27,7 @@ def build(pin, grid, gas_cfg, dust_cfg=None) -> Problem:
     h = pin.get_or_add_real("problem", "h", 1.0)
     rho0 = pin.get_or_add_real("problem", "rho0", 1.0)
     dens_min = pin.get_or_add_real("problem", "dens_min", 1.0e-5)
+    pin.get_or_add_real("problem", "pres_min", 1.0e-8)  # parsed as in strat.hpp:68
     d2g = pin.get_or_add_real("problem", "dust_to_gas", 0.01)
     temp0 = (h * Om0) ** 2
     cv = gas_cfg.cv
@@ -50,7 +53,10 @@ def build(pin, grid, gas_cfg, dust_cfg=None) -> Problem:
     ng = grid.nghost
 
     def extrap_bc(w, grid_, fluid, d, side):
-        """x1/x3: copy edge + no-inflow normal velocity + linear vy slope."""
+        """x1: copy edge + no-inflow vx + linear vy slope (strat.hpp:154-260).
+        x3: no-inflow vz + geometric density extrapolation rho_edge *
+        (rho_next/rho_edge)**((z-z0)/dz) of the stratified profile
+        (strat.hpp:477-639)."""
         n = grid_.nx[d - 1]
         ax = w.ndim - d
         edge = ng if side == 0 else ng + n - 1
@@ -76,6 +82,16 @@ def build(pin, grid, gas_cfg, dust_cfg=None) -> Problem:
             if d == 1:  # linear extrapolation of vy in x (strat.hpp:216-220)
                 vy = we[:, 2] + (wn[:, 2] - we[:, 2]) * (x - x0) / dx
                 new = new.at[:, 2].set(vy)
+            elif d == 3:
+                # Geometric extrapolation of the vertically stratified
+                # density (strat.hpp:526-529, 608-611): the inner/outer
+                # forms both reduce to rho_e*(rho_n/rho_e)**((z-z0)/dz)
+                # with the signed dz = z_next - z_edge used here.
+                frac = (x - x0) / dx
+                rho = we[:, 0] * (wn[:, 0] / we[:, 0]) ** frac
+                new = new.at[:, 0].set(rho)
+                if fluid == "gas":  # keep pres consistent with copied sie
+                    new = new.at[:, 4].set((gamma - 1.0) * rho * new[:, 5])
             w = w.at[take(gi)].set(new)
         return w
 
