@@ -176,17 +176,22 @@ def make_rt_fn(pin, grid, gm):
             return 1.0 / np.sqrt(dr2 + rs2 + fz)
         dr1 = np.sqrt(dr2)
         hinv = 1.0 / (rs + fz)
-        u2 = dr2 / (rs2 + fz)
-        u = np.sqrt(u2)
-        u3, u4 = u * u2, u2 * u2
-        u5 = u4 * u
-        inner = np.where(
-            u < 0.5,
-            hinv * (14.0 / 5.0 - 16.0 / 3.0 * u2 + 48.0 / 5.0 * u4
-                    - 32.0 / 5.0 * u5),
-            hinv * (16.0 / 5.0 - 32.0 / 3.0 * u2 + 16.0 * u3 - 48.0 / 5.0 * u4
-                    + 32.0 / 15.0 * u5 - 1.0 / (15.0 * u + fz)))
-        return np.where(dr2 >= rs2, 1.0 / (dr1 + fz), inner)
+        # both where-branches evaluate; outside the softening radius the
+        # unused inner branch may overflow (u ~ dr/rs huge when rs ~ 0) —
+        # harmless, silence the numpy warnings
+        with np.errstate(invalid="ignore", over="ignore"):
+            u2 = dr2 / (rs2 + fz)
+            u = np.sqrt(u2)
+            u3, u4 = u * u2, u2 * u2
+            u5 = u4 * u
+            inner = np.where(
+                u < 0.5,
+                hinv * (14.0 / 5.0 - 16.0 / 3.0 * u2 + 48.0 / 5.0 * u4
+                        - 32.0 / 5.0 * u5),
+                hinv * (16.0 / 5.0 - 32.0 / 3.0 * u2 + 16.0 * u3
+                        - 48.0 / 5.0 * u4 + 32.0 / 15.0 * u5
+                        - 1.0 / (15.0 * u + fz)))
+            return np.where(dr2 >= rs2, 1.0 / (dr1 + fz), inner)
 
     def rt(x1, x2, x3):
         cx, cy, cz = geo.convert_to_cart(grid.coords, x1, x2, x3)
