@@ -152,12 +152,17 @@ class Driver:
         # the whole gas stage; partial mode (runs WITH sources) stops after
         # the flux sources and hands off to the jnp source chain.  Sources
         # that consume the stage fluxes (curvilinear RotatingFrame) force
-        # the jnp path for now.
+        # the jnp path for now.  Cartesian grids take this kernel too when
+        # the source-free Cartesian kernel doesn't apply (e.g. a Cartesian
+        # disk with point gravity): the geometry rows degenerate to units,
+        # reconstruction uses the uniform limiter, and gravity runs the
+        # xyz mode — the Cartesian production configs (incl. the radiation-
+        # capable geometry) get a fused path instead of falling to jnp.
         self._curv = None
         from .ops import pallas_stage_curv as _psc
         from .sources import RotatingFrame as _RF
 
-        if _psc.supported_curv(grid, gas_cfg):
+        if _psc.supported_curv(grid, gas_cfg) and not self._fused_stage:
             flux_srcs = [s_ for s_ in self.sources
                          if getattr(s_, "uses_fluxes", False)]
             # the curvilinear RotatingFrame torque is folded INTO the kernel;
@@ -203,10 +208,15 @@ class Driver:
                               and s_.pos == (0.0, 0.0, 0.0)):
                             # general cartesian branch at the origin
                             gmode = "cart"
+                        elif _geo.is_cartesian(c_):
+                            # Cartesian grid: r_vec from the coordinate
+                            # rows directly; any mass position works
+                            # (the offset folds into constants)
+                            gmode = "xyz"
                         else:
                             continue
                         self._curv_grav = (s_.gm, s_.soft2, gmode,
-                                           s_.tstart, s_.tstop)
+                                           tuple(s_.pos), s_.tstart, s_.tstop)
                         self._curv_srcs.remove(s_)
                         break
                 self._curv_full = dust_cfg is None and not self._curv_srcs
@@ -287,8 +297,12 @@ class Driver:
             grav = None
             grav_dt = 0.0
             if self._curv_grav is not None:
-                gm_, soft2_, gmode, tstart, tstop = self._curv_grav
-                grav = (gm_, soft2_, gmode)
+                gm_, soft2_, gmode, gpos, tstart, tstop = self._curv_grav
+                grav = (gm_, soft2_, gmode, gpos)
+                # clamp the +/-1e300 "always on" sentinels into f32 range
+                # (they otherwise cast to inf with a numpy warning)
+                tstart = float(np.clip(tstart, -1e38, 1e38))
+                tstop = float(np.clip(tstop, -1e38, 1e38))
                 grav_dt = jnp.where(
                     jnp.logical_and(time >= tstart, time < tstop), bdt, 0.0)
             if self._curv_full and getattr(self, "_curv_gather", None) \

@@ -368,9 +368,19 @@ class CurvCoeffs:
         self.dx3 = g.dx3
         self.dtype = dtype
         self.zc = _zcart_factors(grid)  # cartesian z rows (rsph, gravity)
+        # raw padded cell-center coordinates (NOT the shifted recon rows):
+        # the Cartesian xyz gravity mode needs absolute positions
+        self.xyzc = (g.xv1, g.xv2, g.xv3)
         # --- fused diffusion (viscosity/conduction) coefficient rows -----
         self.diff = None
         if diff is not None:
+            if geo.is_cartesian(c):
+                # the coefficient models factor through the cylindrical
+                # radius, which is NOT (x)*(y)-separable on a Cartesian
+                # grid (Rcyl rows above are zeros there) — raise so the
+                # Driver falls back to the jnp diffusion pass
+                raise ValueError("fused diffusion rows are not separable "
+                                 "on Cartesian grids")
             for dp in (diff.visc, diff.cond):
                 if dp is not None and dp.kind not in _DIFF_KINDS:
                     raise ValueError(f"unsupported diffusion kind {dp.kind}")
@@ -419,6 +429,7 @@ class CurvCoeffs:
         ix["zhat_1"] = tuple(add(rows_x, None, zhat[c][0]) for c in range(3))
         ix["rcyl_1"] = add(rows_x, None, Rcyl[0])
         ix["zc_1"] = add(rows_x, None, self.zc[0])
+        ix["gx_1"] = add(rows_x, None, self.xyzc[0])
 
         # Y rows
         xv, xlo, xhi, dx = self.recon[2]
@@ -448,6 +459,7 @@ class CurvCoeffs:
         ix["zhat_2"] = tuple(add(rows_y, None, zhat[c][1]) for c in range(3))
         ix["rcyl_2"] = add(rows_y, None, Rcyl[1])
         ix["zc_2"] = add(rows_y, None, self.zc[1])
+        ix["gy_2"] = add(rows_y, None, self.xyzc[1])
 
         # Z rows
         xv, xlo, xhi, dx = self.recon[3]
@@ -460,6 +472,7 @@ class CurvCoeffs:
             ix[f"upd{d}_t3"] = add(rows_z, None, self.upd[d]["t3"])
         ix["inv_dx3"] = add(rows_z, None, 1.0 / self.dx3)
         ix["zc_3"] = add(rows_z, None, self.zc[2])
+        ix["gz_3"] = add(rows_z, None, self.xyzc[2])
 
         # diffusion rows (distance chords)
         if self.diff is not None:
@@ -480,9 +493,13 @@ class CurvCoeffs:
 # kernel
 # ---------------------------------------------------------------------------
 
-def _plm_g(q, axis, lo, count, xv, xlo, xhi, dx, pcm):
+def _plm_g(q, axis, lo, count, xv, xlo, xhi, dx, pcm, uniform=False):
     """Mignone PLM L/R face states along ``axis`` for faces [lo, lo+count);
-    the coordinate rows are 1-D jnp arrays aligned with q's axis extent."""
+    the coordinate rows are 1-D jnp arrays aligned with q's axis extent.
+    ``uniform=True`` (Cartesian grids) uses the uniform-limiter PLM
+    (plm.hpp:31-47 form, matching ops/recon.py plm_uniform op-for-op) —
+    algebraically the Mignone limiter's uniform-spacing reduction, minus
+    the coordinate-ratio arithmetic."""
 
     def sl(a, start, num):
         s = [slice(None)] * a.ndim
@@ -506,6 +523,15 @@ def _plm_g(q, axis, lo, count, xv, xlo, xhi, dx, pcm):
     qm = sl(q, 0, n - 2)
     q0 = sl(q, 1, n - 2)
     qp = sl(q, 2, n - 2)
+    if uniform:
+        dql = q0 - qm
+        dqr = qp - q0
+        dq2 = dql * dqr
+        denom = jnp.where(dq2 > 0.0, dql + dqr, 1.0)
+        dqm_ = jnp.where(dq2 > 0.0, dq2 / denom, 0.0)
+        ql = q0 + dqm_
+        qr = q0 - dqm_
+        return sl(ql, lo - 2, count), sl(qr, lo - 1, count)
     xvm = bc(rsl(xv, 0, n - 2))
     xv0 = bc(rsl(xv, 1, n - 2))
     xvp = bc(rsl(xv, 2, n - 2))
@@ -538,7 +564,7 @@ def _stage_kernel_curv(bdt_ref, gdt_ref, u0_ref, u1_ref, wp_hbm, cx_ref,
                        *, ng, nx, tz, ty, active_z, pcm, gamma, gam0, gam1,
                        dfloor, siefloor, de_switch, ix, full, x1dep, x2dep,
                        has_rot, rf_omega, rsolver="hllc", diff=None, cv=1.5,
-                       grav=None):
+                       grav=None, cart=False):
     """Padded-array frontend: each block DMAs its ghost-filled slab."""
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -556,13 +582,14 @@ def _stage_kernel_curv(bdt_ref, gdt_ref, u0_ref, u1_ref, wp_hbm, cx_ref,
                dfloor=dfloor, siefloor=siefloor, de_switch=de_switch, ix=ix,
                full=full, x1dep=x1dep, x2dep=x2dep, has_rot=has_rot,
                rf_omega=rf_omega, rsolver=rsolver, diff=diff, cv=cv,
-               grav=grav)
+               grav=grav, cart=cart)
 
 
 def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
                u_ref, w_ref, dm_ref, *, ng, nx, tz, ty, active_z, pcm, gamma,
                gam0, gam1, dfloor, siefloor, de_switch, ix, full, x1dep,
-               x2dep, has_rot, rf_omega, rsolver, diff, cv, grav):
+               x2dep, has_rot, rf_omega, rsolver, diff, cv, grav,
+               cart=False):
     """The fused stage math on an assembled VMEM slab ``s``
     ([6, zsz, ty+4, >=nx+2ng])."""
     i = pl.program_id(0)
@@ -626,35 +653,39 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
     # ---- X sweep -----------------------------------------------------
     wx = s[:, zc, 2:2 + ty, :]
     xv, xlo, xhi, dxr = (rx(k) for k in ix["recon1"])
-    wl, wr = _plm_g(wx, 3, ng, nx + 1, xv, xlo, xhi, dxr, pcm)
+    wl, wr = _plm_g(wx, 3, ng, nx + 1, xv, xlo, xhi, dxr, pcm, uniform=cart)
     Fx, pfx, vfx = hllc6(wl, wr, 1)
     # momentum-flux scaling at x faces: fh = f1(face) * f2(ycell)
-    f2y = {c: b2(ry(ix[f"fh1_2"][c])) for c in range(3)}
-    for c in range(3):
-        f1 = rx(ix["fh1_1"][c])  # lower-face cell-indexed: face f -> [f]
-        fh = b1(f1[ng:ng + nx + 1]) * f2y[c]
-        Fx[1 + c] = Fx[1 + c] * fh
+    # (unit rows on Cartesian grids -- skipped there)
+    if not cart:
+        f2y = {c: b2(ry(ix[f"fh1_2"][c])) for c in range(3)}
+        for c in range(3):
+            f1 = rx(ix["fh1_1"][c])  # lower-face cell-indexed: face f -> [f]
+            fh = b1(f1[ng:ng + nx + 1]) * f2y[c]
+            Fx[1 + c] = Fx[1 + c] * fh
 
     # ---- Y sweep -----------------------------------------------------
     wy = s[:, zc, :, ng:ng + nx]
     yv, ylo, yhi, dyr = (ry_pad(k) for k in ix["recon2"])
-    wl, wr = _plm_g(wy, 2, 2, ty + 1, yv, ylo, yhi, dyr, pcm)
+    wl, wr = _plm_g(wy, 2, 2, ty + 1, yv, ylo, yhi, dyr, pcm, uniform=cart)
     Fy, pfy, vfy = hllc6(wl, wr, 2)
-    for c in range(3):
-        f1 = b1(rx(ix[f"fh2_1"][c])[ng:ng + nx])
-        f2full = cyw_ref[0, ix[f"fh2_2"][c], 2:2 + ty + 1]
-        Fy[1 + c] = Fy[1 + c] * (f2full.reshape(1, -1, 1) * f1)
+    if not cart:
+        for c in range(3):
+            f1 = b1(rx(ix[f"fh2_1"][c])[ng:ng + nx])
+            f2full = cyw_ref[0, ix[f"fh2_2"][c], 2:2 + ty + 1]
+            Fy[1 + c] = Fy[1 + c] * (f2full.reshape(1, -1, 1) * f1)
 
     # ---- Z sweep -----------------------------------------------------
     if active_z:
         wz = s[:, :, 2:2 + ty, ng:ng + nx]
         zv, zlo, zhi, dzr = (rz_pad(k) for k in ix["recon3"])
-        wl, wr = _plm_g(wz, 1, 2, tz + 1, zv, zlo, zhi, dzr, pcm)
+        wl, wr = _plm_g(wz, 1, 2, tz + 1, zv, zlo, zhi, dzr, pcm, uniform=cart)
         Fz, pfz, vfz = hllc6(wl, wr, 3)
-        for c in range(3):
-            fh3 = b1(rx(ix[f"fh3_1"][c])[ng:ng + nx]) \
-                * b2(ry(ix[f"fh3_2"][c]))
-            Fz[1 + c] = Fz[1 + c] * fh3
+        if not cart:
+            for c in range(3):
+                fh3 = b1(rx(ix[f"fh3_1"][c])[ng:ng + nx]) \
+                    * b2(ry(ix[f"fh3_2"][c]))
+                Fz[1 + c] = Fz[1 + c] * fh3
 
     # ---- update: divF with exact A/V factors --------------------------
     u0 = u0_ref[...]
@@ -778,12 +809,22 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
     # -gm r_vec / norm, decomposed onto the problem basis from separable
     # Rcyl/z and R-hat/z-hat rows; gdt carries the tstart/tstop window.
     if grav is not None:
-        gm_, soft2_, gmode = grav
+        gm_, soft2_, gmode, gpos = grav
         gdt = gdt_ref[0]
-        Rc_i = b1(rx(ix["rcyl_1"])[ng:ng + nx]) * b2(ry(ix["rcyl_2"]))
-        zc_i = b1(rx(ix["zc_1"])[ng:ng + nx]) * b2(ry(ix["zc_2"])) \
-            * b3(rz(ix["zc_3"]))
-        r2 = Rc_i * Rc_i + zc_i * zc_i
+        if gmode == "xyz":
+            # Cartesian-grid point mass at any position: r_vec directly
+            # from the (trivially separable) raw coordinate rows
+            # (the recon rows are xv[0]-shifted and unusable as absolute
+            # positions; point_mass.cpp Cartesian branch analogue)
+            xr = b1(rx(ix["gx_1"])[ng:ng + nx]) - gpos[0]
+            yr = b2(ry(ix["gy_2"])) - gpos[1]
+            zr = b3(rz(ix["gz_3"])) - gpos[2]
+            r2 = xr * xr + yr * yr + zr * zr
+        else:
+            Rc_i = b1(rx(ix["rcyl_1"])[ng:ng + nx]) * b2(ry(ix["rcyl_2"]))
+            zc_i = b1(rx(ix["zc_1"])[ng:ng + nx]) * b2(ry(ix["zc_2"])) \
+                * b3(rz(ix["zc_3"]))
+            r2 = Rc_i * Rc_i + zc_i * zc_i
         inv_r = jax.lax.rsqrt(r2)
         if gmode == "sph":
             # spherical/axisymmetric branch: g = -gm/(r^2+soft^2) r-hat
@@ -792,7 +833,7 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
             else:
                 gmag = -gm_ / (r2 + soft2_) * inv_r
         else:
-            # general (cylindrical-3D) branch: g = -gm r_vec/(r^2+soft^2)^1.5
+            # general branch: g = -gm r_vec/(r^2+soft^2)^1.5
             if soft2_ == 0.0:
                 gmag = (-gm_) * inv_r * inv_r * inv_r
             else:
@@ -801,15 +842,24 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
                 gmag = (-gm_) * irs * irs * irs
         wi_g = s[:, zc, 2:2 + ty, ng:ng + nx]
         rho_g = wi_g[0]
-        hx_g = [b1(rx(ix["hv_1"][c])[ng:ng + nx]) * b2(ry(ix["hv_2"][c]))
-                for c in range(3)]
         vdotg = 0.0
-        for c in range(3):
-            rh = b1(rx(ix["rhat_1"][c])[ng:ng + nx]) * b2(ry(ix["rhat_2"][c]))
-            zh = b1(rx(ix["zhat_1"][c])[ng:ng + nx]) * b2(ry(ix["zhat_2"][c]))
-            g_c = gmag * (Rc_i * rh + zc_i * zh)
-            u[1 + c] = u[1 + c] + gdt * rho_g * hx_g[c] * g_c
-            vdotg = vdotg + wi_g[1 + c] * g_c
+        if gmode == "xyz":
+            # unit basis + unit scale factors on Cartesian grids
+            for c, rvec in enumerate((xr, yr, zr)):
+                g_c = gmag * rvec
+                u[1 + c] = u[1 + c] + gdt * rho_g * g_c
+                vdotg = vdotg + wi_g[1 + c] * g_c
+        else:
+            hx_g = [b1(rx(ix["hv_1"][c])[ng:ng + nx])
+                    * b2(ry(ix["hv_2"][c])) for c in range(3)]
+            for c in range(3):
+                rh = b1(rx(ix["rhat_1"][c])[ng:ng + nx]) \
+                    * b2(ry(ix["rhat_2"][c]))
+                zh = b1(rx(ix["zhat_1"][c])[ng:ng + nx]) \
+                    * b2(ry(ix["zhat_2"][c]))
+                g_c = gmag * (Rc_i * rh + zc_i * zh)
+                u[1 + c] = u[1 + c] + gdt * rho_g * hx_g[c] * g_c
+                vdotg = vdotg + wi_g[1 + c] * g_c
         u[4] = u[4] + gdt * rho_g * vdotg
 
     # ---- fused viscous/thermal diffusion (Diffusion.fluxes/update,
@@ -1227,7 +1277,7 @@ def _stage_kernel_curv_gather(bdt_ref, gdt_ref, u0_ref, u1_ref, w_hbm,
                               tz, ty, active_z, pcm, gamma, gam0, gam1,
                               dfloor, siefloor, de_switch, ix, full, x1dep,
                               x2dep, has_rot, rf_omega, rsolver, diff, cv,
-                              grav):
+                              grav, cart=False):
     """In-kernel halo-gather frontend: consumes the UNPADDED interior
     primitives, wraps x3 periodically with modular DMAs and fills the
     x1/x2 ghosts from precomputed IC boundary strips — no padded array
@@ -1294,7 +1344,7 @@ def _stage_kernel_curv_gather(bdt_ref, gdt_ref, u0_ref, u1_ref, w_hbm,
                dfloor=dfloor, siefloor=siefloor, de_switch=de_switch, ix=ix,
                full=full, x1dep=x1dep, x2dep=x2dep, has_rot=has_rot,
                rf_omega=rf_omega, rsolver=rsolver, diff=diff, cv=cv,
-               grav=grav)
+               grav=grav, cart=cart)
 
 
 def _yst(ty: int) -> int:
@@ -1369,7 +1419,7 @@ def stage_curv_gather(w_int, u0, u1, grid, cfg, gam0, gam1, beta_dt,
         ix=ix, full=True, x1dep=coeffs.x1dep, x2dep=coeffs.x2dep,
         has_rot=any(np.any(f1 != 0) for f1, _ in coeffs.vrot),
         rf_omega=rf_omega, rsolver=cfg.rsolver, diff=diff_spec, cv=cfg.cv,
-        grav=grav)
+        grav=grav, cart=geo.is_cartesian(coeffs.coords))
     dt = wi.dtype
     zsz = tz + 4 if active_z else 1
     nyb = ny // TY
@@ -1488,7 +1538,7 @@ def stage_curv(w_pad, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
         x1dep=coeffs.x1dep, x2dep=coeffs.x2dep,
         has_rot=any(np.any(f1 != 0) for f1, _ in coeffs.vrot),
         rf_omega=rf_omega, rsolver=cfg.rsolver, diff=diff_spec, cv=cfg.cv,
-        grav=grav)
+        grav=grav, cart=geo.is_cartesian(coeffs.coords))
     dt = wp.dtype
     zsz = tz + 4 if active_z else 1
     # alignment pads (same scheme as the Cartesian kernel); skipped when
@@ -1567,7 +1617,10 @@ def supported_curv(grid, cfg) -> bool:
         on_tpu = jax.devices()[0].platform == "tpu" or _interpret_mode()
     except Exception:  # pragma: no cover
         return False
-    return (on_tpu and not geo.is_cartesian(grid.coords) and cfg is not None
+    # Cartesian grids are admitted too (geometry rows degenerate to units,
+    # uniform-limiter recon, xyz gravity): the Driver only routes them here
+    # when the dedicated source-free Cartesian kernel does not apply.
+    return (on_tpu and cfg is not None
             and cfg.fluid == "gas" and cfg.nspecies == 1
             and cfg.rsolver in ("hllc", "hlle") and cfg.recon in ("plm", "pcm")
             and grid.nghost == 2 and grid.nx[1] % TY == 0 and grid.nx[1] > 1
