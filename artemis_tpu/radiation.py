@@ -41,7 +41,7 @@ class RadiationCfg:
     kappa_s: float = 0.0              # gray scattering
     c_code: float = 1.0
     arad: float = 1.0
-    dt_rad: float = 1.0e300           # max radiation (and hence global) dt
+    dt_rad: float = 1.0e38            # max radiation (and hence global) dt
     cg_tol: float = 1.0e-10
     cg_maxiter: int = 200
 
@@ -67,8 +67,9 @@ def radiation_from_input(pin, constants, gas_cfg):
         c_code = constants.c_code
         arad = constants.ar_code
 
-    dt_rad = pin.get_or_add_real("jaybenne", "dt", 1.0e300) \
-        if pin.has_block("jaybenne") else 1.0e300
+    # f32-safe "no limit" sentinel (flows into jnp.minimum with an f32 dt)
+    dt_rad = min(1.0e38, pin.get_or_add_real("jaybenne", "dt", 1.0e38)) \
+        if pin.has_block("jaybenne") else 1.0e38
 
     return RadiationCfg(
         opacity_model=model, kappa_a=kappa_a, coef_kappa_a=coef,

@@ -18,7 +18,12 @@ import numpy as np
 
 from .geometry import geometry as geo
 
-BIG = 1.0e300
+# "always on" sentinel for tstart/tstop windows and damping-zone edges
+# (reference Big<Real>()).  Kept within float32 range: these values flow
+# into jnp comparisons whose other operand is f32 under
+# <artemis> precision=float32, and a 1e300 constant would emit an
+# overflow-on-cast warning (it still compares correctly as inf).
+BIG = 1.0e38
 
 
 def _interior_centers(grid):

@@ -87,6 +87,61 @@ def bench_disk(nsteps, reps):
                     nsteps, reps)
 
 
+def bench_rhd_amr(nsteps, reps):
+    """The literal north-star config (BASELINE.md): AMR disk RHD —
+    Cartesian Keplerian disk + static refinement patch + gray FLD
+    radiation, f32.  Rate counts every zone on every level (all levels
+    advance at the global dt, as in Parthenon)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from artemis_tpu.simulation import Simulation
+
+    deck = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "inputs", "disk_rhd_amr.in")
+    nx = int(os.environ.get("BENCH_RHD_NX", "128"))
+    ny = int(os.environ.get("BENCH_RHD_NY", "128"))
+    nz = int(os.environ.get("BENCH_RHD_NZ", "32"))
+    sim = Simulation(deck, overrides=[
+        "artemis/precision=float32",
+        f"parthenon/mesh/nx1={nx}",
+        f"parthenon/mesh/nx2={ny}",
+        f"parthenon/mesh/nx3={nz}",
+    ], data_dir="/tmp/bench_rhd")
+    drv = sim.driver
+    drv._ensure_states(sim.state)
+    smr, los = drv.smr, drv._los
+    dt = jnp.asarray(0.3 * float(drv.estimate_dt(sim.state)),
+                     dtype=jnp.float32)
+    zones = sum(int(np.prod(n.grid.nx)) for n in smr.nodes)
+
+    def multi(states, dt):
+        def body(s, _):
+            return smr._step(s, dt, jnp.asarray(0.0, dt.dtype), los,
+                             None), None
+        s, _ = lax.scan(body, states, None, length=nsteps)
+        return s
+
+    mstep = jax.jit(multi)
+
+    def drain(s):
+        return float(jnp.sum(s[0]["gas"]["u"][0, 0, 0, 0]))
+
+    states = mstep(drv._states, dt)
+    drain(states)
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        states = mstep(states, dt)
+        drain(states)
+        el = time.perf_counter() - t0
+        best = max(best, zones * nsteps / el)
+    rho = np.asarray(states[0]["gas"]["u"][0, 0])
+    assert np.all(np.isfinite(rho)), "rhd bench produced non-finite density"
+    return best
+
+
 def bench_cartesian(nsteps, reps):
     """Flagship Cartesian periodic box (fused whole-stage kernel)."""
     import jax.numpy as jnp
@@ -149,9 +204,21 @@ def main() -> int:
         print(f"# cartesian flagship (periodic box): {cart:.4e} z-c/s",
               file=sys.stderr)
 
-    primary = disk if disk is not None else cart
+    rhd = None
+    if which in ("both", "rhd") and not os.environ.get("BENCH_SKIP_RHD"):
+        try:
+            rhd = bench_rhd_amr(nsteps, reps)
+            print(f"# AMR disk RHD (north-star composition): "
+                  f"{rhd:.4e} z-c/s", file=sys.stderr)
+        except Exception as e:  # keep the primary metrics intact
+            print(f"# AMR disk RHD leg failed: {e!r}", file=sys.stderr)
+
+    primary = disk if disk is not None else (cart if cart is not None
+                                             else rhd)
     name = ("3D spherical viscous disk alpha+gravity+RF rk2+plm+hlle f32"
-            if disk is not None else "3D gas hydro rk2+plm+hllc f32")
+            if disk is not None else
+            "3D gas hydro rk2+plm+hllc f32" if cart is not None else
+            "AMR disk RHD: Cartesian disk + refinement + gray FLD, f32")
     out = {
         "metric": f"zone-cycles/sec/chip ({name})",
         "value": primary,
@@ -161,6 +228,9 @@ def main() -> int:
     if cart is not None and disk is not None:
         out["cartesian_value"] = cart
         out["cartesian_vs_baseline"] = cart / baseline
+    if rhd is not None:
+        out["rhd_amr_value"] = rhd
+        out["rhd_amr_vs_baseline"] = rhd / baseline
     print(json.dumps(out), flush=True)
     return 0
 

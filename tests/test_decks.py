@@ -118,3 +118,26 @@ def test_disk_collision(tmp_path):
     w = np.asarray(sim.state["gas"]["w"][0])
     assert not np.isnan(w).any()
     assert (w[0] > 0).all()
+
+
+def test_disk_rhd_amr(tmp_path):
+    """North-star composition (BASELINE.md): Cartesian Keplerian disk +
+    static refinement patch + gray FLD radiation.  The radiative disk must
+    hold its rotational equilibrium (disk.py:42-class threshold) with the
+    per-level radiation solves active, and Er must stay finite/positive."""
+    deck = os.path.join(INP, "disk_rhd_amr.in")
+    sim = Simulation(deck, overrides=[
+        "parthenon/time/nlim=5",
+        "parthenon/mesh/nx1=64",
+        "parthenon/mesh/nx2=64",
+        "parthenon/mesh/nx3=16",
+    ], data_dir=str(tmp_path))
+    w0 = np.asarray(sim.problem.prims["gas"][0]).copy()
+    sim.run()
+    w = np.asarray(sim.state["gas"]["w"][0])
+    assert np.isfinite(w).all()
+    d0, d = w0[0], w[0]
+    err = np.sqrt((d0 * (d - d0) ** 2).sum()) / d0.sum()
+    assert err <= 6e-3, f"disk_rhd_amr err {err:g}"
+    Er = np.asarray(sim.state["rad"]["Er"])
+    assert np.isfinite(Er).all() and (Er > 0).all()
