@@ -248,20 +248,28 @@ class Radiation:
             p = r
             rs = self._psum(jnp.sum(r * r))
             bb = self._psum(jnp.sum(b * b))
+            # dtype-aware tolerance: under <artemis> precision=float32 the
+            # deck default 1e-10 sits far below f32 roundoff, so an
+            # unclamped tolerance would burn cg_maxiter iterations on
+            # every radiation step; ~50*eps is the reliably reachable
+            # relative-residual floor.
+            fi = jnp.finfo(b.dtype)
+            tol = max(self.cfg.cg_tol, 50.0 * float(fi.eps))
+            tiny = float(fi.tiny)
 
             def body(carry):
                 x, r, p, rs, it = carry
                 Ap = matvec(p)
-                alpha = rs / jnp.maximum(self._psum(jnp.sum(p * Ap)), 1e-300)
+                alpha = rs / jnp.maximum(self._psum(jnp.sum(p * Ap)), tiny)
                 x = x + alpha * p
                 r = r - alpha * Ap
                 rs_new = self._psum(jnp.sum(r * r))
-                p = r + (rs_new / jnp.maximum(rs, 1e-300)) * p
+                p = r + (rs_new / jnp.maximum(rs, tiny)) * p
                 return (x, r, p, rs_new, it + 1)
 
             def cond(carry):
                 _, _, _, rs_c, it = carry
-                return jnp.logical_and(rs_c > self.cfg.cg_tol**2 * bb,
+                return jnp.logical_and(rs_c > tol * tol * bb,
                                        it < self.cfg.cg_maxiter)
 
             x, *_ = lax.while_loop(cond, body, (x0, r, p, rs, 0))
