@@ -394,6 +394,11 @@ class CurvCoeffs:
         CZ [*, n3] (f32) + an index map."""
         rows_x, rows_y, rows_z = [], [], []
         ix = {}
+        # raw-coordinate rows exist only for the Cartesian xyz gravity
+        # mode; on curvilinear grids they would also break the sharded
+        # rows-identical-across-shards reuse check (absolute coordinates
+        # are not translation-invariant)
+        cart_rows = geo.is_cartesian(self.coords)
 
         def add(rows, key, arr):
             rows.append(np.asarray(arr, self.dtype))
@@ -429,7 +434,8 @@ class CurvCoeffs:
         ix["zhat_1"] = tuple(add(rows_x, None, zhat[c][0]) for c in range(3))
         ix["rcyl_1"] = add(rows_x, None, Rcyl[0])
         ix["zc_1"] = add(rows_x, None, self.zc[0])
-        ix["gx_1"] = add(rows_x, None, self.xyzc[0])
+        if cart_rows:
+            ix["gx_1"] = add(rows_x, None, self.xyzc[0])
 
         # Y rows
         xv, xlo, xhi, dx = self.recon[2]
@@ -459,7 +465,8 @@ class CurvCoeffs:
         ix["zhat_2"] = tuple(add(rows_y, None, zhat[c][1]) for c in range(3))
         ix["rcyl_2"] = add(rows_y, None, Rcyl[1])
         ix["zc_2"] = add(rows_y, None, self.zc[1])
-        ix["gy_2"] = add(rows_y, None, self.xyzc[1])
+        if cart_rows:
+            ix["gy_2"] = add(rows_y, None, self.xyzc[1])
 
         # Z rows
         xv, xlo, xhi, dx = self.recon[3]
@@ -472,7 +479,8 @@ class CurvCoeffs:
             ix[f"upd{d}_t3"] = add(rows_z, None, self.upd[d]["t3"])
         ix["inv_dx3"] = add(rows_z, None, 1.0 / self.dx3)
         ix["zc_3"] = add(rows_z, None, self.zc[2])
-        ix["gz_3"] = add(rows_z, None, self.xyzc[2])
+        if cart_rows:
+            ix["gz_3"] = add(rows_z, None, self.xyzc[2])
 
         # diffusion rows (distance chords)
         if self.diff is not None:
