@@ -41,9 +41,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import bc as bc_mod
-from .driver import Integrator, SimTime, nbody_coeffs
+from .driver import Integrator, SimTime, curv_point_grav, nbody_coeffs
 from .grid import Grid
 from .geometry import geometry as geo
+from .ops import recon as recon_mod
+from .ops import riemann as riemann_mod
 from .ops.hydro import FluidCfg, Hydro
 
 
@@ -188,6 +190,61 @@ def _fine_centroid_row(fg: Grid, d: int, nextra: int):
     if d == 2:
         return geo._centroid_x2(fg.coords, xm, xp)
     return 0.5 * (xm + xp)
+
+
+def _slab_face_flux(wp, grid, d, fi, tlo, tn, cfg, force_pcm):
+    """Hydro flux at the single interior-face plane ``fi`` along direction
+    ``d`` over a transverse window (interior cells ``[tlo, tlo+tn)`` on the
+    other axes), recomputed on a 4-cell jnp slab of the padded primitives.
+
+    The fused whole-stage kernel does not expose its internal fluxes; the
+    fused AMR stage rebuilds the coarse/fine interface plane fluxes with
+    this helper to apply the conservation (flux-correction) delta after the
+    kernel's update.  PLM/PCM uniform-limiter stencils only (the fused AMR
+    path is gated to Cartesian trees).  ``fi``/``tlo`` may be traced
+    (adaptive patch moves)."""
+    ng = grid.ng
+    nd = wp.ndim
+    starts = [0] * (nd - 3)
+    sizes = list(wp.shape[:-3])
+    for i in range(3):          # array order z, y, x
+        dd = 3 - i              # coordinate direction 3, 2, 1
+        if dd == d:
+            starts.append(ng[dd - 1] + fi - 2)
+            sizes.append(4)
+        elif grid.nx[dd - 1] > 1:
+            starts.append(ng[dd - 1] + tlo[dd - 1])
+            sizes.append(int(tn[dd - 1]))
+        else:
+            starts.append(0)
+            sizes.append(1)
+    starts = tuple(jnp.asarray(s, jnp.int32) for s in starts)
+    slab = jax.lax.dynamic_slice(wp, starts, tuple(sizes))
+    method = "pcm" if force_pcm else cfg.recon
+    if method == "pcm":
+        wl, wr = recon_mod.pcm(slab, d)
+    else:
+        wl, wr = recon_mod.plm_uniform(slab, d)
+    sl = [slice(None)] * nd
+    sl[nd - d] = slice(2, 3)    # the face between slab cells 1 and 2 = fi
+    F, _, _ = riemann_mod.solve(wl[tuple(sl)], wr[tuple(sl)], d,
+                                cfg.fluid, cfg.rsolver, cfg.gamma)
+    return F
+
+
+def _restrict_face_mean(F, d, active):
+    """Pool a fine face-plane flux down to the parent faces (mean over the
+    2x transverse fine faces; Cartesian restriction, matching
+    _Node.flux_correct's non-curvilinear branch)."""
+    for c in (3, 2, 1):
+        if c == d or not active[c - 1]:
+            continue
+        ax = F.ndim - c
+        shp = list(F.shape)
+        shp[ax] //= 2
+        shp.insert(ax + 1, 2)
+        F = F.reshape(shp).mean(axis=ax + 1)
+    return F
 
 
 class _Node:
@@ -543,11 +600,222 @@ class MultiLevelSMR:
 
     # -- compiled step ----------------------------------------------------
     def _compile(self):
+        self._fused = self._fused_setup()
         self._stage_jits = [jax.jit(self._make_stage(s))
                             for s in range(1, self.integ.nstages + 1)] \
             if self.nbody is not None else None
         self._step = jax.jit(self._build_step())
         self._dt = jax.jit(self._estimate_dt)
+
+    # -- fused whole-stage fast path --------------------------------------
+    _fused_ok = True   # ShardedSMR disables (kernel + replicated scatters
+    #                    under shard_map is a separate composition)
+
+    def _fused_setup(self):
+        """Per-node coefficient bundles for the fused whole-stage Pallas
+        kernel (`ops/pallas_stage_curv`), or None when any node, source, or
+        config falls outside the kernel envelope — the stage then runs the
+        jnp path.  Gating mirrors Driver.__init__'s (driver.py): gas-only,
+        foldable sources (non-shearing RotatingFrame torque + one central
+        point-mass Gravity), diffusion with separable coefficient rows.
+        The rim-delta flux recomputation uses the uniform-limiter slab
+        path, so the fused AMR stage is additionally gated to Cartesian
+        trees (the north-star AMR disk RHD deck; radiation is
+        Cartesian-only in the reference, src/artemis.cpp:113-114)."""
+        if not self._fused_ok or self.dust_cfg is not None \
+                or self.nbody is not None:
+            return None
+        from .ops import pallas_stage_curv as _psc
+        from .sources import RotatingFrame as _RF
+
+        bundles = []
+        for node in self.nodes:
+            if node.curv or not _psc.supported_curv(node.grid, self.cfg):
+                return None
+            flux_srcs = [s for s in node.sources
+                         if getattr(s, "uses_fluxes", False)]
+            if not all(isinstance(s, _RF) and not s.shearing_box
+                       for s in flux_srcs):
+                return None
+            rest = [s for s in node.sources if s not in flux_srcs]
+            gspec = None
+            for s in list(rest):
+                spec = curv_point_grav(node.grid, s)
+                if spec is not None:
+                    gspec = spec
+                    rest.remove(s)
+                    break
+            if rest:
+                return None
+            try:
+                co = _psc.CurvCoeffs(node.grid, self.omf, dtype=np.float32,
+                                     diff=node.diffusion)
+            except ValueError:
+                return None
+            bundles.append((co, co.pack(),
+                            flux_srcs[0].omega if flux_srcs else 0.0, gspec))
+        return bundles
+
+    def _apply_rim_delta(self, u_p, node, los, wp_par, wp_fine, bdt,
+                         force_pcm):
+        """Conservation fix-up on the parent's fused update: at every
+        coarse-fine interface plane, replace the parent's own flux with the
+        pooled fine flux by adding the delta through the divergence term
+        (the pre-update flux replacement of _Node.flux_correct, recast as
+        a post-update correction of the two adjacent coarse cell rows)."""
+        cfg = self.cfg
+        hc = self._ic_hydro(node.parent)
+        pgrid = node.parent.grid
+        lo = los[node.index]
+        active = node.active
+        dt = u_p.dtype
+        for d in hc.dims:
+            if node.wrap[d - 1]:
+                continue            # full-span periodic axis: no C-F faces
+            for side in (0, 1):
+                fi_c = lo[d - 1] + side * node.n[d - 1]
+                fi_f = side * 2 * node.n[d - 1]
+                Fc = _slab_face_flux(wp_par, pgrid, d, fi_c, lo, node.n,
+                                     cfg, force_pcm)
+                Ff = _slab_face_flux(wp_fine, node.grid, d, fi_f,
+                                     (0, 0, 0), node.grid.nx, cfg, force_pcm)
+                dF = (_restrict_face_mean(Ff, d, active) - Fc).astype(dt)
+                # bdt * A_face / V of the two adjacent coarse cells
+                fstarts, fsizes = [], []
+                cstarts, csizes = [], []
+                for i in range(3):
+                    dd = 3 - i
+                    if dd == d:
+                        fstarts.append(fi_c)
+                        fsizes.append(1)
+                        cstarts.append(fi_c - 1)
+                        csizes.append(2)
+                    elif active[dd - 1]:
+                        fstarts.append(lo[dd - 1])
+                        fsizes.append(node.n[dd - 1])
+                        cstarts.append(lo[dd - 1])
+                        csizes.append(node.n[dd - 1])
+                    else:
+                        fstarts.append(0)
+                        fsizes.append(1)
+                        cstarts.append(0)
+                        csizes.append(1)
+                Aface = jax.lax.dynamic_slice(
+                    jnp.asarray(hc.area[d]),
+                    tuple(jnp.asarray(s, jnp.int32) for s in fstarts),
+                    tuple(fsizes))
+                Vcells = jax.lax.dynamic_slice(
+                    jnp.asarray(hc.vol),
+                    tuple(jnp.asarray(s, jnp.int32) for s in cstarts),
+                    tuple(csizes))
+                scale = (bdt * Aface / Vcells).astype(dt)
+                # cell fi_c-1 sees the plane as its UPPER face (-A F dt/V),
+                # cell fi_c as its LOWER face (+A F dt/V); covered cells are
+                # overwritten by the subsequent restriction
+                du = jnp.concatenate([-dF, dF], axis=-d) * scale
+                ustarts = [0] * (u_p.ndim - 3) + cstarts
+                ustarts = tuple(jnp.asarray(s, jnp.int32) for s in ustarts)
+                usizes = tuple(u_p.shape[:-3]) + tuple(csizes)
+                region = jax.lax.dynamic_slice(u_p, ustarts, usizes)
+                u_p = jax.lax.dynamic_update_slice(u_p, region + du, ustarts)
+        return u_p
+
+    def _stage_fused(self, states, u1s, dt, time, stage, los, particles):
+        """One RK stage on the fused whole-stage kernel: every node's gas
+        stage (fluxes + update + folded sources + dual energy + C2P/P2C)
+        is one Pallas VMEM pass; coarse-fine conservation lands as rim
+        deltas + restriction on the parents afterwards."""
+        from .ops import pallas_stage_curv as _psc
+
+        integ = self.integ
+        gam0 = integ.gam0[stage - 1]
+        gam1 = integ.gam1[stage - 1]
+        # under x64 (tests) traced dt/time are f64; the kernel states are
+        # f32 — cast the scalars or every product promotes
+        dt = jnp.asarray(dt, jnp.float32)
+        time = jnp.asarray(time, jnp.float32)
+        bdt = integ.beta[stage - 1] * dt
+        force_pcm = (integ.name == "vl2") and stage == 1
+
+        # 1. ghost fill (parents before children: prolongation reads the
+        # parent's stage-entry prims)
+        wpads = []
+        for node in self.nodes:
+            w = states[node.index]["gas"]["w"]
+            if node.parent is None:
+                wpads.append(self._root_fill(w, node, "gas"))
+            else:
+                wpads.append(node.fill_fine_ghosts(
+                    w, self._parent_arr(states, node, "gas", "w"),
+                    los[node.index]))
+
+        # 2. fused stage per node
+        new_states = []
+        for node, (co, packed, rf_omega, gspec) in zip(self.nodes,
+                                                       self._fused):
+            i = node.index
+            grav = None
+            grav_dt = 0.0
+            if gspec is not None:
+                gm_, soft2_, gmode, gpos, tstart, tstop = gspec
+                grav = (gm_, soft2_, gmode, gpos)
+                tstart = float(np.clip(tstart, -1e38, 1e38))
+                tstop = float(np.clip(tstop, -1e38, 1e38))
+                grav_dt = jnp.where(
+                    jnp.logical_and(time >= tstart, time < tstop), bdt, 0.0)
+            # under x64, initialize/P2C promote u to f64 (f64 geometry
+            # constants) while w stays f32 — the kernel runs in the prim
+            # dtype
+            kdt = wpads[i].dtype
+            u, w, _ = _psc.stage_curv(
+                wpads[i], states[i]["gas"]["u"].astype(kdt),
+                u1s[i]["gas"].astype(kdt), node.grid,
+                self.cfg, gam0, gam1, bdt, force_pcm, co, packed, full=True,
+                rf_omega=rf_omega, grav=grav, grav_dt=grav_dt)
+            st = {"gas": {"u": u, "w": w}}
+            if "rad" in states[i]:
+                st["rad"] = states[i]["rad"]
+            new_states.append(st)
+
+        # 3. interface deltas + restriction, deepest parents first (a middle
+        # node's u is final before it restricts into ITS parent).  The
+        # dual-energy switch re-runs after the rim deltas and before the
+        # restriction — the jnp stage's ordering (flux-correct -> update ->
+        # set_auxiliary -> restrict); set_auxiliary only rewrites the eint
+        # row from the others and is idempotent, so re-applying it on the
+        # kernel's already-switched interior is exact away from the rim.
+        parents = [nd for nd in reversed(self.nodes) if nd.children]
+        for pnode in parents:
+            p = pnode.index
+            u_p = new_states[p]["gas"]["u"]
+            for child in pnode.children:
+                u_p = self._apply_rim_delta(u_p, child, los, wpads[p],
+                                            wpads[child.index], bdt,
+                                            force_pcm)
+            u_p = pnode.hydro.set_auxiliary(u_p, self.cfg).astype(u_p.dtype)
+            for child in pnode.children:
+                u_p = self._restrict_into(
+                    child, u_p,
+                    restrict_average(new_states[child.index]["gas"]["u"],
+                                     child.active,
+                                     volf=child.volf).astype(u_p.dtype),
+                    los[child.index])
+            new_states[p]["gas"]["u"] = u_p
+
+        # 4. re-sync prims on parents (their rim/covered cells changed
+        # after the kernel's in-pass C2P).  No set_auxiliary here: the
+        # dual-energy switch already ran in-kernel BEFORE restriction (the
+        # jnp stage's ordering); re-switching the restricted averages would
+        # diverge from it in covered cells.
+        for node in self.nodes:
+            if not node.children:
+                continue
+            i = node.index
+            kdt = new_states[i]["gas"]["w"].dtype
+            w = node.hydro.cons_to_prim(new_states[i]["gas"]["u"], self.cfg)
+            u, w = node.hydro.prim_to_cons(w, self.cfg)
+            new_states[i]["gas"] = {"u": u.astype(kdt), "w": w.astype(kdt)}
+        return new_states, None
 
     def _make_stage(self, stage):
         def fn(states, u1s, dt, time, los, particles):
@@ -571,6 +839,10 @@ class MultiLevelSMR:
         return mask
 
     def _stage(self, states, u1s, dt, time, stage, los, particles):
+        if self._fused is not None \
+                and states[0]["gas"]["w"].dtype == jnp.float32:
+            return self._stage_fused(states, u1s, dt, time, stage, los,
+                                     particles)
         integ = self.integ
         gam0 = integ.gam0[stage - 1]
         gam1 = integ.gam1[stage - 1]

@@ -66,6 +66,37 @@ class Integrator:
 SourceFn = Callable[..., Dict]
 
 
+def curv_point_grav(grid, s_):
+    """Fold spec for a central point-mass Gravity source in the fused
+    curvilinear stage kernel: ``(gm, soft2, gmode, pos, tstart, tstop)``,
+    or None when the source/geometry falls outside the kernel's gravity
+    envelope (cf. the reference's point-mass branches,
+    src/pgen/../gravity/point_mass.cpp:70-105)."""
+    from .geometry import geometry as _geo
+    from .sources import Gravity as _Gravity
+
+    if not (isinstance(s_, _Gravity) and s_.gtype == "point"
+            and (s_.sink_rate <= 0.0 or s_.sink_rad <= 0.0)):
+        return None
+    c_ = grid.coords
+    if (_geo.is_spherical(c_) and _geo.is_axisymmetric(c_)) \
+            or c_ == "axisymmetric":
+        # pure-radial branches (point_mass.cpp:70-105)
+        gmode = "sph"
+    elif (c_ in ("spherical3D", "cylindrical")
+          and grid.nx[1] > 1 and grid.nx[2] > 1
+          and s_.pos == (0.0, 0.0, 0.0)):
+        # general cartesian branch at the origin
+        gmode = "cart"
+    elif _geo.is_cartesian(c_):
+        # Cartesian grid: r_vec from the coordinate rows directly; any
+        # mass position works (the offset folds into constants)
+        gmode = "xyz"
+    else:
+        return None
+    return (s_.gm, s_.soft2, gmode, tuple(s_.pos), s_.tstart, s_.tstop)
+
+
 def nbody_coeffs(integ: Integrator, dt: float):
     """Derived stage-consistent N-body coupling integrator from the hydro
     low-storage coefficients (artemis_driver.cpp:71-87)."""
@@ -186,37 +217,13 @@ class Driver:
                                    if s_ not in flux_srcs]
                 # fold a central point-mass gravity into the kernel
                 # (sources.Gravity gtype=point at the origin, no sink)
-                from .geometry import geometry as _geo
-                from .sources import Gravity as _Gravity
-
                 self._curv_grav = None
                 if dust_cfg is None:
                     for s_ in list(self._curv_srcs):
-                        if not (isinstance(s_, _Gravity)
-                                and s_.gtype == "point"
-                                and (s_.sink_rate <= 0.0
-                                     or s_.sink_rad <= 0.0)):
+                        spec = curv_point_grav(grid, s_)
+                        if spec is None:
                             continue
-                        c_ = grid.coords
-                        if (_geo.is_spherical(c_)
-                                and _geo.is_axisymmetric(c_)) \
-                                or c_ == "axisymmetric":
-                            # pure-radial branches (point_mass.cpp:70-105)
-                            gmode = "sph"
-                        elif (c_ in ("spherical3D", "cylindrical")
-                              and grid.nx[1] > 1 and grid.nx[2] > 1
-                              and s_.pos == (0.0, 0.0, 0.0)):
-                            # general cartesian branch at the origin
-                            gmode = "cart"
-                        elif _geo.is_cartesian(c_):
-                            # Cartesian grid: r_vec from the coordinate
-                            # rows directly; any mass position works
-                            # (the offset folds into constants)
-                            gmode = "xyz"
-                        else:
-                            continue
-                        self._curv_grav = (s_.gm, s_.soft2, gmode,
-                                           tuple(s_.pos), s_.tstart, s_.tstop)
+                        self._curv_grav = spec
                         self._curv_srcs.remove(s_)
                         break
                 self._curv_full = dust_cfg is None and not self._curv_srcs

@@ -37,6 +37,10 @@ class ShardedSMR(MultiLevelSMR):
     """MultiLevelSMR whose step runs under shard_map over a 1-D device
     mesh; every node (root + patches) is sharded along ``axis``."""
 
+    _fused_ok = False  # fused whole-stage kernel + replicated-patch global
+    #                    scatters under shard_map: separate composition,
+    #                    the sharded tree runs the jnp stage
+
     def __init__(self, global_grid: Grid, integrator: Integrator, gas_cfg,
                  dust_cfg=None, sources_factory=None, diffusion_factory=None,
                  bc_custom=None, omf: float = 0.0,
@@ -336,6 +340,7 @@ class ShardedSMR(MultiLevelSMR):
 
     def _compile(self):
         spec = self._spec()
+        self._fused = None   # _fused_ok = False; jnp stage under shard_map
         self._stage_jits = None
         if self.nbody is not None:
             self._stage_jits = [jax.jit(jax.shard_map(
