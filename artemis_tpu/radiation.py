@@ -207,58 +207,59 @@ class Radiation:
         lam = (2.0 + R) / (6.0 + 3.0 * R + R * R)  # Levermore-Pomraning
         Dcell = cfg.c_code * lam / (chi + 1e-300)
 
-        def matvec(E, inhomog=False):
-            """(I - dt div D grad) E; zero-flux outer boundaries, or
-            Dirichlet ghost planes where ``ghosts`` provides them.  The
-            affine ghost contribution enters the RHS via
-            ``matvec(0, inhomog=True)``."""
-            out = E
-            for d in self.dims:
-                w = jnp.asarray(self.widths[d - 1])
-                # face D: harmonic-free arithmetic average of neighbors
-                D_hi = 0.5 * (Dcell + self._shift(Dcell, d, 1))
-                D_lo = 0.5 * (Dcell + self._shift(Dcell, d, -1))
-                F_hi = D_hi * (self._shift(E, d, 1) - E) / w
-                F_lo = D_lo * (E - self._shift(E, d, -1)) / w
-                first, last = self._edge_masks(E, d)
-                if ghosts is not None and d in ghosts:
-                    # one-sided D at the patch boundary faces; the ghost
-                    # value is the affine part (zero in the CG operator)
-                    eg_lo, eg_hi = ghosts[d]
-                    eg = (eg_lo, eg_hi) if inhomog else (0.0, 0.0)
-                    F_hi = jnp.where(last, Dcell * (eg[1] - E) / w, F_hi)
-                    F_lo = jnp.where(first, Dcell * (E - eg[0]) / w, F_lo)
-                else:
-                    # zero-flux at the physical domain edges
-                    F_hi = jnp.where(last, 0.0, F_hi)
-                    F_lo = jnp.where(first, 0.0, F_lo)
-                out = out - dt * (F_hi - F_lo) / w
-            return out
-
-        # Jacobi diagonal of the CG operator (preconditioner): the
-        # coefficient of E in matvec(E) — 1 + sum_d dt*(D_hi+D_lo)/w^2
-        # with the same boundary-face masking as the operator.
-        diag = jnp.ones_like(Er_ex)
+        # Face coefficients of the operator (I - dt div D grad), hoisted
+        # out of the CG loop: DH/DL fold the arithmetic face average, the
+        # boundary masking, and the 1/w^2 factors.  At zero-flux edges the
+        # face coefficient is 0 (which also kills the wrapped roll plane);
+        # at Dirichlet (AMR ghost) faces it is the one-sided Dcell/w^2 and
+        # ZH/ZL zero the wrapped neighbor value in the homogeneous
+        # operator (the ghost values enter the RHS below).
+        DH, DL, ZH, ZL = {}, {}, {}, {}
         for d in self.dims:
             w = jnp.asarray(self.widths[d - 1])
             D_hi = 0.5 * (Dcell + self._shift(Dcell, d, 1))
             D_lo = 0.5 * (Dcell + self._shift(Dcell, d, -1))
-            first, last = self._edge_masks(Er_ex, d)
+            first, last = self._edge_masks(Dcell, d)
             if ghosts is not None and d in ghosts:
                 D_hi = jnp.where(last, Dcell, D_hi)
                 D_lo = jnp.where(first, Dcell, D_lo)
+                ZH[d] = jnp.where(last, 0.0, 1.0)
+                ZL[d] = jnp.where(first, 0.0, 1.0)
             else:
                 D_hi = jnp.where(last, 0.0, D_hi)
                 D_lo = jnp.where(first, 0.0, D_lo)
-            diag = diag + dt * (D_hi + D_lo) / (w * w)
+                ZH[d] = ZL[d] = None
+            iw2 = 1.0 / (w * w)
+            DH[d] = D_hi * iw2
+            DL[d] = D_lo * iw2
+
+        def matvec(E):
+            out = E
+            for d in self.dims:
+                Ep = self._shift(E, d, 1)
+                Em = self._shift(E, d, -1)
+                if ZH[d] is not None:
+                    Ep = Ep * ZH[d]
+                    Em = Em * ZL[d]
+                out = out - dt * (DH[d] * (Ep - E) - DL[d] * (E - Em))
+            return out
+
+        # Jacobi diagonal of the CG operator (preconditioner): the
+        # coefficient of E in matvec(E).
+        diag = jnp.ones_like(Er_ex)
+        for d in self.dims:
+            diag = diag + dt * (DH[d] + DL[d])
 
         b = Er_ex
         if ghosts is not None:
-            # move the Dirichlet ghost terms to the RHS:
-            # A x = b  with  A = matvec(., inhomog=False);
-            # b <- b - (affine part) = b - (matvec(0, True) - matvec(0))
-            zero = jnp.zeros_like(Er_ex)
-            b = b - (matvec(zero, inhomog=True) - matvec(zero))
+            # move the Dirichlet ghost terms to the RHS: at the masked
+            # faces the affine flux is DH*eg_hi / DL*eg_lo
+            for d in self.dims:
+                if ZH[d] is None:
+                    continue
+                eg_lo, eg_hi = ghosts[d]
+                b = b + dt * (DH[d] * (1.0 - ZH[d]) * eg_hi
+                              + DL[d] * (1.0 - ZL[d]) * eg_lo)
 
         def cg(b, x0):
             r = b - matvec(x0)
