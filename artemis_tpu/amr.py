@@ -330,45 +330,35 @@ class _Node:
     def fill_fine_ghosts(self, wf, wc, lo):
         """Pad patch prims; ghost zones from prolongated parent prims.
         ``lo`` is the (possibly traced) patch position in parent interior
-        cells."""
-        fg, cg = self.grid, self.parent.grid
+        cells.
+
+        Only the ngf-deep ghost slabs outside each coarse-fine face are
+        prolonged (O(surface); the former full-patch prolongation was
+        O(volume) and dominated the AMR stage cost).  Slab values are
+        arithmetic-identical to the full prolongation: every USED ghost's
+        parent keeps both true minmod stencil neighbors."""
+        fg = self.grid
         ngf = fg.ng
-        rim = self.rim
         n = self.n
         # wrap axes: periodically extend the parent row by ``rim`` so the
         # prolongation (of the OTHER axes' ghost regions) has real slope
         # stencils across the seam
         for d in range(3):
             if self.wrap[d]:
-                wc = self._wrap_pad(wc, d, rim[d])
-        starts = [0] * (wc.ndim - 3)
-        sizes = list(wc.shape[:-3])
-        for i in range(3):  # z, y, x ordering
-            d = 2 - i
-            if cg.nx[d] > 1:
-                starts.append(lo[d] - rim[d] + (rim[d] if self.wrap[d] else 0))
-                sizes.append(n[d] + 2 * rim[d])
-            else:
-                starts.append(0)
-                sizes.append(1)
-        starts = [jnp.asarray(v, jnp.int32) for v in starts]
-        wc_region = jax.lax.dynamic_slice(wc, tuple(starts), tuple(sizes))
-        fine_region = prolong_minmod(wc_region, self.active,
-                                     spacings=self.ghost_spacings)
+                wc = self._wrap_pad(wc, d, self.rim[d])
         pads = [(0, 0)] * (wf.ndim - 3) + [
             (ngf[2], ngf[2]), (ngf[1], ngf[1]), (ngf[0], ngf[0])]
-        w_pad = jnp.pad(wf, pads, mode="edge")
-        offs = []
-        for i in range(3):
-            d = 2 - i
-            offs.append(2 * rim[d] - ngf[d] if cg.nx[d] > 1 else 0)
-        reg = fine_region[(Ellipsis,
-                           *[slice(offs[i], offs[i] + w_pad.shape[-3 + i])
-                             for i in range(3)])]
-        s3 = slice(ngf[2], ngf[2] + fg.nx[2])
-        s2 = slice(ngf[1], ngf[1] + fg.nx[1])
-        s1 = slice(ngf[0], ngf[0] + fg.nx[0])
-        reg = reg.at[..., s3, s2, s1].set(wf)
+        reg = jnp.pad(wf, pads, mode="edge")
+        for d in range(3):
+            if not self.active[d] or self.wrap[d]:
+                continue
+            for side in (0, 1):
+                slab = self._prolong_ghost_slab(wc, d, side, lo)
+                ax = reg.ndim - 1 - d
+                sl = [slice(None)] * reg.ndim
+                sl[ax] = (slice(0, ngf[d]) if side == 0
+                          else slice(ngf[d] + fg.nx[d], None))
+                reg = reg.at[tuple(sl)].set(slab.astype(reg.dtype))
         # wrap axes: ghost zones are the periodic image of the FINE data
         # (the seam is one physical face — wrapped stencils keep its flux
         # single-valued and the update exactly conservative)
@@ -376,6 +366,73 @@ class _Node:
             if self.wrap[d]:
                 reg = self._wrap_ghosts(reg, d, ngf[d])
         return reg
+
+    @staticmethod
+    def _axis_window(a, ax, start, count):
+        """Rows [start-1, start+count+1) along ``ax`` with clamped
+        (edge-replicating) outer neighbor rows: ``start``/``start+count``
+        must be in range; the two neighbor rows may fall outside, where
+        dynamic_slice clamping returns the edge row instead — exactly the
+        one-sided stencil the prolongation region edge wants."""
+        start = jnp.asarray(start, jnp.int32)
+        core = jax.lax.dynamic_slice_in_dim(a, start, count, axis=ax)
+        nlo = jax.lax.dynamic_slice_in_dim(a, start - 1, 1, axis=ax)
+        nhi = jax.lax.dynamic_slice_in_dim(a, start + count, 1, axis=ax)
+        return jnp.concatenate([nlo, core, nhi], axis=ax)
+
+    def _prolong_ghost_slab(self, wc, d, side, lo):
+        """MinMod-prolonged fine ghost slab outside face (d, side):
+        ngf-deep along d, full padded transverse extents (corner ghosts
+        included; overlapping faces write identical values)."""
+        fg = self.grid
+        ngf = fg.ng
+        rim = self.rim
+        n = self.n
+        nd = wc.ndim
+        m = [r - 1 for r in rim]        # ceil(ngf/2) per axis
+        slab = wc
+        for t in range(3):
+            if not self.active[t]:
+                continue
+            ax = nd - 1 - t
+            off = rim[t] if self.wrap[t] else 0
+            if t == d:
+                start = (lo[t] - m[t] if side == 0
+                         else lo[t] + n[t] - 1) + off
+                count = m[t] + 1
+            else:
+                start = lo[t] - m[t] + off
+                count = n[t] + 2 * m[t]
+            slab = self._axis_window(slab, ax, start, count)
+        sp = None
+        if self.ghost_spacings is not None:
+            spl = []
+            for t in range(3):
+                rows = self.ghost_spacings[t]
+                if rows is None:
+                    spl.append(None)
+                    continue
+                if t == d:
+                    r = (slice(0, m[t] + 3) if side == 0
+                         else slice(n[t] + m[t] - 1, n[t] + 2 * m[t] + 2))
+                else:
+                    r = slice(None)
+                spl.append(tuple(np.asarray(a)[r] for a in rows))
+            sp = tuple(spl)
+        fine = prolong_minmod(slab, self.active, spacings=sp)
+        sl = [slice(None)] * nd
+        for t in range(3):
+            if not self.active[t]:
+                continue
+            ax = nd - 1 - t
+            if t == d:
+                o = 2 * (m[t] + 1)
+                sl[ax] = (slice(o - ngf[t], o) if side == 0
+                          else slice(4, 4 + ngf[t]))
+            else:
+                o = 2 * (m[t] + 1) - ngf[t]
+                sl[ax] = slice(o, o + fg.nx[t] + 2 * ngf[t])
+        return fine[tuple(sl)]
 
     def _wrap_pad(self, a, d, width):
         """Periodically extend interior array ``a`` by ``width`` cells along
