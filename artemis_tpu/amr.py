@@ -838,9 +838,13 @@ class MultiLevelSMR:
         # node's u is final before it restricts into ITS parent).  The
         # dual-energy switch re-runs after the rim deltas and before the
         # restriction — the jnp stage's ordering (flux-correct -> update ->
-        # set_auxiliary -> restrict); set_auxiliary only rewrites the eint
-        # row from the others and is idempotent, so re-applying it on the
-        # kernel's already-switched interior is exact away from the rim.
+        # set_auxiliary -> restrict).  Only the cells the fix-ups touch are
+        # reprocessed: the kernel already switched/synced its interior, so
+        # every post-kernel pass runs on the child's bounding block
+        # [lo-1, lo+n+1) (rim rows + footprint) instead of the full parent
+        # — on the north-star deck the footprint is 1/8 of the parent, and
+        # the three former full-grid elementwise passes (set_auxiliary,
+        # C2P, P2C) dominated the parent's non-kernel HBM traffic.
         parents = [nd for nd in reversed(self.nodes) if nd.children]
         for pnode in parents:
             p = pnode.index
@@ -849,7 +853,8 @@ class MultiLevelSMR:
                 u_p = self._apply_rim_delta(u_p, child, los, wpads[p],
                                             wpads[child.index], bdt,
                                             force_pcm)
-            u_p = pnode.hydro.set_auxiliary(u_p, self.cfg).astype(u_p.dtype)
+            for child in pnode.children:
+                u_p = self._block_set_auxiliary(u_p, child, los)
             for child in pnode.children:
                 u_p = self._restrict_into(
                     child, u_p,
@@ -859,20 +864,90 @@ class MultiLevelSMR:
                     los[child.index])
             new_states[p]["gas"]["u"] = u_p
 
-        # 4. re-sync prims on parents (their rim/covered cells changed
-        # after the kernel's in-pass C2P).  No set_auxiliary here: the
-        # dual-energy switch already ran in-kernel BEFORE restriction (the
-        # jnp stage's ordering); re-switching the restricted averages would
-        # diverge from it in covered cells.
+        # 4. re-sync prims on the parent blocks the rim deltas /
+        # restriction touched (everywhere else u and w keep the kernel's
+        # in-pass C2P/P2C output).  No set_auxiliary here: the dual-energy
+        # switch already ran BEFORE restriction (the jnp stage's ordering);
+        # re-switching the restricted averages would diverge from it in
+        # covered cells.
         for node in self.nodes:
             if not node.children:
                 continue
             i = node.index
             kdt = new_states[i]["gas"]["w"].dtype
-            w = node.hydro.cons_to_prim(new_states[i]["gas"]["u"], self.cfg)
-            u, w = node.hydro.prim_to_cons(w, self.cfg)
-            new_states[i]["gas"] = {"u": u.astype(kdt), "w": w.astype(kdt)}
+            u_full = new_states[i]["gas"]["u"].astype(kdt)
+            w_full = new_states[i]["gas"]["w"]
+            for child in node.children:
+                u_full, w_full = self._block_resync(u_full, w_full, child,
+                                                    los)
+            new_states[i]["gas"] = {"u": u_full, "w": w_full}
         return new_states, None
+
+    @staticmethod
+    def _child_block(child, los):
+        """[z,y,x] starts/sizes of the parent bounding block a child's
+        post-kernel fix-ups touch: footprint plus the one rim row outside
+        each coarse-fine face (wrap axes have no C-F faces and cover the
+        full parent axis already)."""
+        lo = los[child.index]
+        pnx = child.parent.grid.nx
+        starts, sizes = [], []
+        for t in range(3):          # [z, y, x]
+            d = 2 - t
+            if not child.active[d]:
+                starts.append(jnp.asarray(0, jnp.int32))
+                sizes.append(1)
+            elif child.wrap[d]:
+                starts.append(jnp.asarray(0, jnp.int32))
+                sizes.append(pnx[d])
+            else:
+                starts.append(jnp.asarray(lo[d], jnp.int32) - 1)
+                sizes.append(child.n[d] + 2)
+        return starts, sizes
+
+    def _block_set_auxiliary(self, u_p, child, los):
+        """Dual-energy switch (hydro.set_auxiliary with Cartesian hx == 1,
+        the fused path's gating) on the child's bounding block only."""
+        cfg = self.cfg
+        s3, z3 = self._child_block(child, los)
+        starts = tuple(jnp.asarray(0, jnp.int32)
+                       for _ in range(u_p.ndim - 3)) + tuple(s3)
+        sizes = tuple(u_p.shape[:-3]) + tuple(z3)
+        ub = jax.lax.dynamic_slice(u_p, starts, sizes)
+        rho = jnp.maximum(ub[:, 0], cfg.dfloor)
+        ke = 0.5 * (ub[:, 1] ** 2 + ub[:, 2] ** 2 + ub[:, 3] ** 2) / rho
+        e_tot = ub[:, 4]
+        ue = e_tot - ke
+        sie = jnp.where(ue > cfg.de_switch * e_tot, ue / rho, ub[:, 5] / rho)
+        sie = jnp.maximum(sie, cfg.siefloor)
+        ub = ub.at[:, 5].set(jnp.maximum(sie * rho, cfg.siefloor * rho)
+                             .astype(ub.dtype))
+        return jax.lax.dynamic_update_slice(u_p, ub, starts)
+
+    def _block_resync(self, u_full, w_full, child, los):
+        """C2P + P2C floor re-sync (Cartesian hx == 1) on the child's
+        bounding block; bit-identical to hydro.cons_to_prim/prim_to_cons
+        restricted to the block."""
+        cfg = self.cfg
+        kdt = w_full.dtype
+        s3, z3 = self._child_block(child, los)
+        starts = tuple(jnp.asarray(0, jnp.int32)
+                       for _ in range(u_full.ndim - 3)) + tuple(s3)
+        sizes = tuple(u_full.shape[:-3]) + tuple(z3)
+        ub = jax.lax.dynamic_slice(u_full, starts, sizes)
+        rho = jnp.maximum(ub[:, 0], cfg.dfloor)
+        v1 = ub[:, 1] / rho
+        v2 = ub[:, 2] / rho
+        v3 = ub[:, 3] / rho
+        sie = jnp.maximum(ub[:, 5] / rho, cfg.siefloor)
+        p = (cfg.gamma - 1.0) * rho * sie
+        eint = sie * rho
+        etot = eint + 0.5 * rho * (v1 * v1 + v2 * v2 + v3 * v3)
+        ub2 = jnp.stack([rho, rho * v1, rho * v2, rho * v3, etot, eint],
+                        axis=1).astype(kdt)
+        wb2 = jnp.stack([rho, v1, v2, v3, p, sie], axis=1).astype(kdt)
+        return (jax.lax.dynamic_update_slice(u_full, ub2, starts),
+                jax.lax.dynamic_update_slice(w_full, wb2, starts))
 
     def _make_stage(self, stage):
         def fn(states, u1s, dt, time, los, particles):

@@ -215,6 +215,11 @@ def main() -> int:
 
     primary = disk if disk is not None else (cart if cart is not None
                                              else rhd)
+    if primary is None:
+        print(json.dumps({"metric": "bench failed (no leg completed)",
+                          "value": 0.0, "unit": "zone-cycles/s",
+                          "vs_baseline": 0.0}), flush=True)
+        return 1
     name = ("3D spherical viscous disk alpha+gravity+RF rk2+plm+hlle f32"
             if disk is not None else
             "3D gas hydro rk2+plm+hllc f32" if cart is not None else
