@@ -18,6 +18,10 @@ def main(argv=None) -> int:
     ap.add_argument("-n", "--ncycle-out", type=int, default=0, help="stdout log interval")
     ap.add_argument("-t", "--walltime", type=float, default=None,
                     help="wall-clock limit in seconds (exit code 2 on timeout)")
+    ap.add_argument("--profile", type=int, default=0, metavar="N",
+                    help="time N instrumented cycles per driver phase and "
+                         "print the table before the run (Kokkos-Tools "
+                         "named-kernel profiling analogue)")
     ap.add_argument("overrides", nargs="*", help="block/key=value overrides")
     args = ap.parse_args(argv)
 
@@ -40,6 +44,10 @@ def main(argv=None) -> int:
         sim = Simulation(args.input, overrides=args.overrides, data_dir=args.data,
                          restart=args.restart)
         sim.print_config()
+        if args.profile > 0:
+            from .profiling import phase_table
+
+            phase_table(sim, ncycles=args.profile)
         zcps = sim.run(log_every=args.ncycle_out, walltime=args.walltime)
         print(f"walltime-rate: {zcps:.3e} zone-cycles/sec "
               f"(ncycle={sim.tm.ncycle}, t={sim.tm.time:.6e}, {sim.status})")

@@ -44,6 +44,45 @@ def _yslab(hs: int) -> int:
     return -(-(TY + 2 * hs) // 8) * 8
 
 
+def rk_blend(u0_ref, u1_ref, gam0, gam1, divf, bdt):
+    """gam0*u0 + gam1*u1 + bdt*divF with statically-zero/one coefficients
+    elided.  Stage 1 of every integrator (and both vl2 stages) has
+    gam0 == 0: the u0 register is then a dummy block whose HBM fetch the
+    frontends skip entirely (``rk_register_blocks``).  Bit-identical to
+    the dense form for finite inputs (0.0*x + y == y, 1.0*x == x)."""
+    u0 = u0_ref[...] if gam0 != 0.0 else None
+    u1 = u1_ref[...] if gam1 != 0.0 else None
+    out = []
+    for c in range(len(divf)):
+        acc = None
+        if gam0 != 0.0:
+            acc = u0[c] if gam0 == 1.0 else gam0 * u0[c]
+        if gam1 != 0.0:
+            t = u1[c] if gam1 == 1.0 else gam1 * u1[c]
+            acc = t if acc is None else acc + t
+        t = bdt * divf[c]
+        out.append(t if acc is None else acc + t)
+    return out
+
+
+def rk_register_blocks(u0_, u1_, gam0, gam1, blk, imap, dt):
+    """(u0, u1, spec0, spec1) for the two RK register inputs: a register
+    whose static coefficient is 0.0 is replaced by a tiny dummy block so
+    the pallas pipeline never fetches the dead full-size array."""
+    live = pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM)
+    if gam0 != 0.0 and gam1 != 0.0:
+        return u0_, u1_, live, live
+    dead = pl.BlockSpec((6, 1, 1, 128), lambda i, j: (0, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    dummy = jnp.zeros((6, 1, 1, 128), dt)
+    if gam0 == 0.0:
+        u0_ = dummy
+    if gam1 == 0.0:
+        u1_ = dummy
+    return (u0_, u1_, dead if gam0 == 0.0 else live,
+            dead if gam1 == 0.0 else live)
+
+
 def _lr_faces(q, axis, lo, count, method):
     """L/R face states for ``count`` faces starting at padded face index
     ``lo`` along ``axis`` (face f sits between cells f-1 and f)."""
@@ -130,8 +169,6 @@ def _stage_kernel(bdt_ref, u0_ref, u1_ref, wp_hbm, u_ref, w_ref, dm_ref,
         wl, wr = _lr_faces(wz, 1, hs, tz + 1, method)
         Fz, pfz, vfz = hllc6(wl, wr, 3)
 
-    u0 = u0_ref[...]
-    u1 = u1_ref[...]
     idx, idy, idz = 1.0 / dx, 1.0 / dy, 1.0 / dz
     divf = [(ax(Fx[c], 2, 0, nx) - ax(Fx[c], 2, 1, nx + 1)) * idx
             + (ax(Fy[c], 1, 0, TY) - ax(Fy[c], 1, 1, TY + 1)) * idy
@@ -139,7 +176,7 @@ def _stage_kernel(bdt_ref, u0_ref, u1_ref, wp_hbm, u_ref, w_ref, dm_ref,
     if active_z:
         divf = [divf[c] + (ax(Fz[c], 0, 0, tz) - ax(Fz[c], 0, 1, tz + 1)) * idz
                 for c in range(6)]
-    u = [gam0 * u0[c] + gam1 * u1[c] + bdt * divf[c] for c in range(6)]
+    u = rk_blend(u0_ref, u1_ref, gam0, gam1, divf, bdt)
 
     # pressure-gradient force + PdV work (FluxSourceImpl, Cartesian)
     pxl, pxh = ax(pfx, 2, 0, nx), ax(pfx, 2, 1, nx + 1)
@@ -222,13 +259,15 @@ def stage(w_pad, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
                       (0, xp_al - wp.shape[-1])])
     blk = (6, tz, TY, nx)
     imap = lambda i, j: (0, i, j, 0)
+    u0_, u1_, spec0, spec1 = rk_register_blocks(u0_, u1_, gam0, gam1, blk,
+                                                imap, dt)
     u_new, w_new, dmax = pl.pallas_call(
         kern,
         grid=(nz // tz, ny // TY),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # bdt (1,)
-            pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),   # u0
-            pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),   # u1
+            spec0,                                   # u0 (dummy if gam0=0)
+            spec1,                                   # u1 (dummy if gam1=0)
             pl.BlockSpec(memory_space=pltpu.ANY),    # wp (manual DMA)
         ],
         out_specs=(
@@ -356,8 +395,6 @@ def _stage_kernel_periodic(bdt_ref, u0_ref, u1_ref, w_hbm, u_ref, w_ref,
         wl, wr = _lr_faces(wz, 1, hs, tz + 1, method)
         Fz, pfz, vfz = hllc6(wl, wr, 3)
 
-    u0 = u0_ref[...]
-    u1 = u1_ref[...]
     idx, idy, idz = 1.0 / dx, 1.0 / dy, 1.0 / dz
     divf = [(ax(Fx[c], 2, 0, nx) - ax(Fx[c], 2, 1, nx + 1)) * idx
             + (ax(Fy[c], 1, 0, ty) - ax(Fy[c], 1, 1, ty + 1)) * idy
@@ -365,7 +402,7 @@ def _stage_kernel_periodic(bdt_ref, u0_ref, u1_ref, w_hbm, u_ref, w_ref,
     if active_z:
         divf = [divf[c] + (ax(Fz[c], 0, 0, tz) - ax(Fz[c], 0, 1, tz + 1)) * idz
                 for c in range(6)]
-    u = [gam0 * u0[c] + gam1 * u1[c] + bdt * divf[c] for c in range(6)]
+    u = rk_blend(u0_ref, u1_ref, gam0, gam1, divf, bdt)
 
     pxl, pxh = ax(pfx, 2, 0, nx), ax(pfx, 2, 1, nx + 1)
     vxl, vxh = ax(vfx, 2, 0, nx), ax(vfx, 2, 1, nx + 1)
@@ -436,13 +473,15 @@ def stage_periodic(w, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
     zsz = tz + 2 * hs if active_z else 1
     blk = (6, tz, ty, nx)
     imap = lambda i, j: (0, i, j, 0)
+    u0_, u1_, spec0, spec1 = rk_register_blocks(u0_, u1_, gam0, gam1, blk,
+                                                imap, dt)
     u_new, w_new, dmax = pl.pallas_call(
         kern,
         grid=(nz // tz, ny // ty),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
+            spec0,
+            spec1,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=(

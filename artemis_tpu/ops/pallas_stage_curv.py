@@ -35,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..geometry import geometry as geo
+from .pallas_stage import rk_blend, rk_register_blocks
 from .pallas_sweeps import RIEMANN
 
 import os as _os
@@ -696,8 +697,6 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
                 Fz[1 + c] = Fz[1 + c] * fh3
 
     # ---- update: divF with exact A/V factors --------------------------
-    u0 = u0_ref[...]
-    u1 = u1_ref[...]
     af1 = b1(rx(ix["upd1_face"])[ng:ng + nx])
     af1p = b1(rx(ix["upd1_facep"])[ng:ng + nx])
     iv1 = b1(rx(ix["upd1_iv"])[ng:ng + nx])
@@ -718,7 +717,7 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
         t2_3 = b2(ry(ix["upd3_t2"]))
         c3 = iv3 * t1_3 * t2_3
 
-    u = []
+    divf = []
     for c in range(6):
         dv = (ax(Fx[c], 2, 0, nx) * af1 - ax(Fx[c], 2, 1, nx + 1) * af1p) * c1
         dv = dv + (ax(Fy[c], 1, 0, ty) * af2
@@ -726,7 +725,8 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
         if active_z:
             dv = dv + (ax(Fz[c], 0, 0, tz) * af3
                        - ax(Fz[c], 0, 1, tz + 1) * af3p) * c3
-        u.append(gam0 * u0[c] + gam1 * u1[c] + bdt * dv)
+        divf.append(dv)
+    u = rk_blend(u0_ref, u1_ref, gam0, gam1, divf, bdt)
 
     # ---- pressure-gradient + PdV flux sources -------------------------
     idx1 = b1(rx(ix["idx1"])[ng:ng + nx])
@@ -1445,6 +1445,8 @@ def stage_curv_gather(w_int, u0, u1, grid, cfg, gam0, gam1, beta_dt,
     CZWj = jnp.asarray(CZW)
     blk = (6, tz, TY, nx)
     imap = lambda i, j: (0, i, j, 0)
+    u0_, u1_, spec0, spec1 = rk_register_blocks(u0_, u1_, gam0, gam1, blk,
+                                                imap, dt)
     n_dmas = 16  # upper bound on per-block gather DMAs
     u_new, w_new, dmax = pl.pallas_call(
         kern,
@@ -1452,8 +1454,8 @@ def stage_curv_gather(w_int, u0, u1, grid, cfg, gam0, gam1, beta_dt,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
+            spec0,
+            spec1,
             pl.BlockSpec(memory_space=pltpu.ANY),   # interior w
             pl.BlockSpec(memory_space=pltpu.ANY),   # x1 lo strip
             pl.BlockSpec(memory_space=pltpu.ANY),   # x1 hi strip
@@ -1575,14 +1577,16 @@ def stage_curv(w_pad, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
     CZWj = jnp.asarray(CZW)
     blk = (6, tz, TY, nx)
     imap = lambda i, j: (0, i, j, 0)
+    u0_, u1_, spec0, spec1 = rk_register_blocks(u0_, u1_, gam0, gam1, blk,
+                                                imap, dt)
     u_new, w_new, dmax = pl.pallas_call(
         kern,
         grid=(nz // tz if active_z else 1, ny // TY),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
+            spec0,
+            spec1,
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((1,) + CYW.shape[1:], lambda i, j: (j, 0, 0),
