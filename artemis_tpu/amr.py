@@ -220,13 +220,21 @@ def _slab_face_flux(wp, grid, d, fi, tlo, tn, cfg, force_pcm):
             sizes.append(1)
     starts = tuple(jnp.asarray(s, jnp.int32) for s in starts)
     slab = jax.lax.dynamic_slice(wp, starts, tuple(sizes))
+    return _window_face_flux(slab, d, cfg, force_pcm)
+
+
+def _window_face_flux(slab, d, cfg, force_pcm):
+    """Flux at the face between rows 1 and 2 of a 4-row window along
+    ``d`` (the compute tail of _slab_face_flux; gather6 rim deltas build
+    the window from unpadded interiors + ghost slabs instead)."""
+    nd = slab.ndim
     method = "pcm" if force_pcm else cfg.recon
     if method == "pcm":
         wl, wr = recon_mod.pcm(slab, d)
     else:
         wl, wr = recon_mod.plm_uniform(slab, d)
     sl = [slice(None)] * nd
-    sl[nd - d] = slice(2, 3)    # the face between slab cells 1 and 2 = fi
+    sl[nd - d] = slice(2, 3)    # the face between slab cells 1 and 2
     F, _, _ = riemann_mod.solve(wl[tuple(sl)], wr[tuple(sl)], d,
                                 cfg.fluid, cfg.rsolver, cfg.gamma)
     return F
@@ -366,6 +374,44 @@ class _Node:
             if self.wrap[d]:
                 reg = self._wrap_ghosts(reg, d, ngf[d])
         return reg
+
+    def ghost_strips(self, wc, lo):
+        """(strips, slabs) for the gather6 fused stage: the six MinMod-
+        prolonged ghost slabs reshaped into stage_curv_gather6's strip
+        layouts — the O(surface) replacement for fill_fine_ghosts'
+        padded-array build (requires 3-D, no wrap axes, nghost=2; the
+        gather6 gate enforces this).  ``slabs`` are the raw prolonged
+        faces, reused by the rim-delta face-flux windows."""
+        fg = self.grid
+        ng = fg.nghost
+        nx, ny, nz = fg.nx
+        slabs = {}
+        strips = {}
+        for side in (0, 1):
+            # x1: [1,6,zp,yp,2] -> [6, zp, yp+8, 128] (values at [:2])
+            s = self._prolong_ghost_slab(wc, 0, side, lo)
+            slabs[(1, side)] = s
+            v = s[0]
+            zp, yp = v.shape[1], v.shape[2]
+            st = jnp.zeros((6, zp, yp + 8, 128), v.dtype)
+            strips[("x1", side)] = jax.lax.dynamic_update_slice(
+                st, v, (0, 0, 0, 0))
+            # x2: [1,6,zp,2,xp] -> [6, zp, 8, nx] (lo rows 6:8, hi 0:2)
+            s = self._prolong_ghost_slab(wc, 1, side, lo)
+            slabs[(2, side)] = s
+            v = s[0][..., ng:ng + nx]
+            st = jnp.zeros((6, v.shape[1], 8, nx), v.dtype)
+            strips[("x2", side)] = jax.lax.dynamic_update_slice(
+                st, v, (0, 0, 6 if side == 0 else 0, 0))
+            # x3: [1,6,2,yp,xp] -> [6, 2, ny+16, nx] (interior y at +8;
+            # zero margins are replaced by the x1/x2 strips in-kernel)
+            s = self._prolong_ghost_slab(wc, 2, side, lo)
+            slabs[(3, side)] = s
+            v = s[0][:, :, ng:ng + ny, ng:ng + nx]
+            st = jnp.zeros((6, 2, ny + 16, nx), v.dtype)
+            strips[("x3", side)] = jax.lax.dynamic_update_slice(
+                st, v, (0, 0, 8, 0))
+        return strips, slabs
 
     @staticmethod
     def _axis_window(a, ax, start, count):
@@ -541,7 +587,8 @@ class MultiLevelSMR:
                  dust_cfg: Optional[FluidCfg] = None, sources_factory=None,
                  diffusion_factory=None, bc_custom=None, omf: float = 0.0,
                  patches: Optional[List[dict]] = None, nbody=None,
-                 radiation_factory=None):
+                 radiation_factory=None, moving_patches: bool = False):
+        self.moving_patches = moving_patches
         self.integ = integrator
         self.cfg = gas_cfg
         self.dust_cfg = dust_cfg
@@ -658,6 +705,7 @@ class MultiLevelSMR:
     # -- compiled step ----------------------------------------------------
     def _compile(self):
         self._fused = self._fused_setup()
+        self._gather6 = self._gather6_setup()
         self._stage_jits = [jax.jit(self._make_stage(s))
                             for s in range(1, self.integ.nstages + 1)] \
             if self.nbody is not None else None
@@ -713,6 +761,56 @@ class MultiLevelSMR:
                             flux_srcs[0].omega if flux_srcs else 0.0, gspec))
         return bundles
 
+    # patches may move at runtime (adaptive retagging): gather6's static
+    # lo-margin guarantee would not survive a move, so moving trees keep
+    # the padded ghost-fill path.  Set by SMRDriver before _compile.
+    moving_patches = False
+
+    def _gather6_setup(self):
+        """Tree-level six-face-strip gather eligibility: when every node
+        fits the gather6 kernel envelope, the whole fused stage runs
+        without padded arrays (static ic strips on the root, per-stage
+        prolonged-slab strips on the patches, rim-delta windows from the
+        unpadded interiors).  Returns {'root_strips': ...} or None
+        (padded fallback).  ARTEMIS_AMR_GATHER=0 disables."""
+        import os
+
+        if self._fused is None \
+                or os.environ.get("ARTEMIS_AMR_GATHER", "1") == "0" \
+                or self.moving_patches or not self.root.children:
+            return None
+        from .ops import pallas_stage_curv as _psc
+
+        root = self.root
+        if not _psc.gather6_supported(root.grid):
+            return None
+        for d in range(3):
+            if root.grid.bc[d] != ("ic", "ic"):
+                return None
+        ic = (self.bc_custom or {}).get("ic")
+        caches = getattr(ic, "shard_caches", None)
+        if not caches:
+            return None
+        if not all((d, s) in caches[0] for d in (1, 2, 3) for s in (0, 1)):
+            return None
+        for node in self.nodes[1:]:
+            if any(node.wrap) or not all(node.active):
+                return None
+            if not _psc.gather6_supported(node.grid):
+                return None
+            pnx = node.parent.grid.nx
+            for d in range(3):
+                # two interior parent rows outside every C-F face: the
+                # rim-delta windows never touch the parent's ghosts
+                if node.lo[d] < 2 or node.lo[d] + node.n[d] > pnx[d] - 2:
+                    return None
+        import jax as _jax
+
+        strips = _psc.prepare_gather6_root_strips(root.grid, caches[0])
+        return {"root_strips": {
+            k: _jax.device_put(np.asarray(v, dtype=np.float32))
+            for k, v in strips.items()}}
+
     def _apply_rim_delta(self, u_p, node, los, wp_par, wp_fine, bdt,
                          force_pcm):
         """Conservation fix-up on the parent's fused update: at every
@@ -737,45 +835,114 @@ class MultiLevelSMR:
                 Ff = _slab_face_flux(wp_fine, node.grid, d, fi_f,
                                      (0, 0, 0), node.grid.nx, cfg, force_pcm)
                 dF = (_restrict_face_mean(Ff, d, active) - Fc).astype(dt)
-                # bdt * A_face / V of the two adjacent coarse cells
-                fstarts, fsizes = [], []
-                cstarts, csizes = [], []
+                u_p = self._rim_apply(u_p, hc, node, lo, d, side, fi_c, dF,
+                                      bdt)
+        return u_p
+
+    def _apply_rim_delta_g6(self, u_p, node, los, w_par, w_fine, slabs,
+                            bdt, force_pcm):
+        """_apply_rim_delta without padded arrays (gather6 mode): the
+        parent-side 4-row window is sliced from the parent's unpadded
+        interior (the gather6 gate guarantees two interior rows outside
+        every coarse-fine face), the fine-side window is the patch's edge
+        rows extended by its prolonged ghost slab — both windows carry
+        exactly the values the padded arrays held, so the deltas are
+        bit-identical."""
+        cfg = self.cfg
+        hc = self._ic_hydro(node.parent)
+        lo = los[node.index]
+        active = node.active
+        dtp = u_p.dtype
+        nd = w_par.ndim
+        for d in hc.dims:
+            ax_ = nd - d
+            for side in (0, 1):
+                fi_c = lo[d - 1] + side * node.n[d - 1]
+                starts = [0] * (nd - 3)
+                sizes = list(w_par.shape[:-3])
                 for i in range(3):
                     dd = 3 - i
                     if dd == d:
-                        fstarts.append(fi_c)
-                        fsizes.append(1)
-                        cstarts.append(fi_c - 1)
-                        csizes.append(2)
+                        starts.append(fi_c - 2)
+                        sizes.append(4)
                     elif active[dd - 1]:
-                        fstarts.append(lo[dd - 1])
-                        fsizes.append(node.n[dd - 1])
-                        cstarts.append(lo[dd - 1])
-                        csizes.append(node.n[dd - 1])
+                        starts.append(lo[dd - 1])
+                        sizes.append(node.n[dd - 1])
                     else:
-                        fstarts.append(0)
-                        fsizes.append(1)
-                        cstarts.append(0)
-                        csizes.append(1)
-                Aface = jax.lax.dynamic_slice(
-                    jnp.asarray(hc.area[d]),
-                    tuple(jnp.asarray(s, jnp.int32) for s in fstarts),
-                    tuple(fsizes))
-                Vcells = jax.lax.dynamic_slice(
-                    jnp.asarray(hc.vol),
-                    tuple(jnp.asarray(s, jnp.int32) for s in cstarts),
-                    tuple(csizes))
-                scale = (bdt * Aface / Vcells).astype(dt)
-                # cell fi_c-1 sees the plane as its UPPER face (-A F dt/V),
-                # cell fi_c as its LOWER face (+A F dt/V); covered cells are
-                # overwritten by the subsequent restriction
-                du = jnp.concatenate([-dF, dF], axis=-d) * scale
-                ustarts = [0] * (u_p.ndim - 3) + cstarts
-                ustarts = tuple(jnp.asarray(s, jnp.int32) for s in ustarts)
-                usizes = tuple(u_p.shape[:-3]) + tuple(csizes)
-                region = jax.lax.dynamic_slice(u_p, ustarts, usizes)
-                u_p = jax.lax.dynamic_update_slice(u_p, region + du, ustarts)
+                        starts.append(0)
+                        sizes.append(1)
+                win_c = jax.lax.dynamic_slice(
+                    w_par, tuple(jnp.asarray(s, jnp.int32) for s in starts),
+                    tuple(sizes))
+                Fc = _window_face_flux(win_c, d, cfg, force_pcm)
+                sint = slabs[(d, side)]
+                for c in (1, 2, 3):
+                    if c == d:
+                        continue
+                    gax = nd - c
+                    sint = jax.lax.slice_in_dim(
+                        sint, node.grid.ng[c - 1],
+                        node.grid.ng[c - 1] + node.grid.nx[c - 1], axis=gax)
+                nfx = node.grid.nx[d - 1]
+                if side == 0:
+                    edge = jax.lax.slice_in_dim(w_fine, 0, 2, axis=ax_)
+                    win_f = jnp.concatenate([sint.astype(w_fine.dtype),
+                                             edge], axis=ax_)
+                else:
+                    edge = jax.lax.slice_in_dim(w_fine, nfx - 2, nfx,
+                                                axis=ax_)
+                    win_f = jnp.concatenate([edge,
+                                             sint.astype(w_fine.dtype)],
+                                            axis=ax_)
+                Ff = _window_face_flux(win_f, d, cfg, force_pcm)
+                dF = (_restrict_face_mean(Ff, d, active) - Fc).astype(dtp)
+                u_p = self._rim_apply(u_p, hc, node, lo, d, side, fi_c, dF,
+                                      bdt)
         return u_p
+
+    def _rim_apply(self, u_p, hc, node, lo, d, side, fi_c, dF, bdt):
+        """Land a pooled fine-minus-coarse face-flux delta on the two
+        coarse cell rows adjacent to face (d, side) of ``node``."""
+        active = node.active
+        dt = u_p.dtype
+        # bdt * A_face / V of the two adjacent coarse cells
+        fstarts, fsizes = [], []
+        cstarts, csizes = [], []
+        for i in range(3):
+            dd = 3 - i
+            if dd == d:
+                fstarts.append(fi_c)
+                fsizes.append(1)
+                cstarts.append(fi_c - 1)
+                csizes.append(2)
+            elif active[dd - 1]:
+                fstarts.append(lo[dd - 1])
+                fsizes.append(node.n[dd - 1])
+                cstarts.append(lo[dd - 1])
+                csizes.append(node.n[dd - 1])
+            else:
+                fstarts.append(0)
+                fsizes.append(1)
+                cstarts.append(0)
+                csizes.append(1)
+        Aface = jax.lax.dynamic_slice(
+            jnp.asarray(hc.area[d]),
+            tuple(jnp.asarray(s, jnp.int32) for s in fstarts),
+            tuple(fsizes))
+        Vcells = jax.lax.dynamic_slice(
+            jnp.asarray(hc.vol),
+            tuple(jnp.asarray(s, jnp.int32) for s in cstarts),
+            tuple(csizes))
+        scale = (bdt * Aface / Vcells).astype(dt)
+        # cell fi_c-1 sees the plane as its UPPER face (-A F dt/V),
+        # cell fi_c as its LOWER face (+A F dt/V); covered cells are
+        # overwritten by the subsequent restriction
+        du = jnp.concatenate([-dF, dF], axis=-d) * scale
+        ustarts = [0] * (u_p.ndim - 3) + cstarts
+        ustarts = tuple(jnp.asarray(s, jnp.int32) for s in ustarts)
+        usizes = tuple(u_p.shape[:-3]) + tuple(csizes)
+        region = jax.lax.dynamic_slice(u_p, ustarts, usizes)
+        return jax.lax.dynamic_update_slice(u_p, region + du, ustarts)
 
     def _stage_fused(self, states, u1s, dt, time, stage, los, particles):
         """One RK stage on the fused whole-stage kernel: every node's gas
@@ -794,17 +961,27 @@ class MultiLevelSMR:
         bdt = integ.beta[stage - 1] * dt
         force_pcm = (integ.name == "vl2") and stage == 1
 
-        # 1. ghost fill (parents before children: prolongation reads the
-        # parent's stage-entry prims)
-        wpads = []
+        # 1. ghost data (parents before children: prolongation reads the
+        # parent's stage-entry prims).  gather6 mode builds O(surface)
+        # strip arrays; padded mode builds the full padded prims.
+        g6 = self._gather6
+        wpads = [None] * len(self.nodes)
+        strips = [None] * len(self.nodes)
+        slabs = [None] * len(self.nodes)
         for node in self.nodes:
-            w = states[node.index]["gas"]["w"]
-            if node.parent is None:
-                wpads.append(self._root_fill(w, node, "gas"))
+            i = node.index
+            w = states[i]["gas"]["w"]
+            if g6 is not None:
+                if node.parent is None:
+                    strips[i] = g6["root_strips"]
+                else:
+                    strips[i], slabs[i] = node.ghost_strips(
+                        self._parent_arr(states, node, "gas", "w"), los[i])
+            elif node.parent is None:
+                wpads[i] = self._root_fill(w, node, "gas")
             else:
-                wpads.append(node.fill_fine_ghosts(
-                    w, self._parent_arr(states, node, "gas", "w"),
-                    los[node.index]))
+                wpads[i] = node.fill_fine_ghosts(
+                    w, self._parent_arr(states, node, "gas", "w"), los[i])
 
         # 2. fused stage per node
         new_states = []
@@ -823,12 +1000,21 @@ class MultiLevelSMR:
             # under x64, initialize/P2C promote u to f64 (f64 geometry
             # constants) while w stays f32 — the kernel runs in the prim
             # dtype
-            kdt = wpads[i].dtype
-            u, w, _ = _psc.stage_curv(
-                wpads[i], states[i]["gas"]["u"].astype(kdt),
-                u1s[i]["gas"].astype(kdt), node.grid,
-                self.cfg, gam0, gam1, bdt, force_pcm, co, packed, full=True,
-                rf_omega=rf_omega, grav=grav, grav_dt=grav_dt)
+            kdt = states[i]["gas"]["w"].dtype
+            if g6 is not None:
+                u, w, _ = _psc.stage_curv_gather6(
+                    states[i]["gas"]["w"], states[i]["gas"]["u"].astype(kdt),
+                    u1s[i]["gas"].astype(kdt), node.grid,
+                    self.cfg, gam0, gam1, bdt, force_pcm, co, packed,
+                    strips[i], rf_omega=rf_omega, grav=grav,
+                    grav_dt=grav_dt)
+            else:
+                u, w, _ = _psc.stage_curv(
+                    wpads[i], states[i]["gas"]["u"].astype(kdt),
+                    u1s[i]["gas"].astype(kdt), node.grid,
+                    self.cfg, gam0, gam1, bdt, force_pcm, co, packed,
+                    full=True, rf_omega=rf_omega, grav=grav,
+                    grav_dt=grav_dt)
             st = {"gas": {"u": u, "w": w}}
             if "rad" in states[i]:
                 st["rad"] = states[i]["rad"]
@@ -850,9 +1036,14 @@ class MultiLevelSMR:
             p = pnode.index
             u_p = new_states[p]["gas"]["u"]
             for child in pnode.children:
-                u_p = self._apply_rim_delta(u_p, child, los, wpads[p],
-                                            wpads[child.index], bdt,
-                                            force_pcm)
+                ci = child.index
+                if g6 is not None:
+                    u_p = self._apply_rim_delta_g6(
+                        u_p, child, los, states[p]["gas"]["w"],
+                        states[ci]["gas"]["w"], slabs[ci], bdt, force_pcm)
+                else:
+                    u_p = self._apply_rim_delta(u_p, child, los, wpads[p],
+                                                wpads[ci], bdt, force_pcm)
             for child in pnode.children:
                 u_p = self._block_set_auxiliary(u_p, child, los)
             for child in pnode.children:
@@ -1198,6 +1389,11 @@ class MultiLevelSMR:
         if any(node.curv for node in self.nodes):
             raise ValueError("adaptive patch moves are Cartesian-only "
                              "(curvilinear geometry weights are static)")
+        if self._gather6 is not None:
+            raise ValueError(
+                "adaptive patch moves on a gather6 fused tree: construct "
+                "MultiLevelSMR with moving_patches=True (the padless stage "
+                "bakes static patch-margin guarantees)")
         new_los = list(los)
         states = list(states)
         for node in self.nodes:
@@ -1335,7 +1531,8 @@ class TwoLevelSMR:
         self.ml = MultiLevelSMR(
             coarse_grid, integrator, gas_cfg,
             patches=[dict(level=1, lo=tuple(int(v) for v in patch_lo),
-                          n=tuple(int(v) for v in patch_n))])
+                          n=tuple(int(v) for v in patch_n))],
+            moving_patches=True)  # exposes retag-based patch moves
         self.cg = coarse_grid
         self.node = self.ml.nodes[1]
         self.fg = self.node.grid
@@ -1486,7 +1683,8 @@ class SMRDriver:
                 sources_factory=sources_factory,
                 diffusion_factory=diffusion_factory, bc_custom=bc_custom,
                 omf=omf, patches=patches, nbody=nbody,
-                radiation_factory=radiation_factory)
+                radiation_factory=radiation_factory,
+                moving_patches=self.adaptive or bool(track))
 
         for (k, rd) in track:
             pos = np.asarray(nbody.pos)[k] - np.asarray(nbody.Rf)

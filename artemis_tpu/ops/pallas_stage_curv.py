@@ -1638,3 +1638,236 @@ def supported_curv(grid, cfg) -> bool:
             and grid.nghost == 2 and grid.nx[1] % TY == 0 and grid.nx[1] > 1
             and grid.nx[0] > 1
             and (grid.nx[2] == 1 or grid.nx[2] % _pick_tz(grid.nx[2]) == 0))
+
+
+# ---------------------------------------------------------------------------
+# six-face strip gather: the AMR fast path.  Same in-kernel halo gather as
+# stage_curv_gather, but ALL six boundaries come from strip arrays instead
+# of a periodic x3 wrap — the root node feeds static ic-cache strips, a
+# refinement patch feeds the per-stage prolonged ghost slabs.  Eliminates
+# the per-stage padded-array copy (jnp.pad + ghost fill) on every node of
+# the fused AMR tree (cf. Parthenon's boundary buffers: only O(surface)
+# ghost data moves, never the O(volume) padded state).
+# ---------------------------------------------------------------------------
+def _stage_kernel_curv_gather6(bdt_ref, gdt_ref, u0_ref, u1_ref, w_hbm,
+                               sx_lo, sx_hi, sy_lo, sy_hi, sz_lo, sz_hi,
+                               cx_ref, cyw_ref, czw_ref, u_ref, w_ref,
+                               dm_ref, scratch, sxl_s, sxh_s, syl_s, syh_s,
+                               szl_s, szh_s, sems, *, ng, nx, ny, nz, tz,
+                               ty, active_z, pcm, gamma, gam0, gam1, dfloor,
+                               siefloor, de_switch, ix, full, x1dep, x2dep,
+                               has_rot, rf_omega, rsolver, diff, cv, grav,
+                               cart=False):
+    """All DMAs are unconditional (edge-tile strip rows replace clamped
+    interior rows by value after the waits), so every semaphore is always
+    signaled."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    z0 = i * tz
+    y0 = j * ty
+    nyb = ny // ty
+    nzb = nz // tz if active_z else 1
+    zsz = tz + 4 if active_z else 1
+
+    # z halo planes: clamped in-bounds interior sources; the i==0 /
+    # i==nzb-1 tiles overwrite them with the x3 strips after the waits
+    zlo_src = jnp.maximum(z0 - 2, 0)
+    zhi_src = jnp.minimum(z0 + tz, nz - 2)
+    zregs = [(zlo_src, 2, 0), (z0, tz, 2), (zhi_src, 2, 2 + tz)]
+    dmas = []
+    sem_n = 0
+
+    def start(src_ref, dst_ref):
+        nonlocal sem_n
+        d = pltpu.make_async_copy(src_ref, dst_ref, sems.at[sem_n])
+        sem_n += 1
+        d.start()
+        dmas.append(d)
+
+    ylo = pl.multiple_of(jnp.maximum(y0 - 8, 0), 8)
+    yhi = pl.multiple_of(jnp.minimum(y0 + ty, ny - 8), 8)
+    for (zs, zn, zd) in zregs:
+        start(w_hbm.at[:, pl.ds(zs, zn), pl.ds(pl.multiple_of(y0, 8), ty), :],
+              scratch.at[:, pl.ds(zd, zn), pl.ds(8, ty), :])
+        start(w_hbm.at[:, pl.ds(zs, zn), pl.ds(ylo, 8), :],
+              scratch.at[:, pl.ds(zd, zn), pl.ds(0, 8), :])
+        start(w_hbm.at[:, pl.ds(zs, zn), pl.ds(yhi, 8), :],
+              scratch.at[:, pl.ds(zd, zn), pl.ds(8 + ty, 8), :])
+    # x2 strips (padded-z extents: slice at the tile's padded-z origin)
+    start(sy_lo.at[:, pl.ds(z0, zsz), :, :], syl_s)
+    start(sy_hi.at[:, pl.ds(z0, zsz), :, :], syh_s)
+    # x1 strips (padded y/z extents; 128-lane padded)
+    start(sx_lo.at[:, pl.ds(z0, zsz),
+                   pl.ds(pl.multiple_of(y0, 8), _yst(ty)), :], sxl_s)
+    start(sx_hi.at[:, pl.ds(z0, zsz),
+                   pl.ds(pl.multiple_of(y0, 8), _yst(ty)), :], sxh_s)
+    # x3 strips: this block's y window; strip y row = interior y + 8
+    if active_z:
+        start(sz_lo.at[:, :, pl.ds(pl.multiple_of(y0, 8), ty + 16), :],
+              szl_s)
+        start(sz_hi.at[:, :, pl.ds(pl.multiple_of(y0, 8), ty + 16), :],
+              szh_s)
+
+    bdt = bdt_ref[0]
+    for d in dmas:
+        d.wait()
+
+    sall = scratch[...]
+    if active_z:
+        zl = jnp.where(i == 0, szl_s[...], sall[:, 0:2])
+        zh = jnp.where(i == nzb - 1, szh_s[...], sall[:, 2 + tz:4 + tz])
+        sall = jnp.concatenate([zl, sall[:, 2:2 + tz], zh], axis=1)
+    lo_band = jnp.where(j == 0, syl_s[...], sall[:, :, 0:8])
+    hi_band = jnp.where(j == nyb - 1, syh_s[...], sall[:, :, 8 + ty:16 + ty])
+    sc = jnp.concatenate([lo_band[:, :, 6:8], sall[:, :, 8:8 + ty],
+                          hi_band[:, :, 0:2]], axis=2)
+    xl = sxl_s[...][:, :, :ty + 4, :ng]
+    xh = sxh_s[...][:, :, :ty + 4, :ng]
+    s = jnp.concatenate([xl, sc, xh], axis=-1)
+    _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
+               u_ref, w_ref, dm_ref, ng=ng, nx=nx, tz=tz, ty=ty,
+               active_z=active_z, pcm=pcm, gamma=gamma, gam0=gam0, gam1=gam1,
+               dfloor=dfloor, siefloor=siefloor, de_switch=de_switch, ix=ix,
+               full=full, x1dep=x1dep, x2dep=x2dep, has_rot=has_rot,
+               rf_omega=rf_omega, rsolver=rsolver, diff=diff, cv=cv,
+               grav=grav, cart=cart)
+
+
+def stage_curv_gather6(w_int, u0, u1, grid, cfg, gam0, gam1, beta_dt,
+                       force_pcm, coeffs, packed, strips, rf_omega=0.0,
+                       grav=None, grav_dt=0.0, interpret=None):
+    """Fused full-mode stage with six-face strip gather; consumes the
+    UNPADDED interior prims plus {("x1"|"x2"|"x3", side): strip} arrays
+    (layouts: prepare_gather6_root_strips)."""
+    from .pallas_stage import _interpret_mode
+
+    if interpret is None:
+        interpret = _interpret_mode()
+    nx, ny, nz = grid.nx
+    g1 = grid.ng[0]
+    active_z = nz > 1
+    wi = w_int[0]
+    u0_ = u0[0]
+    u1_ = u1[0]
+    CX, CY, CZ, ix = packed
+    pcm = force_pcm or cfg.recon == "pcm"
+    tz = _pick_tz(nz) if active_z else 1
+
+    diff_spec = None
+    if coeffs.diff is not None:
+        diff_spec = (_dp_tuple(coeffs.diff.visc), _dp_tuple(coeffs.diff.cond))
+    kern = functools.partial(
+        _stage_kernel_curv_gather6, ng=g1, nx=nx, ny=ny, nz=nz, tz=tz,
+        ty=TY, active_z=active_z, pcm=pcm, gamma=cfg.gamma, gam0=gam0,
+        gam1=gam1, dfloor=cfg.dfloor, siefloor=cfg.siefloor,
+        de_switch=cfg.de_switch, ix=ix, full=True, x1dep=coeffs.x1dep,
+        x2dep=coeffs.x2dep,
+        has_rot=any(np.any(f1 != 0) for f1, _ in coeffs.vrot),
+        rf_omega=rf_omega, rsolver=cfg.rsolver, diff=diff_spec, cv=cfg.cv,
+        grav=grav, cart=geo.is_cartesian(coeffs.coords))
+    dt = wi.dtype
+    zsz = tz + 4 if active_z else 1
+    nyb = ny // TY
+    CXj = jnp.asarray(CX)
+    CYW = np.stack([CY[:, jb * TY: jb * TY + TY + 4] for jb in range(nyb)])
+    if active_z:
+        nzb = nz // tz
+        CZW = np.stack([CZ[:, ib * tz: ib * tz + tz + 4]
+                        for ib in range(nzb)])
+    else:
+        nzb = 1
+        CZW = CZ[None, :, :1]
+    CZW = CZW[..., None]
+    CYWj = jnp.asarray(CYW)
+    CZWj = jnp.asarray(CZW)
+    blk = (6, tz, TY, nx)
+    imap = lambda i, j: (0, i, j, 0)
+    from .pallas_stage import rk_register_blocks as _rrb
+
+    u0_, u1_, spec0, spec1 = _rrb(u0_, u1_, gam0, gam1, blk, imap, dt)
+    zstrip = (6, 2, ny + 16, nx)
+    sz0 = strips.get(("x3", 0))
+    sz1 = strips.get(("x3", 1))
+    if sz0 is None:           # 2-D (inactive z): dummy rows, never read
+        sz0 = jnp.zeros((6, 1, ny + 16, nx), dt)
+        sz1 = sz0
+        zstrip = (6, 1, ny + 16, nx)
+    n_dmas = 18  # upper bound on per-block gather DMAs
+    u_new, w_new, dmax = pl.pallas_call(
+        kern,
+        grid=(nzb, nyb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            spec0,
+            spec1,
+            pl.BlockSpec(memory_space=pltpu.ANY),   # interior w
+            pl.BlockSpec(memory_space=pltpu.ANY),   # x1 lo strip
+            pl.BlockSpec(memory_space=pltpu.ANY),   # x1 hi strip
+            pl.BlockSpec(memory_space=pltpu.ANY),   # x2 lo strip
+            pl.BlockSpec(memory_space=pltpu.ANY),   # x2 hi strip
+            pl.BlockSpec(memory_space=pltpu.ANY),   # x3 lo strip
+            pl.BlockSpec(memory_space=pltpu.ANY),   # x3 hi strip
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + CYW.shape[1:], lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + CZW.shape[1:], lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((6, nz, ny, nx), dt),
+            jax.ShapeDtypeStruct((6, nz, ny, nx), dt),
+            jax.ShapeDtypeStruct((nzb, nyb), dt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((6, zsz, TY + 16, nx), dt),
+            pltpu.VMEM((6, zsz, _yst(TY), 128), dt),
+            pltpu.VMEM((6, zsz, _yst(TY), 128), dt),
+            pltpu.VMEM((6, zsz, 8, nx), dt),
+            pltpu.VMEM((6, zsz, 8, nx), dt),
+            pltpu.VMEM((6, zstrip[1], TY + 16, nx), dt),
+            pltpu.VMEM((6, zstrip[1], TY + 16, nx), dt),
+            pltpu.SemaphoreType.DMA((n_dmas,)),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM),
+        interpret=interpret,
+    )(jnp.reshape(jnp.asarray(beta_dt, dt), (1,)),
+      jnp.reshape(jnp.asarray(grav_dt, dt), (1,)), u0_, u1_, wi,
+      strips[("x1", 0)], strips[("x1", 1)], strips[("x2", 0)],
+      strips[("x2", 1)], sz0, sz1, CXj, CYWj, CZWj)
+    return u_new[None], w_new[None], dmax
+
+
+def prepare_gather6_root_strips(grid, ic_caches):
+    """Static six-face strips for a root node whose boundaries are all
+    ``ic`` value caches.  x1/x2 layouts match prepare_gather_strips; the
+    x3 strips are [6, ng, ny+16, nx] with interior y at row 8 (margin
+    rows edge-replicated; they are replaced by the x1/x2 strips in the
+    kernel's band assembly)."""
+    out = prepare_gather_strips(grid, ic_caches)
+    ng = grid.nghost
+    nx, ny, nz = grid.nx
+    if nz <= 1:
+        return out
+    for side in (0, 1):
+        a = np.asarray(ic_caches[(3, side)])[0]   # [6, ng, yp, xp]
+        st = np.zeros((6, ng, ny + 16, nx), a.dtype)
+        st[:, :, 8:8 + ny, :] = a[:, :, ng:ng + ny, ng:ng + nx]
+        st[:, :, :8, :] = st[:, :, 8:9, :]
+        st[:, :, 8 + ny:, :] = st[:, :, 7 + ny:8 + ny, :]
+        out[("x3", side)] = st
+    return out
+
+
+def gather6_supported(grid) -> bool:
+    """Grid-shape gate for the six-face strip kernel (boundary sourcing
+    is the caller's responsibility: ic caches or prolonged slabs)."""
+    nx, ny, nz = grid.nx
+    return (grid.nghost == 2 and nx % 128 == 0 and ny % TY == 0
+            and nz > 1 and nz % _pick_tz(nz) == 0)

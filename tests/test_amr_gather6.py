@@ -1,0 +1,73 @@
+"""gather6 fused AMR stage (six-face strip gather, no padded arrays)
+vs the padded fused stage: the strips carry exactly the values the
+padded arrays held (static ic caches on the root, the same prolonged
+ghost slabs on the patch), so the two paths must agree to float32
+roundoff.  (Reference analogue: Parthenon boundary buffers move only
+O(surface) ghost data, never a padded copy of the state.)"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from artemis_tpu.simulation import Simulation
+
+INP = os.path.join(os.path.dirname(__file__), "..", "inputs")
+
+OVR = [
+    "artemis/precision=float32",
+    "physics/radiation=false",
+    "parthenon/mesh/nx1=128",
+    "parthenon/mesh/nx2=32",
+    "parthenon/mesh/nx3=8",
+]
+
+
+def _run(tmp_path, tag, nsteps=3):
+    sim = Simulation(os.path.join(INP, "disk_rhd_amr.in"), overrides=OVR,
+                     data_dir=str(tmp_path / tag))
+    drv = sim.driver
+    drv._ensure_states(sim.state)
+    smr, los = drv.smr, drv._los
+    dt = jnp.asarray(0.3 * float(drv.estimate_dt(sim.state)),
+                     dtype=jnp.float32)
+    states = drv._states
+    for _ in range(nsteps):
+        states = smr._step(states, dt, jnp.asarray(0.0, jnp.float32), los,
+                           None)
+    return smr, states
+
+
+def test_gather6_matches_padded_fused(tmp_path, monkeypatch):
+    monkeypatch.setenv("ARTEMIS_PALLAS_INTERPRET", "1")
+
+    monkeypatch.setenv("ARTEMIS_AMR_GATHER", "0")
+    smr_ref, ref = _run(tmp_path, "padded")
+    assert smr_ref._fused is not None and smr_ref._gather6 is None
+
+    monkeypatch.setenv("ARTEMIS_AMR_GATHER", "1")
+    smr_g6, out = _run(tmp_path, "gather6")
+    assert smr_g6._gather6 is not None, "gather6 gate rejected the deck"
+
+    for i in range(len(ref)):
+        for key in ("u", "w"):
+            a = np.asarray(ref[i]["gas"][key], dtype=np.float64)
+            b = np.asarray(out[i]["gas"][key], dtype=np.float64)
+            scale = np.max(np.abs(a)) + 1e-30
+            err = np.max(np.abs(a - b)) / scale
+            assert err < 1e-6, f"node {i} {key} mismatch {err:g}"
+    rho = np.asarray(out[0]["gas"]["w"][0, 0])
+    assert np.isfinite(rho).all() and rho.min() > 0
+
+
+def test_gather6_gate_rejects_moving_trees(tmp_path, monkeypatch):
+    """Adaptive decks keep the padded path (static-margin guarantee)."""
+    monkeypatch.setenv("ARTEMIS_PALLAS_INTERPRET", "1")
+    sim = Simulation(os.path.join(INP, "disk_rhd_amr.in"), overrides=OVR + [
+        "parthenon/mesh/refinement=adaptive",
+        "gas/refine_field=density",
+        "gas/refine_type=magnitude",
+        "gas/refine_thr=0.5",
+    ], data_dir=str(tmp_path))
+    assert sim.driver.smr._gather6 is None
