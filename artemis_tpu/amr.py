@@ -702,9 +702,67 @@ class MultiLevelSMR:
         grid = _refine_grid(parent.grid, lo, n)
         return _Node(self, grid, parent, lo, n, level)
 
+    # same-level ghost exchange between sibling patches (Parthenon's
+    # same-level boundary buffers): ghost cells of a patch that fall
+    # inside an adjacent sibling's interior take the sibling's FINE
+    # values instead of parent prolongation — with nghost=2 and PLM the
+    # seam stencils then match a single union patch exactly.  ShardedSMR
+    # disables (its node frames mix shard-local and global coordinates).
+    _sibling_exchange = True
+
+    def _sibling_links(self):
+        """{node.index: [(sib_index, dst_slices, src_slices), ...]}:
+        overlap of the node's padded fine box with each same-parent
+        sibling's interior, in [z,y,x] slices (dst: node's padded array,
+        src: sibling's interior array).  Static patch positions only —
+        moving trees keep prolonged ghosts."""
+        links = {node.index: [] for node in self.nodes}
+        if not self._sibling_exchange or self.moving_patches:
+            return links
+        for node in self.nodes:
+            if node.parent is None:
+                continue
+            ng = node.grid.ng
+            for sib in node.parent.children:
+                if sib is node:
+                    continue
+                dst, src = [], []
+                empty = False
+                for t in range(2, -1, -1):      # array order z, y, x
+                    d = t
+                    if not node.active[d]:
+                        dst.append(slice(0, 1))
+                        src.append(slice(0, 1))
+                        continue
+                    # level-fine coordinates (2x parent interior cells)
+                    n_lo = 2 * node.lo[d] - ng[d]
+                    n_hi = 2 * (node.lo[d] + node.n[d]) + ng[d]
+                    s_lo = 2 * sib.lo[d]
+                    s_hi = s_lo + 2 * sib.n[d]
+                    a, b = max(n_lo, s_lo), min(n_hi, s_hi)
+                    if a >= b:
+                        empty = True
+                        break
+                    dst.append(slice(a - n_lo, b - n_lo))
+                    src.append(slice(a - s_lo, b - s_lo))
+                if not empty:
+                    links[node.index].append(
+                        (sib.index, tuple(dst), tuple(src)))
+        return links
+
+    @staticmethod
+    def _apply_sib_links(wp, links, arrs):
+        """Overwrite ghost regions of padded array ``wp`` with sibling
+        fine data (``arrs``: node.index -> interior array)."""
+        for (si, dst, src) in links:
+            wp = wp.at[(Ellipsis,) + dst].set(
+                arrs[si][(Ellipsis,) + src].astype(wp.dtype))
+        return wp
+
     # -- compiled step ----------------------------------------------------
     def _compile(self):
         self._fused = self._fused_setup()
+        self._sib_links = self._sibling_links()
         self._gather6 = self._gather6_setup()
         self._stage_jits = [jax.jit(self._make_stage(s))
                             for s in range(1, self.integ.nstages + 1)] \
@@ -779,6 +837,9 @@ class MultiLevelSMR:
                 or os.environ.get("ARTEMIS_AMR_GATHER", "1") == "0" \
                 or self.moving_patches or not self.root.children:
             return None
+        if any(self._sib_links.values()):
+            return None     # adjacent siblings: strips would need the
+            #                 sibling exchange folded in — padded path
         from .ops import pallas_stage_curv as _psc
 
         root = self.root
@@ -980,8 +1041,11 @@ class MultiLevelSMR:
             elif node.parent is None:
                 wpads[i] = self._root_fill(w, node, "gas")
             else:
-                wpads[i] = node.fill_fine_ghosts(
+                wp = node.fill_fine_ghosts(
                     w, self._parent_arr(states, node, "gas", "w"), los[i])
+                wpads[i] = self._apply_sib_links(
+                    wp, self._sib_links[i],
+                    [st["gas"]["w"] for st in states])
 
         # 2. fused stage per node
         new_states = []
@@ -1182,9 +1246,12 @@ class MultiLevelSMR:
                 if node.parent is None:
                     wp[fl] = self._root_fill(w, node, fl)
                 else:
-                    wp[fl] = node.fill_fine_ghosts(
-                        w, self._parent_arr(states, node, fl, "w"),
-                        los[node.index])
+                    wp[fl] = self._apply_sib_links(
+                        node.fill_fine_ghosts(
+                            w, self._parent_arr(states, node, fl, "w"),
+                            los[node.index]),
+                        self._sib_links[node.index],
+                        [st[fl]["w"] for st in states])
             wpads.append(wp)
 
         # 2. fluxes per node per fluid
@@ -1267,6 +1334,10 @@ class MultiLevelSMR:
         fine fields restrict back (the jaybenne photons-cross-levels
         analogue)."""
         states = list(states)
+        # sibling Er snapshots from BEFORE any solve: same-level ghost
+        # exchange stays symmetric (parents deliberately couple
+        # post-solve; siblings couple pre-solve, Jacobi-style)
+        sib_Er = [s.get("rad", {}).get("Er") for s in states]
         for node in self.nodes:
             i = node.index
             st = dict(states[i])
@@ -1276,6 +1347,8 @@ class MultiLevelSMR:
                 Erp = self._parent_arr(states, node, "rad", "Er")
                 Er_pad = node.fill_fine_ghosts(st["rad"]["Er"], Erp,
                                                los[i])
+                Er_pad = self._apply_sib_links(
+                    Er_pad, self._sib_links[i], sib_Er)
                 gh = {}
                 for d in (1, 2, 3):
                     if node.grid.nx[d - 1] <= 1:

@@ -40,6 +40,8 @@ class ShardedSMR(MultiLevelSMR):
     _fused_ok = False  # fused whole-stage kernel + replicated-patch global
     #                    scatters under shard_map: separate composition,
     #                    the sharded tree runs the jnp stage
+    _sibling_exchange = False  # node frames mix shard-local and global
+    #                    coordinates; sibling overlaps keep prolonged ghosts
 
     def __init__(self, global_grid: Grid, integrator: Integrator, gas_cfg,
                  dust_cfg=None, sources_factory=None, diffusion_factory=None,
