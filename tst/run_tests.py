@@ -33,7 +33,10 @@ FAMILIES = {
     "collisions": "tests/test_nbody.py",
     "disk_nbody": "tests/test_nbody.py",
     "radiation": "tests/test_radiation.py",
-    "amr": "tests/test_amr.py tests/test_amr_multilevel.py",
+    "amr": "tests/test_amr.py tests/test_amr_multilevel.py "
+           "tests/test_amr_radiation.py tests/test_amr_fused.py "
+           "tests/test_amr_gather6.py tests/test_amr_siblings.py "
+           "tests/test_amr_sharded.py",
     "decks": "tests/test_decks.py",
     "parallel": "tests/test_parallel.py",
     "restart": "tests/test_restart.py tests/test_outputs_restart.py",
