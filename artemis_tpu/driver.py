@@ -558,6 +558,12 @@ class SimTime:
     ncycle: int = 0
     tlim: float = 1.0
     nlim: int = -1
+    # runaway-run guards (<parthenon/time> dt_min / dt_max,
+    # doc/src/running.rst:46-56): halt when dt leaves [dt_min, dt_max].
+    # Checked at host sync points (per cycle when host-coupled, per
+    # compiled chunk otherwise).
+    dt_min: float = 0.0
+    dt_max: float = BIG
     # True when (time, dt) came from a checkpoint: the stored dt already had
     # the 2x growth limit applied when it was written, so the first resumed
     # cycle must use it as-is (re-applying growth would double it twice
@@ -598,10 +604,24 @@ def evolve(driver: Driver, state, tm: SimTime, observers=None, log_every: int = 
                 t = min(t, ev)
         return t
 
+    def check_dt_guards():
+        """<parthenon/time> dt_min/dt_max runaway guards
+        (doc/src/running.rst:46-56): halt with an error outside the
+        range.  NaN compares false on both sides and is caught too."""
+        if tm.time + tm.dt >= tm.tlim * (1.0 - 1e-12):
+            return  # final tlim-clamped step may be arbitrarily small
+        ok = tm.dt >= tm.dt_min and tm.dt <= tm.dt_max
+        if not ok:
+            raise RuntimeError(
+                f"timestep dt={tm.dt:.6e} outside [dt_min={tm.dt_min:.6e}, "
+                f"dt_max={tm.dt_max:.6e}] at cycle {tm.ncycle}, "
+                f"t={tm.time:.6e} — halting (runaway run)")
+
     # a checkpointed dt was growth-limited at write time — use it as-is for
     # the first resumed cycle (the min/clamp below are idempotent on it)
     set_global_dt(grow=not tm.restored)
     tm.restored = False
+    check_dt_guards()
     while tm.time < tm.tlim * (1.0 - 1e-12) and (tm.nlim < 0 or tm.ncycle < tm.nlim):
         if driver.host_coupled:
             # per-step python loop: particle advances interleave the stages
@@ -609,6 +629,7 @@ def evolve(driver: Driver, state, tm: SimTime, observers=None, log_every: int = 
             tm.time += tm.dt
             tm.ncycle += 1
             set_global_dt()
+            check_dt_guards()
         else:
             target = next_target()
             # compiled multi-step march to the next event (no host sync/step).
@@ -625,6 +646,7 @@ def evolve(driver: Driver, state, tm: SimTime, observers=None, log_every: int = 
             tm.time = float(t)
             tm.dt = float(dt)
             tm.ncycle = int(nc)
+            check_dt_guards()
         for obs in observers:
             obs(state, tm)
         if log_every:

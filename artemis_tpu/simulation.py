@@ -385,6 +385,9 @@ class Simulation:
                 ncycle=meta["ncycle"],
                 tlim=pin.get_real("parthenon/time", "tlim"),
                 nlim=pin.get_or_add_int("parthenon/time", "nlim", -1),
+                dt_min=pin.get_or_add_real("parthenon/time", "dt_min", 0.0),
+                dt_max=pin.get_or_add_real("parthenon/time", "dt_max",
+                                           1.0e300),
                 restored=True,
             )
             if self.problem.on_restart is not None:
@@ -408,6 +411,9 @@ class Simulation:
                 time=0.0,
                 tlim=pin.get_real("parthenon/time", "tlim"),
                 nlim=pin.get_or_add_int("parthenon/time", "nlim", -1),
+                dt_min=pin.get_or_add_real("parthenon/time", "dt_min", 0.0),
+                dt_max=pin.get_or_add_real("parthenon/time", "dt_max",
+                                           1.0e300),
             )
 
     def print_config(self):

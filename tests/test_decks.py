@@ -141,3 +141,30 @@ def test_disk_rhd_amr(tmp_path):
     assert err <= 6e-3, f"disk_rhd_amr err {err:g}"
     Er = np.asarray(sim.state["rad"]["Er"])
     assert np.isfinite(Er).all() and (Er > 0).all()
+
+
+def test_dt_guards_halt_runaway(tmp_path):
+    """<parthenon/time> dt_min/dt_max runaway guards halt with an error
+    when the CFL timestep leaves their range (running.rst:46-56)."""
+    deck = os.path.join(INP, "linwave.in")
+    base = [
+        "parthenon/mesh/nx1=16", "parthenon/mesh/nx2=8",
+        "parthenon/mesh/nx3=8", "parthenon/mesh/nghost=2",
+        "parthenon/time/nlim=4",
+    ]
+    # dt_min far above any CFL dt -> halt on the first check
+    sim = Simulation(deck, overrides=base + ["parthenon/time/dt_min=10.0"],
+                     data_dir=str(tmp_path / "lo"))
+    with pytest.raises(RuntimeError, match="dt_min"):
+        sim.run()
+    # dt_max below the CFL dt -> halt too
+    sim = Simulation(deck, overrides=base + ["parthenon/time/dt_max=1e-9"],
+                     data_dir=str(tmp_path / "hi"))
+    with pytest.raises(RuntimeError, match="dt_max"):
+        sim.run()
+    # in-range guards leave the run untouched
+    sim = Simulation(deck, overrides=base + [
+        "parthenon/time/dt_min=1e-12", "parthenon/time/dt_max=1.0"],
+        data_dir=str(tmp_path / "ok"))
+    sim.run()
+    assert sim.tm.ncycle == 4
