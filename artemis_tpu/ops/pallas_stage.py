@@ -268,7 +268,7 @@ def stage(w_pad, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
             pl.BlockSpec(memory_space=pltpu.SMEM),   # bdt (1,)
             spec0,                                   # u0 (dummy if gam0=0)
             spec1,                                   # u1 (dummy if gam1=0)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # wp (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),    # wp (manual DMA)
         ],
         out_specs=(
             pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
@@ -482,7 +482,7 @@ def stage_periodic(w, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             spec0,
             spec1,
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),

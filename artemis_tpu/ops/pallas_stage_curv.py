@@ -1456,11 +1456,11 @@ def stage_curv_gather(w_int, u0, u1, grid, cfg, gam0, gam1, beta_dt,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             spec0,
             spec1,
-            pl.BlockSpec(memory_space=pltpu.ANY),   # interior w
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x1 lo strip
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x1 hi strip
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x2 lo strip
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x2 hi strip
+            pl.BlockSpec(memory_space=pl.ANY),   # interior w
+            pl.BlockSpec(memory_space=pl.ANY),   # x1 lo strip
+            pl.BlockSpec(memory_space=pl.ANY),   # x1 hi strip
+            pl.BlockSpec(memory_space=pl.ANY),   # x2 lo strip
+            pl.BlockSpec(memory_space=pl.ANY),   # x2 hi strip
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((1,) + CYW.shape[1:], lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1587,7 +1587,7 @@ def stage_curv(w_pad, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             spec0,
             spec1,
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((1,) + CYW.shape[1:], lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1801,13 +1801,13 @@ def stage_curv_gather6(w_int, u0, u1, grid, cfg, gam0, gam1, beta_dt,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             spec0,
             spec1,
-            pl.BlockSpec(memory_space=pltpu.ANY),   # interior w
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x1 lo strip
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x1 hi strip
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x2 lo strip
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x2 hi strip
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x3 lo strip
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x3 hi strip
+            pl.BlockSpec(memory_space=pl.ANY),   # interior w
+            pl.BlockSpec(memory_space=pl.ANY),   # x1 lo strip
+            pl.BlockSpec(memory_space=pl.ANY),   # x1 hi strip
+            pl.BlockSpec(memory_space=pl.ANY),   # x2 lo strip
+            pl.BlockSpec(memory_space=pl.ANY),   # x2 hi strip
+            pl.BlockSpec(memory_space=pl.ANY),   # x3 lo strip
+            pl.BlockSpec(memory_space=pl.ANY),   # x3 hi strip
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((1,) + CYW.shape[1:], lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
