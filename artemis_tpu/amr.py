@@ -710,6 +710,12 @@ class MultiLevelSMR:
     # disables (its node frames mix shard-local and global coordinates).
     _sibling_exchange = True
 
+    def _sib_pair_ok(self, a, b) -> bool:
+        """May nodes ``a`` and ``b`` exchange sibling ghosts?  ShardedSMR
+        narrows this to replicated<->replicated pairs (same global frame
+        on every shard)."""
+        return True
+
     def _sibling_links(self):
         """{node.index: [(sib_index, dst_slices, src_slices), ...]}:
         overlap of the node's padded fine box with each same-parent
@@ -724,7 +730,7 @@ class MultiLevelSMR:
                 continue
             ng = node.grid.ng
             for sib in node.parent.children:
-                if sib is node:
+                if sib is node or not self._sib_pair_ok(node, sib):
                     continue
                 dst, src = [], []
                 empty = False
@@ -760,10 +766,16 @@ class MultiLevelSMR:
         return wp
 
     # -- compiled step ----------------------------------------------------
-    def _compile(self):
+    def _compile_common(self):
+        """Attributes every compile path must set (ShardedSMR._compile
+        reuses this: _fused stays None there, so _sib_links/_gather6 come
+        out empty/None)."""
         self._fused = self._fused_setup()
         self._sib_links = self._sibling_links()
         self._gather6 = self._gather6_setup()
+
+    def _compile(self):
+        self._compile_common()
         self._stage_jits = [jax.jit(self._make_stage(s))
                             for s in range(1, self.integ.nstages + 1)] \
             if self.nbody is not None else None
@@ -1749,7 +1761,8 @@ class SMRDriver:
                 sources_factory=sources_factory,
                 diffusion_factory=diffusion_factory, bc_custom=bc_custom,
                 omf=omf, patches=patches, mesh=mesh, axis=shard_axis,
-                nbody=nbody, radiation_factory=radiation_factory)
+                nbody=nbody, radiation_factory=radiation_factory,
+                moving_patches=self.adaptive or bool(track))
         else:
             self.smr = MultiLevelSMR(
                 grid, integrator, gas_cfg, dust_cfg=dust_cfg,

@@ -40,15 +40,18 @@ class ShardedSMR(MultiLevelSMR):
     _fused_ok = False  # fused whole-stage kernel + replicated-patch global
     #                    scatters under shard_map: separate composition,
     #                    the sharded tree runs the jnp stage
-    _sibling_exchange = False  # node frames mix shard-local and global
-    #                    coordinates; sibling overlaps keep prolonged ghosts
+    _sibling_exchange = True  # replicated<->replicated sibling pairs only
+    #                    (_sib_pair_ok): both frames are global on every
+    #                    shard, so the serial links apply verbatim.  Pairs
+    #                    involving a wrap (block-sharded) node keep
+    #                    prolonged ghosts — their frames are shard-local.
 
     def __init__(self, global_grid: Grid, integrator: Integrator, gas_cfg,
                  dust_cfg=None, sources_factory=None, diffusion_factory=None,
                  bc_custom=None, omf: float = 0.0,
                  patches: Optional[List[dict]] = None,
                  mesh: Optional[Mesh] = None, axis: int = 3, nbody=None,
-                 radiation_factory=None):
+                 radiation_factory=None, moving_patches: bool = False):
         self.mesh_dev = mesh if mesh is not None else make_device_mesh()
         self.nshards = int(self.mesh_dev.devices.size)
         d = int(axis)
@@ -69,7 +72,8 @@ class ShardedSMR(MultiLevelSMR):
                          sources_factory=sources_factory,
                          diffusion_factory=diffusion_factory,
                          bc_custom=bc_custom, omf=omf, patches=patches,
-                         radiation_factory=radiation_factory, nbody=nbody)
+                         radiation_factory=radiation_factory, nbody=nbody,
+                         moving_patches=moving_patches)
         from ..sources import NBodyGravity as _NBG
 
         for node in self.nodes:
@@ -124,6 +128,10 @@ class ShardedSMR(MultiLevelSMR):
     @staticmethod
     def _is_rep(node):
         return getattr(node, "replicated", False)
+
+    def _sib_pair_ok(self, a, b) -> bool:
+        # both replicated: global frames on every shard, serial links apply
+        return self._is_rep(a) and self._is_rep(b)
 
     def add_patch(self, level: int, lo, n):
         """Register a patch in BOTH trees (global + local, same index).
@@ -342,7 +350,9 @@ class ShardedSMR(MultiLevelSMR):
 
     def _compile(self):
         spec = self._spec()
-        self._fused = None   # _fused_ok = False; jnp stage under shard_map
+        # _fused_ok=False / _sibling_exchange=False: _fused and _gather6
+        # come out None, _sib_links empty — the jnp stage under shard_map
+        self._compile_common()
         self._stage_jits = None
         if self.nbody is not None:
             self._stage_jits = [jax.jit(jax.shard_map(

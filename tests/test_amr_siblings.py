@@ -115,3 +115,44 @@ def test_adjacent_siblings_match_union_fused(monkeypatch):
     ml_p, pair_states = _run(PAIR)
     assert ml_p._fused is not None
     _compare(union_states, pair_states, 2e-5)
+
+
+def test_adjacent_siblings_sharded_replicated(monkeypatch):
+    """REPLICATED sibling patches on the sharded tree exchange ghosts
+    exactly like serial siblings (their frames are global on every
+    shard): the x3-decomposed PAIR run matches the serial UNION run."""
+    monkeypatch.setenv("ARTEMIS_PALLAS", "0")
+    from artemis_tpu.parallel.amr import ShardedSMR
+    from artemis_tpu.parallel.mesh import make_device_mesh
+
+    _, union_states = _run(UNION)
+
+    pin = ParameterInput.from_string(BOX)
+    grid = grid_from_input(pin)
+    cfg = FluidCfg(fluid="gas", recon="plm", rsolver="hllc", gamma=1.4,
+                   cfl=0.4)
+    sml = ShardedSMR(grid, Integrator.make("rk2"), cfg,
+                     patches=[dict(p) for p in PAIR],
+                     mesh=make_device_mesh(4), axis=3)
+    assert sml.nodes[1].replicated and sml.nodes[2].replicated
+    assert sml._sib_links[1] and sml._sib_links[2], \
+        "replicated sibling pairs must exchange ghosts"
+    states = sml.initialize(
+        [{"gas": _bump_ic(g, np.float32)} for g in sml.ic_grids])
+    los = [None] + [jnp.asarray(np.array(nd.lo, dtype=np.int32))
+                    for nd in sml.nodes[1:]]
+    # match _run's dt: the serial tree's CFL estimate
+    pin2 = ParameterInput.from_string(BOX)
+    grid2 = grid_from_input(pin2)
+    ml = MultiLevelSMR(grid2, Integrator.make("rk2"), cfg,
+                       patches=[dict(p) for p in PAIR])
+    st_ml = ml.initialize(
+        [{"gas": _bump_ic(nd.grid, np.float32)} for nd in ml.nodes])
+    dt = 0.8 * float(ml._dt(st_ml))
+    for _ in range(6):
+        states = sml._step(states, jnp.asarray(dt), jnp.asarray(0.0), los,
+                           None)
+    # 5e-7: the sharded root's collectives reorder f32 sums (measured
+    # ~8e-8 vs serial); with exchange OFF the seam ghosts are prolonged
+    # coarse data and the union mismatch is O((dx_coarse)^2) ~ 1e-3.
+    _compare(union_states, list(states), 5e-7)
