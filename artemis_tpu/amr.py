@@ -1744,10 +1744,19 @@ class SMRDriver:
                 if lev + 1 > numlevel - 1:
                     break
 
-        # 3) nbody refine_distance tracking patches (nbody.cpp:276-312)
+        # 3) nbody refine_distance tracking patches (nbody.cpp:276-312).
+        # The reference enables them with <nbody> refine_type = distance
+        # (nbody.cpp:238-241); an explicit refine_type = none disables even
+        # when particles carry refine_distance.  When the key is absent,
+        # refine_distance > 0 alone enables (this dialect's shorthand).
+        # derefine_factor is accepted but has no patch analogue (a moving
+        # patch needs no derefinement hysteresis band).
         self._particle_nodes = {}
         track = []
-        if nbody is not None:
+        rtype = pin.get_or_add_str("nbody", "refine_type", "") \
+            if nbody is not None else ""
+        pin.get_or_add_real("nbody", "derefine_factor", 2.0)
+        if nbody is not None and rtype in ("", "distance"):
             for k in range(nbody.npart):
                 rd = float(np.asarray(nbody.target_rad)[k])
                 if rd > 0.0:

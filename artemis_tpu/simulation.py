@@ -475,7 +475,8 @@ class Simulation:
                 obs.append(FieldOutput(self, dt_out, base, variables))
             elif ftype == "rst":
                 obs.append(RestartOutput(self, dt_out, base))
-        if self.nbody is not None:
+        if self.nbody is not None and not self.pin.get_or_add_bool(
+                "nbody", "disable_outputs", False):   # nbody_outputs.cpp:35
             obs.append(_NBodyOutputs(self))
         return obs
 

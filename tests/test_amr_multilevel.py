@@ -202,6 +202,37 @@ def test_refine_distance_places_patch(tmp_path):
     assert np.isfinite(wf).all()
 
 
+def test_refine_type_none_disables_tracking(tmp_path):
+    """<nbody> refine_type = none suppresses refine_distance tracking
+    patches (the reference's enable switch, nbody.cpp:238-241), and
+    <nbody> disable_outputs stops the .reb/.orb files
+    (nbody_outputs.cpp:35)."""
+    deck = os.path.join(HERE, "..", "inputs", "disk_nbody_cyl.in")
+    sim = Simulation(deck, overrides=[
+        "parthenon/time/nlim=1",
+        "parthenon/mesh/nx1=64",
+        "parthenon/mesh/nx2=64",
+        "parthenon/mesh/refinement=static",
+        "parthenon/mesh/numlevel=1",
+        "nbody/refine_type=none",
+        "nbody/disable_outputs=true",
+        "nbody/planet1/mass=1.0e-4",
+        "nbody/planet1/a=2.0",
+        "nbody/planet1/f=0.0",
+        "nbody/planet1/refine_distance=0.3",
+    ], data_dir=str(tmp_path))
+    drv = sim.driver
+    assert isinstance(drv, SMRDriver)
+    assert not drv._particle_nodes, \
+        "refine_type=none must suppress tracking patches"
+    sim.run()
+    import glob
+    assert not glob.glob(os.path.join(str(tmp_path), "*.reb")), \
+        "disable_outputs must stop .reb files"
+    assert not glob.glob(os.path.join(str(tmp_path), "*.orb")), \
+        "disable_outputs must stop .orb files"
+
+
 def test_wrap_patch_periodic_full_span():
     """A patch spanning the FULL extent of a periodic axis wraps onto
     itself there (ghosts by periodic exchange of the fine data, no
