@@ -660,9 +660,14 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
         return a[tuple(sl)]
 
     # ---- X sweep -----------------------------------------------------
+    # metric-independent axes (x1dep/x2dep traits; x3 always) reduce the
+    # Mignone limiter to the uniform-spacing PLM on these uniformly
+    # spaced meshes — mirrors ops/recon.py reconstruct's selection so the
+    # kernel stays bit-equal to the jnp path
     wx = s[:, zc, 2:2 + ty, :]
     xv, xlo, xhi, dxr = (rx(k) for k in ix["recon1"])
-    wl, wr = _plm_g(wx, 3, ng, nx + 1, xv, xlo, xhi, dxr, pcm, uniform=cart)
+    wl, wr = _plm_g(wx, 3, ng, nx + 1, xv, xlo, xhi, dxr, pcm,
+                    uniform=not x1dep)
     Fx, pfx, vfx = hllc6(wl, wr, 1)
     # momentum-flux scaling at x faces: fh = f1(face) * f2(ycell)
     # (unit rows on Cartesian grids -- skipped there)
@@ -676,7 +681,8 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
     # ---- Y sweep -----------------------------------------------------
     wy = s[:, zc, :, ng:ng + nx]
     yv, ylo, yhi, dyr = (ry_pad(k) for k in ix["recon2"])
-    wl, wr = _plm_g(wy, 2, 2, ty + 1, yv, ylo, yhi, dyr, pcm, uniform=cart)
+    wl, wr = _plm_g(wy, 2, 2, ty + 1, yv, ylo, yhi, dyr, pcm,
+                    uniform=not x2dep)
     Fy, pfy, vfy = hllc6(wl, wr, 2)
     if not cart:
         for c in range(3):
@@ -688,7 +694,8 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
     if active_z:
         wz = s[:, :, 2:2 + ty, ng:ng + nx]
         zv, zlo, zhi, dzr = (rz_pad(k) for k in ix["recon3"])
-        wl, wr = _plm_g(wz, 1, 2, tz + 1, zv, zlo, zhi, dzr, pcm, uniform=cart)
+        wl, wr = _plm_g(wz, 1, 2, tz + 1, zv, zlo, zhi, dzr, pcm,
+                        uniform=True)  # x3dep is False in every system
         Fz, pfz, vfz = hllc6(wl, wr, 3)
         if not cart:
             for c in range(3):

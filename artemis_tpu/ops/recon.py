@@ -125,7 +125,12 @@ def reconstruct(W, d: int, method: str, geom=None, rows=None):
     if method == "pcm":
         return pcm(W, d)
     if method == "plm":
-        if geom is None or geom.coords == "cartesian":
+        if geom is None or not _axis_dep(geom.coords, d):
+            # metric-independent axis on a uniformly spaced mesh: the
+            # volume centroid is the arithmetic midpoint and the Mignone
+            # limiter reduces algebraically to the uniform-spacing PLM
+            # (phi in spherical; phi and z in cylindrical) — skip the
+            # coordinate-ratio arithmetic (plm.hpp:38 Cartesian branch)
             return plm_uniform(W, d)
         if rows is not None:
             xv, xlo, xhi, dx = (jnp.asarray(r) for r in rows)
@@ -136,6 +141,16 @@ def reconstruct(W, d: int, method: str, geom=None, rows=None):
     if method == "ppm":
         return ppm4(W, d)
     raise ValueError(f"unknown reconstruction {method!r}")
+
+
+def _axis_dep(coords: str, d: int) -> bool:
+    """Does the volume element depend on coordinate ``d``?  (Geometry
+    traits x1dep/x2dep/x3dep — exactly the axes whose volume centroids
+    are not arithmetic midpoints, geometry.py _centroid_x1/_centroid_x2.)"""
+    from .. import geometry as _g
+
+    geo = _g.geometry
+    return {1: geo.x1dep, 2: geo.x2dep, 3: geo.x3dep}[d](coords)
 
 
 def _axis_coords(geom, d: int, ndim: int):
