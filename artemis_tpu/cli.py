@@ -25,6 +25,17 @@ def main(argv=None) -> int:
     ap.add_argument("overrides", nargs="*", help="block/key=value overrides")
     args = ap.parse_args(argv)
 
+    import os
+
+    # honor JAX_PLATFORM_NAME/JAX_PLATFORMS=cpu BEFORE any backend init:
+    # plugin platforms (the axon TPU tunnel) otherwise still initialize
+    # during backend discovery and a dead tunnel hangs the process
+    if "cpu" in (os.environ.get("JAX_PLATFORM_NAME", ""),
+                 os.environ.get("JAX_PLATFORMS", "")):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from .simulation import Simulation
 
     # graceful SIGTERM: stop at the next chunk boundary and checkpoint
