@@ -178,11 +178,45 @@ def bench_cartesian(nsteps, reps):
     return _measure(state, driver._build_step(), dt, grid.nx, nsteps, reps)
 
 
+def _wait_for_tpu(max_wait_s: float) -> bool:
+    """Probe TPU backend init in short-lived subprocesses (a dead axon
+    tunnel HANGS jax.devices() rather than failing, and a hung backend
+    poisons this process) until it answers or ``max_wait_s`` elapses."""
+    import subprocess
+
+    probe = ("import jax; d = jax.devices(); "
+             "assert d and d[0].platform != 'cpu'")
+    deadline = time.monotonic() + max_wait_s
+    first = True
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               timeout=max(5.0, min(120.0, max_wait_s)),
+                               capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            return False
+        if first:
+            print("# TPU backend not answering; retrying up to "
+                  f"{max_wait_s:.0f}s", file=sys.stderr)
+            first = False
+        time.sleep(30)
+
+
 def main() -> int:
     nsteps = int(os.environ.get("BENCH_STEPS", "50"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     which = os.environ.get("BENCH_CONFIG", "both")
     baseline = 5.0e8
+
+    # a flapping TPU tunnel must not record a zero bench: wait (bounded)
+    # for the backend before the first jax-initializing call
+    if "cpu" not in (os.environ.get("JAX_PLATFORMS", ""),
+                     os.environ.get("JAX_PLATFORM_NAME", "")):
+        _wait_for_tpu(float(os.environ.get("BENCH_TPU_WAIT", "900")))
 
     disk = cart = None
     if which in ("both", "disk"):
