@@ -93,11 +93,14 @@ def prolong_minmod(wc, active, spacings=None):
     Curvilinear: ``spacings[d-1] = (dxm, dxp, dxfm, dxfp)`` 1-D arrays of
     centroid distances along axis d (GetGridSpacings, prolongation.hpp:36-67)
     so gradients and child offsets use the true volume-averaged centers.
+    A per-axis ``spacings[d-1] = None`` falls back to the uniform stencil
+    on that axis (metric-independent axes: φ rows, wrap-padded axes).
     """
     out = wc
     for d in (1, 2, 3):
         if not active[d - 1]:
             continue
+        sp_d = None if spacings is None else spacings[d - 1]
         ax = out.ndim - d
         lo = jnp.concatenate([out.take(jnp.array([0]), axis=ax),
                               jnp.moveaxis(jnp.moveaxis(out, ax, 0)[:-1], 0, ax)],
@@ -106,7 +109,7 @@ def prolong_minmod(wc, active, spacings=None):
                               out.take(jnp.array([-1]), axis=ax)], axis=ax)
         dl = out - lo
         dr = hi - out
-        if spacings is None:
+        if sp_d is None:
             slope = jnp.where(dl * dr > 0.0,
                               jnp.sign(dl) * jnp.minimum(jnp.abs(dl), jnp.abs(dr)),
                               0.0)
@@ -118,7 +121,7 @@ def prolong_minmod(wc, active, spacings=None):
                 shp[ax] = -1
                 return jnp.asarray(np.asarray(a).reshape(shp))
 
-            dxm, dxp, dxfm, dxfp = spacings[d - 1]
+            dxm, dxp, dxfm, dxfp = sp_d
             gxm = dl / bcast(dxm)
             gxp = dr / bcast(dxp)
             g = 0.5 * (jnp.sign(gxm) + jnp.sign(gxp)) * jnp.minimum(
@@ -298,11 +301,15 @@ class _Node:
         self.rim = tuple(max(1, -(-ng[d] // 2)) + 1 if self.active[d] else 0
                          for d in range(3))
         self.curv = not geo.is_cartesian(grid.coords)
-        # curvilinear weights (static patch positions only)
+        self._set_curv_weights()
+
+    def _set_curv_weights(self):
+        """Position-dependent curvilinear weights (recomputed by
+        ``rebuild_at`` when an adaptive move relocates the patch)."""
         self.volf = None
         self.ghost_spacings = None
-        if parent is not None and self.curv:
-            cg, fg = parent.grid, grid
+        if self.parent is not None and self.curv:
+            cg, fg = self.parent.grid, self.grid
             self.volf = np.ascontiguousarray(np.broadcast_to(
                 fg.geom.volume(), fg.shape_entire)[fg.int_slices])
             cxv = (cg.geom.xv1, cg.geom.xv2, cg.geom.xv3)
@@ -322,6 +329,49 @@ class _Node:
                                         2 * rim - fg.ng[d])
                 sp.append(centroid_spacings(xc, xf))
             self.ghost_spacings = tuple(sp)
+
+    def interior_spacings(self):
+        """Centroid spacings for prolongation over the patch INTERIOR
+        window (GetGridSpacings over [lo, lo+n)): volume-weighted-mean-
+        preserving curvilinear prolongation, so restriction of the freshly
+        prolonged density reproduces the parent exactly (conservative
+        adaptive moves).  Per-axis None on inactive/wrap axes (uniform
+        centroids; prolong_minmod falls back to the uniform stencil)."""
+        if not self.curv or self.parent is None:
+            return None
+        cg, fg = self.parent.grid, self.grid
+        cxv = (cg.geom.xv1, cg.geom.xv2, cg.geom.xv3)
+        fxv = (fg.geom.xv1, fg.geom.xv2, fg.geom.xv3)
+        sp = []
+        for d in range(3):
+            if not self.active[d] or self.wrap[d]:
+                sp.append(None)
+                continue
+            ngc, ngf = cg.ng[d], fg.ng[d]
+            xc = cxv[d][ngc + self.lo[d]: ngc + self.lo[d] + self.n[d]]
+            xf = fxv[d][ngf: ngf + 2 * self.n[d]]
+            sp.append(centroid_spacings(xc, xf))
+        return tuple(sp)
+
+    def rebuild_at(self, new_lo):
+        """Relocate this (curvilinear) patch: rebuild the grid, geometry-
+        bound operators, and prolongation weights at the new parent-cell
+        origin.  Cartesian patches never need this (their geometry is
+        translation-invariant); curvilinear moves rebuild because every
+        weight (volumes, centroid spacings, flux-source rows) depends on
+        the physical window.  The tree must be recompiled afterwards
+        (MultiLevelSMR._compile) — the caller batches that."""
+        ml = self.ml
+        self.lo = tuple(int(v) for v in new_lo)
+        self.grid = _refine_grid(self.parent.grid, self.lo, self.n)
+        self.hydro = Hydro(self.grid, ml.cfg, ml.dust_cfg)
+        self.sources = list(ml.sources_factory(self.grid)) \
+            if ml.sources_factory else []
+        self.diffusion = (ml.diffusion_factory(self.hydro)
+                          if ml.diffusion_factory else None)
+        self.radiation = (ml.radiation_factory(self.hydro)
+                          if ml.radiation_factory else None)
+        self._set_curv_weights()
 
     # -- helpers ---------------------------------------------------------
     def fluids(self):
@@ -835,6 +885,15 @@ class MultiLevelSMR:
     # lo-margin guarantee would not survive a move, so moving trees keep
     # the padded ghost-fill path.  Set by SMRDriver before _compile.
     moving_patches = False
+
+    # a curvilinear patch move rebuilds that node's geometry, invalidating
+    # the compiled step; retag passes batch ONE recompile after all moves
+    _needs_recompile = False
+
+    def _maybe_recompile(self):
+        if self._needs_recompile:
+            self._needs_recompile = False
+            self._compile()
 
     def _gather6_setup(self):
         """Tree-level six-face-strip gather eligibility: when every node
@@ -1452,7 +1511,7 @@ class MultiLevelSMR:
                         if node.active[2 - i] else slice(0, 1) for i in range(3))
                     wparent = states[node.parent.index][fl]["w"]
                     w = prolong_minmod(wparent[(Ellipsis, *sl)], node.active,
-                                       spacings=node.ghost_spacings and None)
+                                       spacings=node.interior_spacings())
                 u, w = node.hydro.prim_to_cons(w, cfg)
                 st[fl] = {"u": u, "w": w}
             if node.radiation is not None:
@@ -1471,9 +1530,10 @@ class MultiLevelSMR:
         geometry is translation-invariant)."""
         from .ops import refinement as ref_mod
 
-        if any(node.curv for node in self.nodes):
-            raise ValueError("adaptive patch moves are Cartesian-only "
-                             "(curvilinear geometry weights are static)")
+        if self._shard_axis is not None and any(n_.curv for n_ in self.nodes):
+            raise ValueError(
+                "curvilinear adaptive patch moves are not supported on a "
+                "sharded tree (replicated-node frames are static)")
         if self._gather6 is not None:
             raise ValueError(
                 "adaptive patch moves on a gather6 fused tree: construct "
@@ -1514,12 +1574,18 @@ class MultiLevelSMR:
             if tuple(new_lo) == tuple(int(v) for v in lo_np):
                 continue
             states, new_los = self._move_patch(states, new_los, node, new_lo)
+        self._maybe_recompile()
         return states, new_los
 
     def retag_particles(self, states, los, particle_nodes, positions):
         """Re-center particle-tracking patches on their particles
         (refine_distance, nbody.cpp:276-312).  ``particle_nodes``:
         {node.index: particle_index}; ``positions``: [npart, 3] cartesian."""
+        if self._shard_axis is not None and any(
+                self.nodes[i].curv for i in particle_nodes):
+            raise ValueError(
+                "curvilinear tracking-patch moves are not supported on a "
+                "sharded tree (replicated-node frames are static)")
         new_los = list(los)
         states = list(states)
         for node in self.nodes:
@@ -1540,6 +1606,7 @@ class MultiLevelSMR:
             if tuple(new_lo) != tuple(int(v)
                                       for v in np.asarray(new_los[node.index])):
                 states, new_los = self._move_patch(states, new_los, node, new_lo)
+        self._maybe_recompile()
         return states, new_los
 
     @staticmethod
@@ -1569,10 +1636,16 @@ class MultiLevelSMR:
         return out
 
     def _move_patch(self, states, los, node: _Node, new_lo):
-        """Move a (Cartesian) patch: restriction already deposited its data
-        on the parent, so a move is a fresh prolongation at the new spot."""
+        """Move a patch: restriction already deposited its data on the
+        parent, so a move is a fresh prolongation at the new spot.
+        Cartesian patches keep their geometry (translation-invariant);
+        curvilinear patches rebuild theirs at the new window (the caller
+        recompiles the tree once per retag pass)."""
         if node.children:
             raise ValueError("cannot move a patch that has children")
+        if node.curv:
+            node.rebuild_at(new_lo)
+            self._needs_recompile = True
         st = {}
         for fl, cfg in node.fluids():
             wp = states[node.parent.index][fl]["w"]
@@ -1595,7 +1668,8 @@ class MultiLevelSMR:
                                             reg.shape[ax_], axis=ax_)
                 hi_p = jax.lax.slice_in_dim(reg, 0, 1, axis=ax_)
                 reg = jnp.concatenate([lo_p, reg, hi_p], axis=ax_)
-            wf = prolong_minmod(reg, node.active)
+            wf = prolong_minmod(reg, node.active,
+                                spacings=node.interior_spacings())
             crop = [slice(None)] * wf.ndim
             for ax_ in pad_axes:
                 crop[ax_] = slice(2, wf.shape[ax_] - 2)
@@ -1620,9 +1694,7 @@ class TwoLevelSMR:
             moving_patches=True)  # exposes retag-based patch moves
         self.cg = coarse_grid
         self.node = self.ml.nodes[1]
-        self.fg = self.node.grid
         self.hc = self.ml.root.hydro
-        self.hf = self.node.hydro
         self.cfg = gas_cfg
         self.integ = integrator
         self.patch_lo = tuple(int(v) for v in patch_lo)
@@ -1630,7 +1702,20 @@ class TwoLevelSMR:
         self.active = self.node.active
         self.rim = self.node.rim
         self.curv = self.node.curv
-        self.volf = self.node.volf
+
+    # node-derived views (curvilinear adaptive moves rebuild the node's
+    # grid/hydro/weights, so these must not be snapshotted at init)
+    @property
+    def fg(self):
+        return self.node.grid
+
+    @property
+    def hf(self):
+        return self.node.hydro
+
+    @property
+    def volf(self):
+        return self.node.volf
 
     def _patch_slices(self):
         lo, n = self.patch_lo, self.patch_n
@@ -1933,8 +2018,12 @@ class SMRDriver:
             if self.criterion is not None:
                 self._states, self._los = self.smr.retag_criteria(
                     self._states, self._los, self.criterion)
-            if self._particle_nodes and not self.smr.nodes[
-                    next(iter(self._particle_nodes))].curv:
+            # curvilinear tracking patches move on unsharded trees (the node
+            # geometry is rebuilt per move); on a sharded tree the replicated
+            # frames are static, so curvilinear tracking stays pinned there
+            if self._particle_nodes and (
+                    self.smr._shard_axis is None or not self.smr.nodes[
+                        next(iter(self._particle_nodes))].curv):
                 self._states, self._los = self.smr.retag_particles(
                     self._states, self._los, self._particle_nodes,
                     np.asarray(self.nbody.pos) - np.asarray(self.nbody.Rf))

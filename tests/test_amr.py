@@ -133,6 +133,73 @@ def test_adaptive_patch_follows_blast(tmp_path):
     assert np.isfinite(rho).all() and rho.min() > 0
 
 
+def test_adaptive_patch_follows_blast_cylindrical(tmp_path):
+    """Curvilinear adaptive patch moves: the move rebuilds the fine node's
+    geometry (grid, volumes, centroid-aware prolongation weights) at the
+    new window, so the refined cylindrical blast keeps exact conservation
+    through every relocation (reference: Parthenon adaptive refinement is
+    geometry-agnostic; amr_criteria.hpp:28-80)."""
+    import math
+
+    pin = ParameterInput.from_file(DECK)
+    pin.apply_overrides([
+        "artemis/coordinates=cylindrical",
+        "parthenon/mesh/nx1=64", "parthenon/mesh/nx2=64",
+        "parthenon/mesh/x1min=1.0", "parthenon/mesh/x1max=5.0",
+        "parthenon/mesh/x2min=0.0",
+        f"parthenon/mesh/x2max={0.5 * math.pi:.16f}",
+        # closed domain so total mass is exactly conserved
+        "parthenon/mesh/ix1_bc=reflecting", "parthenon/mesh/ox1_bc=reflecting",
+        "parthenon/mesh/ix2_bc=reflecting", "parthenon/mesh/ox2_bc=reflecting",
+        "gas/reconstruct=plm", "gas/riemann=hlle", "gas/gamma=1.4",
+        "problem/radius=0.15", "problem/height=1.0",
+        "problem/symmetry=cylindrical", "problem/samples=0",
+        # blast at low r / low phi; the patch starts in the far corner
+        "problem/x1=1.8", f"problem/x2={0.1 * math.pi:.16f}",
+    ])
+    grid = grid_from_input(pin)
+    cfg = FluidCfg(fluid="gas", recon="plm", rsolver="hlle",
+                   gamma=pin.get_real("gas", "gamma"),
+                   cfl=pin.get_real("gas", "cfl"),
+                   dfloor=pin.get_real("gas", "dfloor"),
+                   siefloor=pin.get_real("gas", "siefloor"))
+    lo0 = (42, 42, 0)
+    n = (16, 16, 1)
+    smr = TwoLevelSMR(grid, Integrator.make("rk2"), cfg, lo0, n)
+    assert smr.curv
+
+    prob_c = build_problem("blast", pin, grid, cfg)
+    pin_f = ParameterInput.from_string(repr(pin))
+    prob_f = build_problem("blast", pin_f, smr.fg, cfg)
+    sc, sf = smr.initialize(prob_c.prims["gas"], prob_f.prims["gas"])
+
+    volc = np.broadcast_to(smr.cg.geom.volume(), smr.cg.shape_entire)[
+        smr.cg.int_slices]
+
+    def mass(sc):
+        return float((np.asarray(sc[0][:, 0]) * volc).sum())
+
+    m0 = mass(sc)
+    crit = dict(field="pressure", type="gradient", refine_thr=0.3)
+    sc, sf, t, ncyc = smr.run(sc, sf, tlim=0.05, criterion=crit,
+                              retag_interval=5)
+    # the patch must have moved toward the blast (low r, low phi)
+    assert smr.patch_lo != lo0
+    assert smr.patch_lo[0] < 42 and smr.patch_lo[1] < 42
+    # the fine node's geometry followed the move: its inner edge is the
+    # coarse face at the new origin
+    node = smr.ml.nodes[1]
+    ngc = grid.ng[0]
+    assert node.grid.xmin[0] == pytest.approx(
+        float(grid.geom.xf1[ngc + smr.patch_lo[0]]), rel=0, abs=1e-14)
+    # volume-weighted restriction + centroid-aware re-prolongation keep
+    # the composite mass exact across the moves
+    m1 = mass(sc)
+    assert abs(m1 - m0) / m0 < 1e-12, f"mass drift {(m1 - m0) / m0:.3e}"
+    rho = np.asarray(sc[1][:, 0])
+    assert np.isfinite(rho).all() and rho.min() > 0
+
+
 def test_deck_driven_adaptive(tmp_path):
     """<parthenon/mesh> refinement=adaptive wiring through Simulation/CLI
     (blast_amr deck): the SMRDriver adapter runs under evolve() and the
