@@ -213,10 +213,21 @@ def main() -> int:
     baseline = 5.0e8
 
     # a flapping TPU tunnel must not record a zero bench: wait (bounded)
-    # for the backend before the first jax-initializing call
-    if "cpu" not in (os.environ.get("JAX_PLATFORMS", ""),
-                     os.environ.get("JAX_PLATFORM_NAME", "")):
-        _wait_for_tpu(float(os.environ.get("BENCH_TPU_WAIT", "900")))
+    # for the backend before the first jax-initializing call.  A dead axon
+    # tunnel HANGS jax init rather than failing, so when the wait expires
+    # fall back to the CPU platform — a slow-but-valid number beats a
+    # wedged bench process.
+    platform = "tpu"
+    if "cpu" in (os.environ.get("JAX_PLATFORMS", ""),
+                 os.environ.get("JAX_PLATFORM_NAME", "")):
+        platform = "cpu"
+    elif not _wait_for_tpu(float(os.environ.get("BENCH_TPU_WAIT", "900"))):
+        print("# TPU backend unavailable; falling back to CPU",
+              file=sys.stderr)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        platform = "cpu"
 
     disk = cart = None
     if which in ("both", "disk"):
@@ -232,6 +243,7 @@ def main() -> int:
             "value": disk,
             "unit": "zone-cycles/s",
             "vs_baseline": disk / baseline,
+            "platform": platform,
         }), flush=True)
     if which in ("both", "cart"):
         cart = bench_cartesian(nsteps, reps)
@@ -263,6 +275,7 @@ def main() -> int:
         "value": primary,
         "unit": "zone-cycles/s",
         "vs_baseline": primary / baseline,
+        "platform": platform,
     }
     if cart is not None and disk is not None:
         out["cartesian_value"] = cart
