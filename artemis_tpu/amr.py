@@ -1526,10 +1526,37 @@ class MultiLevelSMR:
     def retag_criteria(self, states, los, criterion):
         """Re-center each level's patches on the refinement-tagged cells of
         their parent (ScalarFirstDerivative / ScalarMagnitude,
-        amr_criteria.hpp; keys per gas.cpp:304-383).  Cartesian only (patch
-        geometry is translation-invariant)."""
+        amr_criteria.hpp; keys per gas.cpp:304-383)."""
         from .ops import refinement as ref_mod
 
+        def tags_fn(node, wc):
+            field = wc[:, 0] if criterion.get("field", "density") == "density" \
+                else wc[:, 4]
+            dims = [d for d in (1, 2, 3) if node.parent.grid.nx[d - 1] > 1]
+            if criterion.get("type", "gradient") == "gradient":
+                tags, _ = ref_mod.scalar_first_derivative(
+                    jnp.asarray(field), [1.0, 1.0, 1.0], dims,
+                    criterion["refine_thr"], criterion.get("deref_thr", 0.0))
+            else:
+                tags, _ = ref_mod.scalar_magnitude(
+                    jnp.asarray(field), criterion["refine_thr"],
+                    criterion.get("deref_thr", 0.0))
+            return np.asarray(tags).any(axis=0)
+
+        return self._retag(states, los, tags_fn)
+
+    def retag_user(self, states, los, fn):
+        """Re-center patches with a problem-defined refinement criterion
+        (<artemis> amr_user = true; ProblemCheckRefinementBlock
+        registration, artemis.cpp:149-150).  ``fn(w_gas, grid) -> bool
+        refine mask`` over the parent grid's interior cells."""
+        return self._retag(
+            states, los,
+            lambda node, wc: np.asarray(fn(wc, node.parent.grid), dtype=bool))
+
+    def _retag(self, states, los, tags_fn):
+        """Shared retag pass: compute refine tags on each node's parent and
+        re-center the node's window on the tagged bounding box."""
         if self._shard_axis is not None and any(n_.curv for n_ in self.nodes):
             raise ValueError(
                 "curvilinear adaptive patch moves are not supported on a "
@@ -1545,18 +1572,7 @@ class MultiLevelSMR:
             if node.parent is None:
                 continue
             wc = np.asarray(states[node.parent.index]["gas"]["w"])
-            field = wc[:, 0] if criterion.get("field", "density") == "density" \
-                else wc[:, 4]
-            dims = [d for d in (1, 2, 3) if node.parent.grid.nx[d - 1] > 1]
-            if criterion.get("type", "gradient") == "gradient":
-                tags, _ = ref_mod.scalar_first_derivative(
-                    jnp.asarray(field), [1.0, 1.0, 1.0], dims,
-                    criterion["refine_thr"], criterion.get("deref_thr", 0.0))
-            else:
-                tags, _ = ref_mod.scalar_magnitude(
-                    jnp.asarray(field), criterion["refine_thr"],
-                    criterion.get("deref_thr", 0.0))
-            tags = np.asarray(tags).any(axis=0)
+            tags = tags_fn(node, wc)
             if not tags.any():
                 continue
             idx = np.nonzero(tags)
@@ -1895,6 +1911,9 @@ class SMRDriver:
         self.sources = self.smr.root.sources
         self.diffusion = self.smr.root.diffusion
         self.criterion = None
+        # problem-defined criterion (<artemis> amr_user; Simulation wires
+        # the pgen's Problem.amr_criterion here) overrides the <gas> keys
+        self.user_criterion = None
         if self.adaptive and pin.exists("gas", "refine_thr"):
             self.criterion = dict(
                 field=pin.get_or_add_str("gas", "refine_field", "density"),
@@ -2015,7 +2034,10 @@ class SMRDriver:
                                           jnp.asarray(time), self._los, None)
         self._ncycle += 1
         if self._ncycle % self.retag_interval == 0:
-            if self.criterion is not None:
+            if self.user_criterion is not None:
+                self._states, self._los = self.smr.retag_user(
+                    self._states, self._los, self.user_criterion)
+            elif self.criterion is not None:
                 self._states, self._los = self.smr.retag_criteria(
                     self._states, self._los, self.criterion)
             # curvilinear tracking patches move on unsharded trees (the node

@@ -434,6 +434,9 @@ class NBodySystem:
         self.pn2 = pin.get_or_add_int("nbody", "pn2_corr", 1)
         self.c_code = constants.c_code
         self.merge_on_collision = pin.get_or_add_bool("nbody", "merge_on_collision", True)
+        # rebound open-boundary box (nbody.cpp:161,197-198): particles that
+        # leave the box of width box_size centered on the origin are removed
+        self.box_size = pin.get_or_add_real("nbody", "box_size", 1.0e300)
 
         parts, mtot = setup_particles(pin, self.G, max(mtot_in, -1.0))
         self.mtot = mtot
@@ -554,7 +557,12 @@ class NBodySystem:
         self.m = m
         self.radius = radius
         self.alive = alive
-        dead = alive == 0
+        # open-boundary escape (REB_BOUNDARY_OPEN, nbody.cpp:197-198):
+        # drop particles outside the box of width box_size
+        if self.box_size < 1.0e300:
+            escaped = (np.abs(self.pos) > 0.5 * self.box_size).any(axis=1)
+            self.alive = np.where(escaped, 0, self.alive).astype(np.int32)
+        dead = self.alive == 0
         self.couple = np.where(dead, 0, self.couple)
         self.live = np.where(dead, 0, self.live)
 

@@ -15,6 +15,9 @@ class Problem:
     sources: List[Callable] = field(default_factory=list)
     after_loop: Optional[Callable] = None   # fn(grid, pin, state, tm, data_dir)
     on_restart: Optional[Callable] = None   # fn(sim, payloads) — rehydrate pkg state
+    # user AMR criterion (<artemis> amr_user; ProblemCheckRefinementBlock,
+    # artemis.cpp:149-150): fn(w_gas, grid) -> bool refine mask (interior)
+    amr_criterion: Optional[Callable] = None
 
 
 def build_problem(name: str, pin, grid, gas_cfg=None, dust_cfg=None) -> Problem:

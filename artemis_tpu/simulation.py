@@ -277,6 +277,14 @@ class Simulation:
                 diffusion_factory=diffusion_factory,
                 bc_custom=self.problem.bc_custom, omf=omf, nbody=self.nbody,
                 radiation_factory=radiation_factory, **shard_kw)
+            # problem-defined refinement criterion (artemis.cpp:149-150)
+            if pin.get_or_add_bool("artemis", "amr_user", False):
+                if self.problem.amr_criterion is None:
+                    raise ValueError(
+                        f"{problem_name}: user-defined AMR criterion not "
+                        "implemented (amr_user = true needs the problem "
+                        "generator to provide Problem.amr_criterion)")
+                self.driver.user_criterion = self.problem.amr_criterion
             # fine-level ICs from the problem generator on each patch grid
             # (GLOBAL grids — sharded trees hold local windows in nodes)
             fine = []

@@ -292,3 +292,32 @@ def test_blast_smr_cylindrical(tmp_path):
     assert l2 < 1.0, f"pressure L2 {l2:g}"
     assert np.isfinite(p).all() and p.min() > 0
     assert rho.max() > 2.0  # a strong cylindrical shock formed
+
+
+def test_deck_driven_amr_user(tmp_path):
+    """<artemis> amr_user: a problem-provided criterion replaces the <gas>
+    refine_* keys (ProblemCheckRefinementBlock registration,
+    artemis.cpp:149-150); pgens without one fail with a clear error (the
+    reference's only pgen implementation, disk.hpp:818-823, is a fail
+    stub, so every reference deck with amr_user=true errors the same way)."""
+    from artemis_tpu.simulation import Simulation
+
+    deck = os.path.join(HERE, "..", "inputs", "blast_amr.in")
+    with pytest.raises(ValueError, match="amr_user"):
+        Simulation(deck, overrides=["artemis/amr_user=true"],
+                   data_dir=str(tmp_path / "err"))
+
+    # a problem-defined criterion drives the adaptive moves end-to-end
+    sim = Simulation(deck, overrides=["parthenon/time/tlim=0.03"],
+                     data_dir=str(tmp_path))
+
+    def crit(w, grid):
+        p = np.asarray(w)[:, 4].max(axis=0)
+        return p > 0.5 * (p.min() + p.max())
+
+    sim.driver.criterion = None
+    sim.driver.user_criterion = crit
+    lo0 = tuple(int(v) for v in np.asarray(sim.driver._los[1]))
+    sim.run()
+    lo1 = tuple(int(v) for v in np.asarray(sim.driver._los[1]))
+    assert lo1 != lo0 and lo1[0] < lo0[0] and lo1[1] < lo0[1]

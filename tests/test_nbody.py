@@ -291,3 +291,39 @@ def test_whfast_symplectic_energy():
         f"secular drift: {wh[:500].max():g} -> {wh[500:].max():g}"
     # and the symplectic map beats leapfrog by orders of magnitude
     assert wh.max() < 1e-2 * lf.max()
+
+
+def test_box_size_escape():
+    """<nbody> box_size (nbody.cpp:161,197-198): rebound's open-boundary
+    box removes particles outside the box of width box_size centered on
+    the origin; removed particles decouple like merge losers."""
+    from types import SimpleNamespace
+
+    from artemis_tpu.config import ParameterInput
+    from artemis_tpu.nbody import NBodySystem
+
+    pin = ParameterInput.from_string("""
+<nbody>
+integrator = ias15
+dt_reb = 0.001
+box_size = 1.0
+merge_on_collision = false
+<nbody/particle1>
+mass = 1.0
+couple = 1
+<nbody/particle2>
+mass = 1.0e-6
+couple = 1
+<nbody/particle2/initialize>
+x = 0.6
+vy = 1.2
+""")
+    consts = SimpleNamespace(G_code=1.0, c_code=1.0e10)
+    nb = NBodySystem(pin, consts)
+    assert nb.alive.sum() == 2 and nb.box_size == 1.0
+    coeffs = SimpleNamespace(gam0=[0.0], gam1=[1.0], beta=[1.0], dt=0.01)
+    nb.begin_step()
+    nb.advance(np.zeros((2, 7)), 1, 1, 0.0, coeffs)
+    # particle 2 sits outside the half-width-0.5 box -> removed
+    assert nb.alive.tolist() == [1, 0]
+    assert nb.couple[1] == 0 and nb.live[1] == 0
