@@ -1,5 +1,6 @@
 import os, sys, time
 os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo root (decks via relative paths)
+import sys as _sys; _sys.path.insert(0, os.getcwd())  # import artemis_tpu from the repo root
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/artemis_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import numpy as np

@@ -9,6 +9,7 @@ Grid via BENCH_RHD_NX/NY/NZ (default 128x128x32).
 """
 import os
 os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo root (decks via relative paths)
+import sys as _sys; _sys.path.insert(0, os.getcwd())  # import artemis_tpu from the repo root
 import sys
 import time
 
