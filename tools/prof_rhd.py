@@ -68,6 +68,10 @@ else:
                      dtype=jnp.float32)
     zones = int(np.prod(sim.grid.nx))
     step = drv._build_step()
+    # one eager step: the fused path's state may carry a dtden CFL entry
+    # that the step consumes without returning; scanning needs a
+    # structure-stable carry
+    sim.state = jax.jit(step)(sim.state, dt, 0.0)
 
     def multi(state, dt):
         def body(s, _):
