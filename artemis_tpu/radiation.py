@@ -263,7 +263,6 @@ class Radiation:
 
         def cg(b, x0):
             r = b - matvec(x0)
-            p = r
             rs = self._psum(jnp.sum(r * r))
             bb = self._psum(jnp.sum(b * b))
             # dtype-aware tolerance: under <artemis> precision=float32 the
@@ -276,8 +275,13 @@ class Radiation:
             tiny = float(fi.tiny)
 
             # Jacobi-preconditioned CG: z = r/diag halves-or-better the
-            # iteration count when dt*D/w^2 >> 1 (optically thin zones)
+            # iteration count when dt*D/w^2 >> 1 (optically thin zones).
+            # The initial search direction MUST be the preconditioned
+            # residual z (not r): seeding p = r while the loop updates
+            # p = z + beta*p loses conjugacy and stalls exactly where
+            # dt*D/w^2 is large (the radiative precursor).
             z = r / diag
+            p = z
             rz = self._psum(jnp.sum(r * z))
 
             def body(carry):

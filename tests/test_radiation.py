@@ -40,8 +40,10 @@ def test_thermalization(tmp_path):
     assert abs(Tr - Teq) / Teq < 1e-5, f"rad T {Tr:g} != equilibrium {Teq:g}"
 
 
-@pytest.mark.slow
 def test_rad_shock(tmp_path):
+    # runs in <10s; deliberately NOT slow-marked so the default gate
+    # exercises the FLD PCG path (a p=r seeding bug hid behind the slow
+    # marker in round 2 — VERDICT r2 weak#1)
     sim = run_deck(SHOCK, ["parthenon/time/tlim=0.02"], str(tmp_path))
     w = np.asarray(sim.state["gas"]["w"][0])
     Er = np.asarray(sim.state["rad"]["Er"][0])
