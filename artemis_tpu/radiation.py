@@ -44,6 +44,8 @@ class RadiationCfg:
     dt_rad: float = 1.0e38            # max radiation (and hence global) dt
     cg_tol: float = 1.0e-10
     cg_maxiter: int = 200
+    coupled_iters: int = 4            # Newton outer iterations of the
+    #                                   coupled exchange+diffusion solve
 
 
 def radiation_from_input(pin, constants, gas_cfg):
@@ -99,6 +101,17 @@ class Radiation:
         self._axis_name = None
         self._axis_d = None
         self._nshards = 1
+        # deck-BC Dirichlet edges: {d: (lo_value_or_None, hi_value_or_None)}
+        # scalars (broadcastable), set for `ic` hydro BCs so the radiation
+        # field is pinned to the IC equilibrium outside the domain instead
+        # of reflecting at a zero-flux wall (the reference's ix1_bc=ic
+        # philosophy; jaybenne instead reflects photons — shock.hpp decks)
+        self._edge_dirichlet = {}
+
+    def set_edge_dirichlet(self, d: int, lo=None, hi=None):
+        """Pin the radiation field outside the physical edge(s) along dim
+        ``d`` to fixed scalar values (Dirichlet ghosts one cell out)."""
+        self._edge_dirichlet[d] = (lo, hi)
 
     def enable_sharding(self, axis_d: int, axis_name: str, nshards: int):
         self._axis_d = axis_d
@@ -170,29 +183,15 @@ class Radiation:
         cfg = self.cfg
         gas = self.gas
         u = state["gas"]["u"]
-        Er = state["rad"]["Er"]
+        Er0 = state["rad"]["Er"]
         rho = jnp.maximum(u[:1, 0], gas.dfloor)
         eint = u[:1, 5]
-        T = eint / (rho * gas.cv)
-
-        # 1. implicit local exchange -----------------------------------
-        kap = self.kappa(rho, T)
-        sig = dt * cfg.c_code * kap * rho
-        sig_t = sig / (1.0 + sig)
+        T0 = eint / (rho * gas.cv)
         rcv = rho * gas.cv
 
-        def newton(i, Tn):
-            f = rcv * (Tn - T) + sig_t * (cfg.arad * Tn**4 - Er)
-            fp = rcv + 4.0 * sig_t * cfg.arad * Tn**3
-            return Tn - f / fp
-
-        Tn = lax.fori_loop(0, 30, newton, T)
-        Er_ex = (Er + sig * cfg.arad * Tn**4) / (1.0 + sig)
-        de = rcv * (Tn - T)  # gas internal energy change
-        u = u.at[:1, 5].add(de).at[:1, 4].add(de)
-
-        # 2. FLD diffusion (implicit, matrix-free CG) -------------------
-        kap_t = self.kappa(rho, Tn) + cfg.kappa_s  # transport opacity
+        # FLD coefficients, frozen at the pre-step state (standard
+        # linearization: the limiter/diffusivity lag one step)
+        kap_t = self.kappa(rho, T0) + cfg.kappa_s  # transport opacity
         chi = kap_t * rho  # 1/mfp
 
         def grad_mag(E):
@@ -203,66 +202,81 @@ class Radiation:
                 g2 = g2 + gp * gp
             return jnp.sqrt(g2)
 
-        R = grad_mag(Er_ex) / (chi * jnp.maximum(Er_ex, 1e-300) + 1e-300)
+        R = grad_mag(Er0) / (chi * jnp.maximum(Er0, 1e-300) + 1e-300)
         lam = (2.0 + R) / (6.0 + 3.0 * R + R * R)  # Levermore-Pomraning
         Dcell = cfg.c_code * lam / (chi + 1e-300)
+
+        # Merge the deck-BC Dirichlet edges (scalars from `ic` BCs) with
+        # the per-call AMR ghost planes; AMR planes take precedence (a
+        # fine patch never also owns a physical `ic` edge of its own).
+        gh = dict(ghosts) if ghosts else {}
+        for d, (lo_v, hi_v) in self._edge_dirichlet.items():
+            if d not in gh:
+                gh[d] = (lo_v, hi_v)
 
         # Face coefficients of the operator (I - dt div D grad), hoisted
         # out of the CG loop: DH/DL fold the arithmetic face average, the
         # boundary masking, and the 1/w^2 factors.  At zero-flux edges the
         # face coefficient is 0 (which also kills the wrapped roll plane);
-        # at Dirichlet (AMR ghost) faces it is the one-sided Dcell/w^2 and
-        # ZH/ZL zero the wrapped neighbor value in the homogeneous
-        # operator (the ghost values enter the RHS below).
+        # at Dirichlet faces (AMR ghost planes, or deck-BC `ic` edge
+        # values) it is the one-sided Dcell/w^2 and ZH/ZL zero the wrapped
+        # neighbor value in the homogeneous operator (the ghost values
+        # enter the RHS below).  Each side is independent: a side whose
+        # ghost entry is None stays zero-flux.
         DH, DL, ZH, ZL = {}, {}, {}, {}
         for d in self.dims:
             w = jnp.asarray(self.widths[d - 1])
             D_hi = 0.5 * (Dcell + self._shift(Dcell, d, 1))
             D_lo = 0.5 * (Dcell + self._shift(Dcell, d, -1))
             first, last = self._edge_masks(Dcell, d)
-            if ghosts is not None and d in ghosts:
+            lo_g, hi_g = gh.get(d, (None, None))
+            if hi_g is not None:
                 D_hi = jnp.where(last, Dcell, D_hi)
-                D_lo = jnp.where(first, Dcell, D_lo)
                 ZH[d] = jnp.where(last, 0.0, 1.0)
-                ZL[d] = jnp.where(first, 0.0, 1.0)
             else:
                 D_hi = jnp.where(last, 0.0, D_hi)
+                ZH[d] = None
+            if lo_g is not None:
+                D_lo = jnp.where(first, Dcell, D_lo)
+                ZL[d] = jnp.where(first, 0.0, 1.0)
+            else:
                 D_lo = jnp.where(first, 0.0, D_lo)
-                ZH[d] = ZL[d] = None
+                ZL[d] = None
             iw2 = 1.0 / (w * w)
             DH[d] = D_hi * iw2
             DL[d] = D_lo * iw2
 
-        def matvec(E):
-            out = E
+        # Dirichlet ghost contributions to the RHS: at the masked faces
+        # the affine flux is DH*eg_hi / DL*eg_lo (independent of the
+        # exchange linearization, so hoisted out of the outer loop)
+        b_ghost = 0.0
+        for d in self.dims:
+            lo_g, hi_g = gh.get(d, (None, None))
+            if hi_g is not None:
+                b_ghost = b_ghost + dt * DH[d] * (1.0 - ZH[d]) * hi_g
+            if lo_g is not None:
+                b_ghost = b_ghost + dt * DL[d] * (1.0 - ZL[d]) * lo_g
+
+        # geometric part of the Jacobi diagonal (the sf term is added per
+        # outer iteration)
+        diag_geo = jnp.ones_like(Er0)
+        for d in self.dims:
+            diag_geo = diag_geo + dt * (DH[d] + DL[d])
+
+        def matvec(E, sf):
+            out = (1.0 + sf) * E
             for d in self.dims:
                 Ep = self._shift(E, d, 1)
                 Em = self._shift(E, d, -1)
                 if ZH[d] is not None:
                     Ep = Ep * ZH[d]
+                if ZL[d] is not None:
                     Em = Em * ZL[d]
                 out = out - dt * (DH[d] * (Ep - E) - DL[d] * (E - Em))
             return out
 
-        # Jacobi diagonal of the CG operator (preconditioner): the
-        # coefficient of E in matvec(E).
-        diag = jnp.ones_like(Er_ex)
-        for d in self.dims:
-            diag = diag + dt * (DH[d] + DL[d])
-
-        b = Er_ex
-        if ghosts is not None:
-            # move the Dirichlet ghost terms to the RHS: at the masked
-            # faces the affine flux is DH*eg_hi / DL*eg_lo
-            for d in self.dims:
-                if ZH[d] is None:
-                    continue
-                eg_lo, eg_hi = ghosts[d]
-                b = b + dt * (DH[d] * (1.0 - ZH[d]) * eg_hi
-                              + DL[d] * (1.0 - ZL[d]) * eg_lo)
-
-        def cg(b, x0):
-            r = b - matvec(x0)
+        def cg(b, x0, sf, diag):
+            r = b - matvec(x0, sf)
             rs = self._psum(jnp.sum(r * r))
             bb = self._psum(jnp.sum(b * b))
             # dtype-aware tolerance: under <artemis> precision=float32 the
@@ -286,7 +300,7 @@ class Radiation:
 
             def body(carry):
                 x, r, z, p, rz, rs, it = carry
-                Ap = matvec(p)
+                Ap = matvec(p, sf)
                 alpha = rz / jnp.maximum(self._psum(jnp.sum(p * Ap)), tiny)
                 x = x + alpha * p
                 r = r - alpha * Ap
@@ -304,7 +318,41 @@ class Radiation:
             x, *_ = lax.while_loop(cond, body, (x0, r, z, p, rz, rs, 0))
             return x
 
-        Er_new = cg(b, Er_ex)
+        # Coupled implicit exchange + diffusion.  A Lie split (local
+        # implicit exchange, then implicit diffusion) has a steady state
+        # with the exchange coefficient reduced to c*chi/(1+sig) — for
+        # sig = c*kap*rho*dt >> 1 that widens the radiative-shock
+        # precursor by ~sqrt(sig).  Instead, Newton-linearize the
+        # emission (aT^4 ~ aTk^4 + 4aTk^3 (T-Tk)), eliminate the local
+        # matter equation, and fold the resulting effective coupling
+        # sf = sig * rcv/(rcv + 4 a Tk^3 sig) into the CG operator:
+        #   (1 + sf) Er - dt div D grad Er = Er0 + sf*emis.
+        # The fixed point of the coupled backward-Euler step satisfies
+        # the exact steady equation, so steady profiles are
+        # dt-independent (anchored by analysis/rad_shock_exact.py).
+        a_r = cfg.arad
+        Tk = T0
+        Er_new = Er0
+        for _ in range(cfg.coupled_iters):
+            kap = self.kappa(rho, Tk)
+            sig = dt * cfg.c_code * kap * rho
+            beta = 4.0 * a_r * Tk**3
+            f = rcv / (rcv + sig * beta)
+            sf = sig * f
+            emis = a_r * Tk**4 + beta * (T0 - Tk)
+            b = Er0 + sf * emis + b_ghost
+            Er_new = cg(b, Er_new, sf, diag_geo + sf)
+            Tk = T0 - sf * (emis - Er_new) / rcv
+
+        # Gas internal-energy change: charge the gas with the radiation
+        # field's ACTUAL gain net of diffusion (not the linearized
+        # emission) so total energy conservation is exact to FP summation
+        # even at finite CG residual.  matvec(E, 0) - E = -dt div D grad E
+        # (homogeneous part); b_ghost restores the Dirichlet-face fluxes.
+        LEr = matvec(Er_new, 0.0) - Er_new
+        de = -(Er_new - Er0 + LEr - b_ghost)
+
+        u = u.at[:1, 5].add(de).at[:1, 4].add(de)
 
         new = dict(state)
         new["gas"] = {"u": u, "w": state["gas"]["w"]}

@@ -423,6 +423,46 @@ class Simulation:
                 dt_max=pin.get_or_add_real("parthenon/time", "dt_max",
                                            1.0e300),
             )
+        if self.radiation_cfg is not None:
+            self._set_radiation_ic_edges()
+
+    def _set_radiation_ic_edges(self):
+        """Pin the FLD field outside `ic` boundaries to the IC equilibrium.
+
+        The reference holds ghost zones at the IC for ix/ox*_bc = ic
+        (shock.hpp decks); the FLD analogue is a Dirichlet edge at the IC
+        radiation energy instead of a zero-flux wall — otherwise the
+        precursor flux reflects back into the domain and the steady
+        radiative-shock profile diverges from the semi-analytic solution
+        (analysis/rad_shock_exact.py).  Values derive from the problem
+        generator (not the evolved state) so restarts behave identically."""
+        rc = self.radiation_cfg
+        rad_T = getattr(self.problem, "rad_temp", None)
+        if rad_T is not None:
+            Er0 = rc.arad * np.asarray(rad_T) ** 4
+        else:
+            wg = np.asarray(self.problem.prims["gas"])
+            Er0 = rc.arad * (wg[0, 5] / self.gas_cfg.cv) ** 4
+        rads = []
+        drv = self.driver
+        if hasattr(drv, "smr"):
+            rads = [n.radiation for n in drv.smr.nodes
+                    if n.parent is None and n.radiation is not None]
+        elif getattr(drv, "radiation", None) is not None:
+            rads = [drv.radiation]
+        for d in (1, 2, 3):
+            if self.grid.nx[d - 1] <= 1:
+                continue
+            inner, outer = self.grid.bc[d - 1]
+            ax = Er0.ndim - d
+            lo = float(np.take(Er0, 0, axis=ax).mean()) \
+                if inner == "ic" else None
+            hi = float(np.take(Er0, -1, axis=ax).mean()) \
+                if outer == "ic" else None
+            if lo is None and hi is None:
+                continue
+            for r in rads:
+                r.set_edge_dirichlet(d, lo=lo, hi=hi)
 
     def print_config(self):
         """Startup configuration banner (cf. PrintArtemisConfiguration,

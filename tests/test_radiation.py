@@ -67,3 +67,43 @@ def test_rad_shock(tmp_path):
     jump = np.argmax(np.diff(rho))  # steepest compression
     ahead = slice(max(0, jump - 40), jump)
     assert Trad[ahead].max() > 0.65, "no radiative precursor ahead of the shock"
+
+
+def test_rad_shock_exact_profile(tmp_path):
+    """Anchor the radiative shock to the semi-analytic steady solution of
+    the model equations (Lowrie & Edwards construction,
+    analysis/rad_shock_exact.py) — not just refined-vs-unrefined
+    equivalence.  The deck is the reference's
+    inputs/radiation/rad_shock.in (Mach-2, gas-dominated)."""
+    from analysis.rad_shock_exact import RadShockExact
+
+    sim = run_deck(SHOCK, ["parthenon/time/tlim=0.04"], str(tmp_path))
+    w = np.asarray(sim.state["gas"]["w"][0])
+    Er = np.asarray(sim.state["rad"]["Er"][0])[0, 0]
+    rho = w[0][0, 0]
+    T = (w[5] / sim.gas_cfg.cv)[0, 0]
+    x = sim.grid.cell_centers()[0][0, 0]
+    a = sim.radiation_cfg.arad
+    Trad = (Er / a) ** 0.25
+
+    ex = RadShockExact(rho1=1.0, u1=2.0, T1=0.6, gamma=sim.gas_cfg.gamma,
+                       cv=sim.gas_cfg.cv, chi=577.35,
+                       c=sim.radiation_cfg.c_code, arad=a)
+    # fit the (translation-invariant) shock position on the smooth Trad
+    best = None
+    for sh in np.linspace(-0.002, 0.002, 401):
+        m = ex.sample(x, xshock=sh)
+        err = np.abs((m["Er"] / a) ** 0.25 - Trad).mean()
+        if best is None or err < best[1]:
+            best = (sh, err)
+    sh, _ = best
+    m = ex.sample(x, xshock=sh)
+    jump = np.searchsorted(x, sh)
+    mask = np.abs(np.arange(len(x)) - jump) > 3  # exclude the smeared jump
+    l1_Trad = np.abs((m["Er"] / a) ** 0.25 - Trad).mean() / Trad.mean()
+    l1_rho = np.abs(m["rho"] - rho)[mask].mean() / rho.mean()
+    l1_T = np.abs(m["T"] - T)[mask].mean() / T.mean()
+    # measured (512 cells, coupled implicit solve): 1.4e-4 / 3.4e-4 / 2.3e-4
+    assert l1_Trad < 2.0e-3, f"Trad profile off: L1={l1_Trad:g}"
+    assert l1_rho < 4.0e-3, f"rho profile off: L1={l1_rho:g}"
+    assert l1_T < 3.0e-3, f"T profile off: L1={l1_T:g}"

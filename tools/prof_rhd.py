@@ -8,8 +8,8 @@ VARIANT:
 Grid via BENCH_RHD_NX/NY/NZ (default 128x128x32).
 """
 import os
-os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo root (decks via relative paths)
-import sys as _sys; _sys.path.insert(0, os.getcwd())  # import artemis_tpu from the repo root
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))  # repo root
+import sys as _sys; _sys.path.insert(0, _ROOT)  # import artemis_tpu without chdir side effects
 import sys
 import time
 
@@ -36,7 +36,7 @@ if variant == "norad":
     overrides.append("physics/radiation=false")
 if variant == "root":
     overrides.append("parthenon/mesh/refinement=none")
-sim = Simulation("inputs/disk_rhd_amr.in", overrides=overrides,
+sim = Simulation(os.path.join(_ROOT, "inputs", "disk_rhd_amr.in"), overrides=overrides,
                  data_dir="/tmp/prof_rhd")
 drv = sim.driver
 nsteps = int(os.environ.get("BENCH_STEPS", "50"))
@@ -68,10 +68,15 @@ else:
                      dtype=jnp.float32)
     zones = int(np.prod(sim.grid.nx))
     step = drv._build_step()
-    # one eager step: the fused path's state may carry a dtden CFL entry
-    # that the step consumes without returning; scanning needs a
-    # structure-stable carry
-    sim.state = jax.jit(step)(sim.state, dt, 0.0)
+    # the fused path's state may carry a dtden CFL entry that the step
+    # consumes without returning; scanning needs a structure-stable
+    # carry.  Match the carry to the step's OUTPUT structure with a
+    # trace-only eval_shape (no extra whole-step compile).
+    out_sd = jax.eval_shape(step, sim.state, dt, 0.0)
+    if "dtden" in sim.state["gas"] and "dtden" not in out_sd["gas"]:
+        g = dict(sim.state["gas"])
+        g.pop("dtden")
+        sim.state = {**sim.state, "gas": g}
 
     def multi(state, dt):
         def body(s, _):

@@ -1,6 +1,6 @@
 import os, sys, time
-os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo root (decks via relative paths)
-import sys as _sys; _sys.path.insert(0, os.getcwd())  # import artemis_tpu from the repo root
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))  # repo root
+import sys as _sys; _sys.path.insert(0, _ROOT)  # import artemis_tpu without chdir side effects
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/artemis_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import numpy as np
@@ -9,7 +9,7 @@ from jax import lax
 from artemis_tpu.simulation import Simulation
 from artemis_tpu.ops import pallas_stage_curv as _psc
 
-sim = Simulation("inputs/disk_rhd_amr.in", overrides=[
+sim = Simulation(os.path.join(_ROOT, "inputs", "disk_rhd_amr.in"), overrides=[
     "artemis/precision=float32", "physics/radiation=false",
     "parthenon/mesh/nx1=128", "parthenon/mesh/nx2=128",
     "parthenon/mesh/nx3=32"], data_dir="/tmp/prof_scan")
