@@ -1534,8 +1534,9 @@ class MultiLevelSMR:
                 else wc[:, 4]
             dims = [d for d in (1, 2, 3) if node.parent.grid.nx[d - 1] > 1]
             if criterion.get("type", "gradient") == "gradient":
+                widths = ref_mod.grid_stencil_widths(node.parent.grid)
                 tags, _ = ref_mod.scalar_first_derivative(
-                    jnp.asarray(field), [1.0, 1.0, 1.0], dims,
+                    jnp.asarray(field), widths, dims,
                     criterion["refine_thr"], criterion.get("deref_thr", 0.0))
             else:
                 tags, _ = ref_mod.scalar_magnitude(

@@ -230,11 +230,26 @@ class Driver:
                 # in-kernel halo gather (no padded array / ghost-fill pass)
                 # for the disk boundary layout: x1/x2 ic strips + periodic x3
                 self._curv_gather = None
+                self._curv_gather6 = None
                 if self._curv_full and _psc.gather_supported(
                         grid, gas_cfg, self.bc_custom):
                     caches = self.bc_custom["ic"].shard_caches[0]
                     self._curv_gather = _psc.prepare_gather_strips(grid,
                                                                    caches)
+                elif (self._curv_full and _psc.gather6_supported(grid)
+                      and all(grid.bc[d] == ("ic", "ic") for d in range(3))
+                      and (self.bc_custom or {}).get("ic") is not None):
+                    # all-ic boundary layout (the north-star Cartesian
+                    # disk): six-face static strips, no padded array
+                    caches = getattr(self.bc_custom["ic"], "shard_caches",
+                                     None)
+                    if caches and all((d, s_) in caches[0]
+                                      for d in (1, 2, 3) for s_ in (0, 1)):
+                        strips = _psc.prepare_gather6_root_strips(
+                            grid, caches[0])
+                        self._curv_gather6 = {
+                            k: jax.device_put(np.asarray(v, dtype=np.float32))
+                            for k, v in strips.items()}
         self._step = jax.jit(self._build_step())
         self._dt_fn = jax.jit(self._estimate_dt)
         self._advance = jax.jit(self._build_advance())
@@ -319,6 +334,17 @@ class Driver:
                     state["gas"]["w"], state["gas"]["u"], u1["gas"],
                     self.grid, self.gas_cfg, gam0, gam1, bdt, force_pcm,
                     co, packed, self._curv_gather, rf_omega=self._curv_rf,
+                    grav=grav, grav_dt=grav_dt)
+                new_state = dict(state)
+                new_state["gas"] = {"u": u, "w": w, "dtden": dmax}
+                return new_state, None
+            if self._curv_full and getattr(self, "_curv_gather6", None) \
+                    is not None:
+                # all-ic six-face strip gather: no padded array at all
+                u, w, dmax = _psc.stage_curv_gather6(
+                    state["gas"]["w"], state["gas"]["u"], u1["gas"],
+                    self.grid, self.gas_cfg, gam0, gam1, bdt, force_pcm,
+                    co, packed, self._curv_gather6, rf_omega=self._curv_rf,
                     grav=grav, grav_dt=grav_dt)
                 new_state = dict(state)
                 new_state["gas"] = {"u": u, "w": w, "dtden": dmax}

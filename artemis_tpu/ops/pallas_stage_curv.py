@@ -568,12 +568,32 @@ def _plm_g(q, axis, lo, count, xv, xlo, xhi, dx, pcm, uniform=False):
     return sl(ql, lo - 2, count), sl(qr, lo - 1, count)
 
 
+def _uniform_dxs(grid, coeffs):
+    """Static (dx1, dx2, dx3) cell sizes when the grid is uniform
+    Cartesian (the lean-body precondition), else None."""
+    if not geo.is_cartesian(coeffs.coords):
+        return None
+    import numpy as _np
+
+    g = grid.geom
+    out = []
+    for xf in (g.xf1, g.xf2, g.xf3):
+        d = _np.diff(_np.asarray(xf, _np.float64))
+        if d.size == 0:
+            out.append(1.0)
+            continue
+        if not _np.allclose(d, d[0], rtol=1e-12, atol=0.0):
+            return None
+        out.append(float(d[0]))
+    return tuple(out)
+
+
 def _stage_kernel_curv(bdt_ref, gdt_ref, u0_ref, u1_ref, wp_hbm, cx_ref,
                        cyw_ref, czw_ref, u_ref, w_ref, dm_ref, scratch, sem,
                        *, ng, nx, tz, ty, active_z, pcm, gamma, gam0, gam1,
                        dfloor, siefloor, de_switch, ix, full, x1dep, x2dep,
                        has_rot, rf_omega, rsolver="hllc", diff=None, cv=1.5,
-                       grav=None, cart=False):
+                       grav=None, cart=False, dxs=None):
     """Padded-array frontend: each block DMAs its ghost-filled slab."""
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -591,18 +611,26 @@ def _stage_kernel_curv(bdt_ref, gdt_ref, u0_ref, u1_ref, wp_hbm, cx_ref,
                dfloor=dfloor, siefloor=siefloor, de_switch=de_switch, ix=ix,
                full=full, x1dep=x1dep, x2dep=x2dep, has_rot=has_rot,
                rf_omega=rf_omega, rsolver=rsolver, diff=diff, cv=cv,
-               grav=grav, cart=cart)
+               grav=grav, cart=cart, dxs=dxs)
 
 
 def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
                u_ref, w_ref, dm_ref, *, ng, nx, tz, ty, active_z, pcm, gamma,
                gam0, gam1, dfloor, siefloor, de_switch, ix, full, x1dep,
                x2dep, has_rot, rf_omega, rsolver, diff, cv, grav,
-               cart=False):
+               cart=False, dxs=None):
     """The fused stage math on an assembled VMEM slab ``s``
-    ([6, zsz, ty+4, >=nx+2ng])."""
+    ([6, zsz, ty+4, >=nx+2ng]).
+
+    ``dxs`` (static (dx1, dx2, dx3) floats) marks a UNIFORM Cartesian
+    grid: every geometry coefficient row degenerates to a constant, so
+    the update/PdV/C2P/CFL arithmetic uses compile-time scalars instead
+    of broadcast row products (the lean Cartesian body; only the folded
+    point-gravity still reads coordinate rows).  Algebraically identical
+    to the row path (A_d/V = 1/dx_d on uniform Cartesian grids)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
+    lean = cart and dxs is not None and diff is None and rf_omega == 0.0
     zsz = tz + 4 if active_z else 1
     CX = cx_ref[...]
 
@@ -704,56 +732,81 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
                 Fz[1 + c] = Fz[1 + c] * fh3
 
     # ---- update: divF with exact A/V factors --------------------------
-    af1 = b1(rx(ix["upd1_face"])[ng:ng + nx])
-    af1p = b1(rx(ix["upd1_facep"])[ng:ng + nx])
-    iv1 = b1(rx(ix["upd1_iv"])[ng:ng + nx])
-    t2_1 = b2(ry(ix["upd1_t2"]))
-    t3_1 = b3(rz(ix["upd1_t3"]))
-    c1 = iv1 * t2_1 * t3_1
-    af2 = b2(ry(ix["upd2_face"]))
-    af2p = b2(ry(ix["upd2_facep"]))
-    iv2 = b2(ry(ix["upd2_iv"]))
-    t1_2 = b1(rx(ix["upd2_t1"])[ng:ng + nx])
-    t3_2 = b3(rz(ix["upd2_t3"]))
-    c2 = iv2 * t1_2 * t3_2
-    if active_z:
-        af3 = b3(rz(ix["upd3_face"]))
-        af3p = b3(rz(ix["upd3_facep"]))
-        iv3 = b3(rz(ix["upd3_iv"]))
-        t1_3 = b1(rx(ix["upd3_t1"])[ng:ng + nx])
-        t2_3 = b2(ry(ix["upd3_t2"]))
-        c3 = iv3 * t1_3 * t2_3
-
-    divf = []
-    for c in range(6):
-        dv = (ax(Fx[c], 2, 0, nx) * af1 - ax(Fx[c], 2, 1, nx + 1) * af1p) * c1
-        dv = dv + (ax(Fy[c], 1, 0, ty) * af2
-                   - ax(Fy[c], 1, 1, ty + 1) * af2p) * c2
+    if lean:
+        # uniform Cartesian: A_lo = A_hi and A/V = 1/dx_d — one scalar
+        # multiply per direction (the lean Cartesian form)
+        sdx1, sdx2, sdx3 = (1.0 / dxs[0], 1.0 / dxs[1], 1.0 / dxs[2])
+        divf = []
+        for c in range(6):
+            dv = (ax(Fx[c], 2, 0, nx) - ax(Fx[c], 2, 1, nx + 1)) * sdx1
+            dv = dv + (ax(Fy[c], 1, 0, ty) - ax(Fy[c], 1, 1, ty + 1)) * sdx2
+            if active_z:
+                dv = dv + (ax(Fz[c], 0, 0, tz)
+                           - ax(Fz[c], 0, 1, tz + 1)) * sdx3
+            divf.append(dv)
+    else:
+        af1 = b1(rx(ix["upd1_face"])[ng:ng + nx])
+        af1p = b1(rx(ix["upd1_facep"])[ng:ng + nx])
+        iv1 = b1(rx(ix["upd1_iv"])[ng:ng + nx])
+        t2_1 = b2(ry(ix["upd1_t2"]))
+        t3_1 = b3(rz(ix["upd1_t3"]))
+        c1 = iv1 * t2_1 * t3_1
+        af2 = b2(ry(ix["upd2_face"]))
+        af2p = b2(ry(ix["upd2_facep"]))
+        iv2 = b2(ry(ix["upd2_iv"]))
+        t1_2 = b1(rx(ix["upd2_t1"])[ng:ng + nx])
+        t3_2 = b3(rz(ix["upd2_t3"]))
+        c2 = iv2 * t1_2 * t3_2
         if active_z:
-            dv = dv + (ax(Fz[c], 0, 0, tz) * af3
-                       - ax(Fz[c], 0, 1, tz + 1) * af3p) * c3
-        divf.append(dv)
+            af3 = b3(rz(ix["upd3_face"]))
+            af3p = b3(rz(ix["upd3_facep"]))
+            iv3 = b3(rz(ix["upd3_iv"]))
+            t1_3 = b1(rx(ix["upd3_t1"])[ng:ng + nx])
+            t2_3 = b2(ry(ix["upd3_t2"]))
+            c3 = iv3 * t1_3 * t2_3
+
+        divf = []
+        for c in range(6):
+            dv = (ax(Fx[c], 2, 0, nx) * af1
+                  - ax(Fx[c], 2, 1, nx + 1) * af1p) * c1
+            dv = dv + (ax(Fy[c], 1, 0, ty) * af2
+                       - ax(Fy[c], 1, 1, ty + 1) * af2p) * c2
+            if active_z:
+                dv = dv + (ax(Fz[c], 0, 0, tz) * af3
+                           - ax(Fz[c], 0, 1, tz + 1) * af3p) * c3
+            divf.append(dv)
     u = rk_blend(u0_ref, u1_ref, gam0, gam1, divf, bdt)
 
     # ---- pressure-gradient + PdV flux sources -------------------------
-    idx1 = b1(rx(ix["idx1"])[ng:ng + nx])
-    idx2 = b2(ry(ix["idx2"]))
     pxl, pxh = ax(pfx, 2, 0, nx), ax(pfx, 2, 1, nx + 1)
     vxl, vxh = ax(vfx, 2, 0, nx), ax(vfx, 2, 1, nx + 1)
     pyl, pyh = ax(pfy, 1, 0, ty), ax(pfy, 1, 1, ty + 1)
     vyl, vyh = ax(vfy, 1, 0, ty), ax(vfy, 1, 1, ty + 1)
-    u[1] = u[1] + bdt * idx1 * (pxl - pxh)
-    u[2] = u[2] + bdt * idx2 * (pyl - pyh)
-    u[5] = u[5] - bdt * 0.5 * (pxl + pxh) * (
-        ax(vfx, 2, 1, nx + 1) * af1p - ax(vfx, 2, 0, nx) * af1) * c1
-    u[5] = u[5] - bdt * 0.5 * (pyl + pyh) * (
-        ax(vfy, 1, 1, ty + 1) * af2p - ax(vfy, 1, 0, ty) * af2) * c2
-    if active_z:
-        idx3 = b3(rz(ix["idx3"]))
-        pzl, pzh = ax(pfz, 0, 0, tz), ax(pfz, 0, 1, tz + 1)
-        u[3] = u[3] + bdt * idx3 * (pzl - pzh)
-        u[5] = u[5] - bdt * 0.5 * (pzl + pzh) * (
-            ax(vfz, 0, 1, tz + 1) * af3p - ax(vfz, 0, 0, tz) * af3) * c3
+    if lean:
+        u[1] = u[1] + (bdt * sdx1) * (pxl - pxh)
+        u[2] = u[2] + (bdt * sdx2) * (pyl - pyh)
+        u[5] = u[5] - (bdt * sdx1) * 0.5 * (pxl + pxh) * (vxh - vxl)
+        u[5] = u[5] - (bdt * sdx2) * 0.5 * (pyl + pyh) * (vyh - vyl)
+        if active_z:
+            pzl, pzh = ax(pfz, 0, 0, tz), ax(pfz, 0, 1, tz + 1)
+            vzl, vzh = ax(vfz, 0, 0, tz), ax(vfz, 0, 1, tz + 1)
+            u[3] = u[3] + (bdt * sdx3) * (pzl - pzh)
+            u[5] = u[5] - (bdt * sdx3) * 0.5 * (pzl + pzh) * (vzh - vzl)
+    else:
+        idx1 = b1(rx(ix["idx1"])[ng:ng + nx])
+        idx2 = b2(ry(ix["idx2"]))
+        u[1] = u[1] + bdt * idx1 * (pxl - pxh)
+        u[2] = u[2] + bdt * idx2 * (pyl - pyh)
+        u[5] = u[5] - bdt * 0.5 * (pxl + pxh) * (
+            ax(vfx, 2, 1, nx + 1) * af1p - ax(vfx, 2, 0, nx) * af1) * c1
+        u[5] = u[5] - bdt * 0.5 * (pyl + pyh) * (
+            ax(vfy, 1, 1, ty + 1) * af2p - ax(vfy, 1, 0, ty) * af2) * c2
+        if active_z:
+            idx3 = b3(rz(ix["idx3"]))
+            pzl, pzh = ax(pfz, 0, 0, tz), ax(pfz, 0, 1, tz + 1)
+            u[3] = u[3] + bdt * idx3 * (pzl - pzh)
+            u[5] = u[5] - bdt * 0.5 * (pzl + pzh) * (
+                ax(vfz, 0, 1, tz + 1) * af3p - ax(vfz, 0, 0, tz) * af3) * c3
 
     # ---- connection sources (curvilinear momenta) ---------------------
     if x1dep or x2dep:
@@ -1242,18 +1295,24 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
         return
 
     # ---- dual-energy + C2P/P2C with scale factors ----------------------
-    hx = [b1(rx(ix["hv_1"][c])[ng:ng + nx]) * b2(ry(ix["hv_2"][c]))
-          for c in range(3)]
-    # reciprocal scale-factor planes from row-level reciprocals; one
-    # tile-wide reciprocal (1/rho) then multiplies — replaces 7 tile
-    # divisions in the C2P/dual-energy pass
-    ihx = [b1(1.0 / rx(ix["hv_1"][c])[ng:ng + nx])
-           * b2(1.0 / ry(ix["hv_2"][c])) for c in range(3)]
-    rho = jnp.maximum(u[0], dfloor)
-    irho = 1.0 / rho
-    m1 = u[1] * ihx[0]
-    m2 = u[2] * ihx[1]
-    m3 = u[3] * ihx[2]
+    if lean:
+        # Cartesian: h == 1 everywhere — no scale-factor planes
+        rho = jnp.maximum(u[0], dfloor)
+        irho = 1.0 / rho
+        m1, m2, m3 = u[1], u[2], u[3]
+    else:
+        hx = [b1(rx(ix["hv_1"][c])[ng:ng + nx]) * b2(ry(ix["hv_2"][c]))
+              for c in range(3)]
+        # reciprocal scale-factor planes from row-level reciprocals; one
+        # tile-wide reciprocal (1/rho) then multiplies — replaces 7 tile
+        # divisions in the C2P/dual-energy pass
+        ihx = [b1(1.0 / rx(ix["hv_1"][c])[ng:ng + nx])
+               * b2(1.0 / ry(ix["hv_2"][c])) for c in range(3)]
+        rho = jnp.maximum(u[0], dfloor)
+        irho = 1.0 / rho
+        m1 = u[1] * ihx[0]
+        m2 = u[2] * ihx[1]
+        m3 = u[3] * ihx[2]
     ke = 0.5 * (m1 * m1 + m2 * m2 + m3 * m3) * irho
     ue = u[4] - ke
     sie = jnp.where(ue > de_switch * u[4], ue * irho, u[5] * irho)
@@ -1266,18 +1325,27 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
     p = (gamma - 1.0) * rho * sie
     eint = sie * rho
     etot = eint + 0.5 * rho * (v1 * v1 + v2 * v2 + v3 * v3)
-    u_ref[...] = jnp.stack([rho, rho * v1 * hx[0], rho * v2 * hx[1],
-                            rho * v3 * hx[2], etot, eint])
+    if lean:
+        u_ref[...] = jnp.stack([rho, rho * v1, rho * v2, rho * v3,
+                                etot, eint])
+    else:
+        u_ref[...] = jnp.stack([rho, rho * v1 * hx[0], rho * v2 * hx[1],
+                                rho * v3 * hx[2], etot, eint])
     w_ref[...] = jnp.stack([rho, v1, v2, v3, p, sie])
 
     cs = jnp.sqrt(gamma * (gamma - 1.0) * sie)
-    iw1 = b1(rx(ix["invw_1"][0])[ng:ng + nx]) * b2(ry(ix["invw_2"][0]))
-    iw2 = b1(rx(ix["invw_1"][1])[ng:ng + nx]) * b2(ry(ix["invw_2"][1]))
-    den = (jnp.abs(v1) + cs) * iw1 + (jnp.abs(v2) + cs) * iw2
-    if active_z:
-        iw3 = b1(rx(ix["invw_1"][2])[ng:ng + nx]) \
-            * b2(ry(ix["invw_2"][2])) * b3(rz(ix["inv_dx3"]))
-        den = den + (jnp.abs(v3) + cs) * iw3
+    if lean:
+        den = (jnp.abs(v1) + cs) * sdx1 + (jnp.abs(v2) + cs) * sdx2
+        if active_z:
+            den = den + (jnp.abs(v3) + cs) * sdx3
+    else:
+        iw1 = b1(rx(ix["invw_1"][0])[ng:ng + nx]) * b2(ry(ix["invw_2"][0]))
+        iw2 = b1(rx(ix["invw_1"][1])[ng:ng + nx]) * b2(ry(ix["invw_2"][1]))
+        den = (jnp.abs(v1) + cs) * iw1 + (jnp.abs(v2) + cs) * iw2
+        if active_z:
+            iw3 = b1(rx(ix["invw_1"][2])[ng:ng + nx]) \
+                * b2(ry(ix["invw_2"][2])) * b3(rz(ix["inv_dx3"]))
+            den = den + (jnp.abs(v3) + cs) * iw3
     if den_diff is not None:
         # diffusive dt limit folded into the same denominator
         # (dt = cfl / max(den); Diffusion::EstimateTimestep)
@@ -1292,7 +1360,7 @@ def _stage_kernel_curv_gather(bdt_ref, gdt_ref, u0_ref, u1_ref, w_hbm,
                               tz, ty, active_z, pcm, gamma, gam0, gam1,
                               dfloor, siefloor, de_switch, ix, full, x1dep,
                               x2dep, has_rot, rf_omega, rsolver, diff, cv,
-                              grav, cart=False):
+                              grav, cart=False, dxs=None):
     """In-kernel halo-gather frontend: consumes the UNPADDED interior
     primitives, wraps x3 periodically with modular DMAs and fills the
     x1/x2 ghosts from precomputed IC boundary strips — no padded array
@@ -1359,7 +1427,7 @@ def _stage_kernel_curv_gather(bdt_ref, gdt_ref, u0_ref, u1_ref, w_hbm,
                dfloor=dfloor, siefloor=siefloor, de_switch=de_switch, ix=ix,
                full=full, x1dep=x1dep, x2dep=x2dep, has_rot=has_rot,
                rf_omega=rf_omega, rsolver=rsolver, diff=diff, cv=cv,
-               grav=grav, cart=cart)
+               grav=grav, cart=cart, dxs=dxs)
 
 
 def _yst(ty: int) -> int:
@@ -1434,7 +1502,8 @@ def stage_curv_gather(w_int, u0, u1, grid, cfg, gam0, gam1, beta_dt,
         ix=ix, full=True, x1dep=coeffs.x1dep, x2dep=coeffs.x2dep,
         has_rot=any(np.any(f1 != 0) for f1, _ in coeffs.vrot),
         rf_omega=rf_omega, rsolver=cfg.rsolver, diff=diff_spec, cv=cfg.cv,
-        grav=grav, cart=geo.is_cartesian(coeffs.coords))
+        grav=grav, cart=geo.is_cartesian(coeffs.coords),
+        dxs=_uniform_dxs(grid, coeffs))
     dt = wi.dtype
     zsz = tz + 4 if active_z else 1
     nyb = ny // TY
@@ -1555,7 +1624,8 @@ def stage_curv(w_pad, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
         x1dep=coeffs.x1dep, x2dep=coeffs.x2dep,
         has_rot=any(np.any(f1 != 0) for f1, _ in coeffs.vrot),
         rf_omega=rf_omega, rsolver=cfg.rsolver, diff=diff_spec, cv=cfg.cv,
-        grav=grav, cart=geo.is_cartesian(coeffs.coords))
+        grav=grav, cart=geo.is_cartesian(coeffs.coords),
+        dxs=_uniform_dxs(grid, coeffs))
     dt = wp.dtype
     zsz = tz + 4 if active_z else 1
     # alignment pads (same scheme as the Cartesian kernel); skipped when
@@ -1664,7 +1734,7 @@ def _stage_kernel_curv_gather6(bdt_ref, gdt_ref, u0_ref, u1_ref, w_hbm,
                                ty, active_z, pcm, gamma, gam0, gam1, dfloor,
                                siefloor, de_switch, ix, full, x1dep, x2dep,
                                has_rot, rf_omega, rsolver, diff, cv, grav,
-                               cart=False):
+                               cart=False, dxs=None):
     """All DMAs are unconditional (edge-tile strip rows replace clamped
     interior rows by value after the waits), so every semaphore is always
     signaled."""
@@ -1737,7 +1807,7 @@ def _stage_kernel_curv_gather6(bdt_ref, gdt_ref, u0_ref, u1_ref, w_hbm,
                dfloor=dfloor, siefloor=siefloor, de_switch=de_switch, ix=ix,
                full=full, x1dep=x1dep, x2dep=x2dep, has_rot=has_rot,
                rf_omega=rf_omega, rsolver=rsolver, diff=diff, cv=cv,
-               grav=grav, cart=cart)
+               grav=grav, cart=cart, dxs=dxs)
 
 
 def stage_curv_gather6(w_int, u0, u1, grid, cfg, gam0, gam1, beta_dt,
@@ -1771,7 +1841,8 @@ def stage_curv_gather6(w_int, u0, u1, grid, cfg, gam0, gam1, beta_dt,
         x2dep=coeffs.x2dep,
         has_rot=any(np.any(f1 != 0) for f1, _ in coeffs.vrot),
         rf_omega=rf_omega, rsolver=cfg.rsolver, diff=diff_spec, cv=cfg.cv,
-        grav=grav, cart=geo.is_cartesian(coeffs.coords))
+        grav=grav, cart=geo.is_cartesian(coeffs.coords),
+        dxs=_uniform_dxs(grid, coeffs))
     dt = wi.dtype
     zsz = tz + 4 if active_z else 1
     nyb = ny // TY

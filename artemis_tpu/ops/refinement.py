@@ -7,6 +7,7 @@ static/adaptive refinement driver to place fine patches.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def scalar_magnitude(field, refine_thr, deref_thr):
@@ -17,13 +18,46 @@ def scalar_magnitude(field, refine_thr, deref_thr):
     return refine, deref
 
 
+def grid_stencil_widths(grid):
+    """Per-cell physical stencil widths for the gradient criterion.
+
+    The reference (amr_criteria.hpp:69-86) normalizes each centered
+    difference by ``sdx_d * h_d`` where ``sdx_d = xv_{+1} - xv_{-1}`` is
+    the centroid stencil span and ``h_d`` the scale factor at the cell.
+    Returns (w1, w2, w3) broadcastable to the interior [x3, x2, x1]
+    layout (inactive axes get width 1; they are excluded from ``dims``).
+    """
+    g = grid.geom
+    ng1, ng2, ng3 = grid.ng
+    n1, n2, n3 = grid.nx
+
+    def span(xv, lo, n):
+        if n <= 1:
+            return np.ones((1,), xv.dtype)
+        return xv[lo + 1:lo + n + 1] - xv[lo - 1:lo + n - 1]
+
+    x1i = g.xv1[ng1:ng1 + n1][None, None, :]
+    x2i = g.xv2[ng2:ng2 + n2][None, :, None]
+    w1 = span(g.xv1, ng1, n1)[None, None, :] * g.hx(1, x1i, x2i)
+    w2 = span(g.xv2, ng2, n2)[None, :, None] * g.hx(2, x1i, x2i)
+    w3 = span(g.xv3, ng3, n3)[:, None, None] * g.hx(3, x1i, x2i)
+    return w1, w2, w3
+
+
 def scalar_first_derivative(field, widths, dims, refine_thr, deref_thr):
     """Normalized gradient magnitude criterion (ScalarFirstDerivative,
-    amr_criteria.hpp:28-80): |grad f| * dx / f compared against thresholds."""
+    amr_criteria.hpp:28-96).
+
+    ``widths[d-1]`` is the physical stencil width ``sdx_d * h_d``
+    (``grid_stencil_widths``); the criterion is
+    ``eps = |grad f| * sqrt(sum_d w_d^2) / |f|`` as in the reference.
+    """
     g2 = 0.0
+    w2 = 0.0
     for d in dims:
         w = widths[d - 1]
-        df = (jnp.roll(field, -1, axis=-d) - jnp.roll(field, 1, axis=-d)) / 2.0
-        g2 = g2 + (df / jnp.maximum(jnp.abs(field), 1e-300)) ** 2
-    g = jnp.sqrt(g2)
-    return g > refine_thr, g < deref_thr
+        df = (jnp.roll(field, -1, axis=-d) - jnp.roll(field, 1, axis=-d)) / w
+        g2 = g2 + df ** 2
+        w2 = w2 + w ** 2
+    eps = jnp.sqrt(g2) * jnp.sqrt(w2) / jnp.maximum(jnp.abs(field), 1e-300)
+    return eps > refine_thr, eps < deref_thr

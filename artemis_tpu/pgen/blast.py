@@ -62,6 +62,51 @@ def _overlap_sph_axi(grid, rad, samples, x0):
     return out
 
 
+def _overlap_sph_cart3d(grid, rad, samples, x0):
+    """Volume of each (x,y,z) cell covered by the sphere of radius rad
+    (compute_overlap_sph Cartesian branch, blast.hpp:91-107).  Cells whose
+    corner-distance bounds put them fully inside/outside the sphere skip
+    the subsampling; partial cells evaluate the same samples^3 midpoint
+    lattice as the reference.  Returns [nz, ny, nx] volumes."""
+    g = grid.geom
+    s3, s2, s1 = grid.int_slices
+    xf = g.xf1[s1.start:s1.stop + 1] - x0[0]
+    yf = g.xf2[s2.start:s2.stop + 1] - x0[1]
+    zf = g.xf3[s3.start:s3.stop + 1] - x0[2]
+    nx, ny, nz = grid.nx
+
+    def ax_bounds(f):
+        lo, hi = f[:-1], f[1:]
+        mn = np.where((lo <= 0.0) & (hi >= 0.0), 0.0,
+                      np.minimum(np.abs(lo), np.abs(hi)))
+        mx = np.maximum(np.abs(lo), np.abs(hi))
+        return mn, mx
+
+    xmn, xmx = ax_bounds(xf)
+    ymn, ymx = ax_bounds(yf)
+    zmn, zmx = ax_bounds(zf)
+    d2min = xmn[None, None, :] ** 2 + ymn[None, :, None] ** 2 \
+        + zmn[:, None, None] ** 2
+    d2max = xmx[None, None, :] ** 2 + ymx[None, :, None] ** 2 \
+        + zmx[:, None, None] ** 2
+    r2 = rad * rad
+    dxc = np.diff(xf)
+    dyc = np.diff(yf)
+    dzc = np.diff(zf)
+    vol_cell = dzc[:, None, None] * dyc[None, :, None] * dxc[None, None, :]
+    out = np.where(d2max <= r2, vol_cell, 0.0)
+    out[d2min >= r2] = 0.0
+    mid = (np.arange(samples) + 0.5) / samples
+    for k, j, i in np.argwhere((d2min < r2) & (d2max > r2)):
+        fx = xf[i] + mid * dxc[i]
+        fy = yf[j] + mid * dyc[j]
+        fz = zf[k] + mid * dzc[k]
+        cnt = int(((fx[None, None, :] ** 2 + fy[None, :, None] ** 2
+                    + fz[:, None, None] ** 2) <= r2).sum())
+        out[k, j, i] = cnt * (dxc[i] * dyc[j] * dzc[k]) / samples ** 3
+    return out
+
+
 def build(pin, grid, gas_cfg, dust_cfg=None) -> Problem:
     p = dict(
         rinit=pin.get_or_add_real("problem", "radius", 1.0),
@@ -98,7 +143,7 @@ def build(pin, grid, gas_cfg, dust_cfg=None) -> Problem:
         elif p["symmetry"] == "spherical" and grid.coords == "axisymmetric":
             vol = _overlap_sph_axi(grid, rinit, p["samples"], p["x0"])[None, :, :]
         elif p["symmetry"] == "spherical" and grid.coords == "cartesian":
-            raise NotImplementedError("3-D cartesian subsampling lands with the AMR blast")
+            vol = _overlap_sph_cart3d(grid, rinit, p["samples"], p["x0"])
         else:
             vol = np.where(dist2 < rinit * rinit, total_vol, 0.0)
         vol = np.broadcast_to(vol, shape)

@@ -38,6 +38,14 @@ ARGS = {
         "parthenon/mesh/x3min=-0.5", "parthenon/mesh/x3max=0.5",
         "problem/symmetry=cylindrical", "problem/samples=0",
     ],
+    "cart3d": [
+        # 3-D Cartesian spherical deposit (compute_overlap_sph Cartesian
+        # branch, blast.hpp:91-107) vs the sedov3d table
+        "parthenon/mesh/nx1=64", "parthenon/mesh/nx2=64",
+        "parthenon/mesh/nx3=64",
+        "parthenon/mesh/x3min=-1.0", "parthenon/mesh/x3max=1.0",
+        "problem/symmetry=spherical", "problem/samples=20",
+    ],
     "sph": [
         "artemis/coordinates=spherical",
         "parthenon/mesh/x1min=0.0", "parthenon/mesh/x1max=1.0",
@@ -55,8 +63,11 @@ def _l2_pressure(geom, sim):
     pf = interp1d(table[:, 0], table[:, 3])
     w = np.asarray(sim.state["gas"]["w"][0])  # (rho, v1, v2, v3, p, sie)
     pres = w[4]
-    x1v, x2v, _ = sim.grid.cell_centers()
-    if geom in ("cart", "axi"):
+    x1v, x2v, x3v = sim.grid.cell_centers()
+    if geom == "cart3d":
+        rr = np.sqrt(x1v**2 + x2v**2 + x3v**2)
+        rr = np.broadcast_to(rr, pres.shape)
+    elif geom in ("cart", "axi"):
         rr = np.sqrt(x1v**2 + x2v**2)
         rr = np.broadcast_to(rr, pres.shape)
     else:
@@ -87,3 +98,10 @@ def test_blast_1d(geom, tmp_path):
 @pytest.mark.parametrize("geom", ["cart", "axi"])
 def test_blast_2d(geom, tmp_path):
     _run(geom, tmp_path)
+
+
+@pytest.mark.slow
+def test_blast_3d_cart(tmp_path):
+    """3-D Cartesian Sedov with the spherical sub-cell energy deposit
+    (reference blast.hpp compute_overlap_sph, Cartesian branch)."""
+    _run("cart3d", tmp_path)

@@ -285,3 +285,58 @@ def test_curv_stage_gather_matches_padded(tmp_path, monkeypatch):
     assert float(jnp.max(jnp.abs(ug - up))) == 0.0
     assert float(jnp.max(jnp.abs(wg - wpad_out))) == 0.0
     assert float(jnp.max(jnp.abs(jnp.max(dmg) - jnp.max(dmp)))) < 1e-12
+
+
+def test_curv_stage_gather6_allic_matches_padded(tmp_path, monkeypatch):
+    """The six-face strip gather (all-ic Cartesian boundary layout, the
+    north-star root) reproduces the padded-array kernel exactly, and the
+    plain Driver wires it up when every face is an ic value cache."""
+    import jax.numpy as jnp
+
+    from artemis_tpu.simulation import Simulation
+
+    monkeypatch.setenv("ARTEMIS_PALLAS_INTERPRET", "1")
+    deck = os.path.join(os.path.dirname(__file__), "..", "inputs",
+                        "disk_rhd_amr.in")
+    sim = Simulation(deck, overrides=[
+        "parthenon/time/nlim=0",
+        "parthenon/mesh/refinement=none",
+        "physics/radiation=false",
+        "parthenon/mesh/nx1=128",
+        "parthenon/mesh/nx2=32",
+        "parthenon/mesh/nx3=8",
+    ], data_dir=str(tmp_path))
+    drv = sim.driver
+    grid, cfg = sim.grid, sim.gas_cfg
+    assert psc.gather6_supported(grid)
+    caches = drv.bc_custom["ic"].shard_caches[0]
+    strips = psc.prepare_gather6_root_strips(grid, caches)
+
+    co = psc.CurvCoeffs(grid, drv.omf, dtype=np.float64, diff=drv.diffusion)
+    packed = co.pack()
+    gm_, soft2_, gmode, gpos, _, _ = drv._curv_grav
+    grav = (gm_, soft2_, gmode, gpos)
+    u = sim.state["gas"]["u"]
+    w = sim.state["gas"]["w"]
+    wp = drv.fill_ghosts(w, "gas")
+    up, wpad_out, dmp = psc.stage_curv(
+        wp, u, u, grid, cfg, 0.5, 0.5, 1e-4, False, co, packed, full=True,
+        rf_omega=drv._curv_rf, grav=grav, grav_dt=1e-4, interpret=True)
+    ug, wg, dmg = psc.stage_curv_gather6(
+        w, u, u, grid, cfg, 0.5, 0.5, 1e-4, False, co, packed, strips,
+        rf_omega=drv._curv_rf, grav=grav, grav_dt=1e-4, interpret=True)
+    assert float(jnp.max(jnp.abs(ug - up))) == 0.0
+    assert float(jnp.max(jnp.abs(wg - wpad_out))) == 0.0
+    assert float(jnp.max(jnp.abs(jnp.max(dmg) - jnp.max(dmp)))) < 1e-12
+
+    # the f32 driver selects the six-face gather for this layout
+    sim32 = Simulation(deck, overrides=[
+        "parthenon/time/nlim=0",
+        "parthenon/mesh/refinement=none",
+        "physics/radiation=false",
+        "artemis/precision=float32",
+        "parthenon/mesh/nx1=128",
+        "parthenon/mesh/nx2=32",
+        "parthenon/mesh/nx3=8",
+    ], data_dir=str(tmp_path))
+    assert sim32.driver._curv_gather6 is not None
