@@ -1652,20 +1652,12 @@ class MultiLevelSMR:
             out.append(int(np.clip(frac * grid.nx[d], 0, grid.nx[d] - 1)))
         return out
 
-    def _move_patch(self, states, los, node: _Node, new_lo):
-        """Move a patch: restriction already deposited its data on the
-        parent, so a move is a fresh prolongation at the new spot.
-        Cartesian patches keep their geometry (translation-invariant);
-        curvilinear patches rebuild theirs at the new window (the caller
-        recompiles the tree once per retag pass)."""
-        if node.children:
-            raise ValueError("cannot move a patch that has children")
-        if node.curv:
-            node.rebuild_at(new_lo)
-            self._needs_recompile = True
+    def _fresh_patch_state(self, parent_state, node: _Node, lo):
+        """Prolong a node's state from its parent's current prims at
+        window ``lo`` (fresh spawn / post-move re-prolongation)."""
         st = {}
         for fl, cfg in node.fluids():
-            wp = states[node.parent.index][fl]["w"]
+            wp = parent_state[fl]["w"]
             sl = []
             pad_axes = []
             for i in range(3):
@@ -1678,7 +1670,7 @@ class MultiLevelSMR:
                     sl.append(slice(0, wp.shape[wp.ndim - 3 + i]))
                     pad_axes.append(wp.ndim - 3 + i)
                 else:
-                    sl.append(slice(new_lo[d], new_lo[d] + node.n[d]))
+                    sl.append(slice(lo[d], lo[d] + node.n[d]))
             reg = wp[(Ellipsis, *sl)]
             for ax_ in pad_axes:
                 lo_p = jax.lax.slice_in_dim(reg, reg.shape[ax_] - 1,
@@ -1693,9 +1685,153 @@ class MultiLevelSMR:
             wf = wf[tuple(crop)]
             u, w = self._ic_hydro(node).prim_to_cons(wf, cfg)
             st[fl] = {"u": u, "w": w}
-        states[node.index] = st
+        if node.radiation is not None:
+            from .radiation import initialize_radiation
+
+            st["rad"] = {"Er": initialize_radiation(
+                st, self.cfg, node.radiation.cfg)["Er"]}
+        return st
+
+    def _move_patch(self, states, los, node: _Node, new_lo):
+        """Move a patch: restriction already deposited its data on the
+        parent, so a move is a fresh prolongation at the new spot.
+        Cartesian patches keep their geometry (translation-invariant);
+        curvilinear patches rebuild theirs at the new window (the caller
+        recompiles the tree once per retag pass)."""
+        if node.children:
+            raise ValueError("cannot move a patch that has children")
+        if node.curv:
+            node.rebuild_at(new_lo)
+            self._needs_recompile = True
+        states[node.index] = self._fresh_patch_state(
+            states[node.parent.index], node, new_lo)
         los[node.index] = jnp.asarray(np.array(new_lo, dtype=np.int32))
         return states, los
+
+    # -- tag-driven spawn/destroy (Parthenon Refinement::Tag ->
+    #    create/destroy MeshBlocks; artemis_driver.cpp:292) ---------------
+    def remove_patch(self, node: _Node):
+        """Drop a leaf patch from the tree.  Its fine data needs no
+        deposit: every step already restricts the fine solution into the
+        parent.  The caller recompiles (batched per regrid pass)."""
+        if node.children:
+            raise ValueError("cannot remove a patch that has children")
+        node.parent.children.remove(node)
+        self.nodes.remove(node)
+        for i, nd in enumerate(self.nodes):
+            nd.index = i
+
+    def regrid_tiles(self, states, los, criterion, tile, nbuf=1):
+        """Tag-driven spawn/destroy adaptivity over a fixed tile lattice.
+
+        The root interior is tiled by ``tile``-sized windows anchored at
+        the nesting rim; a window spawns a level-1 patch when the
+        (nbuf-cell-buffered) refine tags touch it, keeps its patch while
+        tags persist, and destroys it when every cell satisfies the
+        derefinement criterion (deref_thr; without one, coverage only
+        grows — the reference's behavior when no derefine tag fires).
+        Surviving patches keep their fine state bit-exactly; new patches
+        prolong from the root; destroys drop (restriction already
+        deposited their data).  Returns (states, los).
+
+        Equivalent of parthenon::Refinement::Tag + MeshBlock
+        creation/destruction (artemis_driver.cpp:292, amr_criteria.hpp),
+        recast as a static-shape patch pool for XLA."""
+        import itertools
+
+        from .ops import refinement as ref_mod
+
+        if self._shard_axis is not None:
+            raise ValueError("tile regrid on a sharded tree is not supported")
+        root = self.root
+        wc = np.asarray(states[0]["gas"]["w"])
+        field = wc[:, 0] if criterion.get("field", "density") == "density" \
+            else wc[:, 4]
+        dims = [d for d in (1, 2, 3) if root.grid.nx[d - 1] > 1]
+        deref_thr = criterion.get("deref_thr", 0.0)
+        if criterion.get("type", "gradient") == "gradient":
+            widths = ref_mod.grid_stencil_widths(root.grid)
+            tags, deref = ref_mod.scalar_first_derivative(
+                jnp.asarray(field), widths, dims,
+                criterion["refine_thr"], deref_thr)
+        else:
+            tags, deref = ref_mod.scalar_magnitude(
+                jnp.asarray(field), criterion["refine_thr"], deref_thr)
+        tags = np.asarray(tags).any(axis=0)          # [z, y, x]
+        deref_all = np.asarray(deref).all(axis=0)
+        # buffer the refine tags by nbuf cells per active axis
+        for _ in range(max(0, nbuf)):
+            t2 = tags.copy()
+            for ax in range(3):
+                if tags.shape[ax] > 1:
+                    sl_lo = [slice(None)] * 3
+                    sl_hi = [slice(None)] * 3
+                    sl_lo[ax] = slice(0, -1)
+                    sl_hi[ax] = slice(1, None)
+                    t2[tuple(sl_lo)] |= tags[tuple(sl_hi)]
+                    t2[tuple(sl_hi)] |= tags[tuple(sl_lo)]
+            tags = t2
+
+        nx = root.grid.nx
+        rims = [max(1, -(-root.grid.ng[d] // 2)) + 1 if nx[d] > 1 else 0
+                for d in range(3)]
+        tile = tuple(tile[d] if nx[d] > 1 else 1 for d in range(3))
+        lattice = []
+        for d in range(3):
+            if nx[d] <= 1:
+                lattice.append([0])
+                continue
+            last = nx[d] - rims[d] - tile[d]
+            if last < rims[d]:
+                raise ValueError(
+                    f"tile_nx{d + 1}={tile[d]} does not fit the root "
+                    f"interior with the nesting rim ({rims[d]})")
+            lattice.append(list(range(rims[d], last + 1, tile[d])))
+
+        def window(lo_):
+            return tuple(slice(lo_[2 - i], lo_[2 - i] + tile[2 - i])
+                         if nx[2 - i] > 1 else slice(None)
+                         for i in range(3))
+
+        wanted = {lo_ for lo_ in itertools.product(*lattice)
+                  if bool(tags[window(lo_)].any())}
+        pool = [nd for nd in self.nodes if getattr(nd, "pool", False)]
+        current = {nd.lo: nd for nd in pool}
+        final = set(wanted)
+        for lo_ in current:
+            if lo_ in final:
+                continue
+            if deref_thr > 0.0 and bool(deref_all[window(lo_)].all()):
+                continue                   # derefine: drop this tile
+            final.add(lo_)                 # hysteresis: keep until cleared
+        to_remove = [nd for lo_, nd in current.items() if lo_ not in final]
+        to_add = sorted(final - set(current))
+        if not to_remove and not to_add:
+            return states, los
+
+        keep_state = {id(nd): states[nd.index] for nd in self.nodes}
+        keep_lo = {id(nd): los[nd.index] for nd in self.nodes[1:]}
+        for nd in to_remove:
+            self.remove_patch(nd)
+        spawned = []
+        for lo_ in to_add:
+            node = self.add_patch(1, lo_, tile)
+            node.pool = True
+            spawned.append(node)
+        self._compile()
+        new_states = [None] * len(self.nodes)
+        new_los = [None] * len(self.nodes)
+        new_states[0] = states[0]
+        for nd in self.nodes[1:]:
+            if nd in spawned:
+                new_states[nd.index] = self._fresh_patch_state(
+                    states[0], nd, nd.lo)
+                new_los[nd.index] = jnp.asarray(
+                    np.array(nd.lo, dtype=np.int32))
+            else:
+                new_states[nd.index] = keep_state[id(nd)]
+                new_los[nd.index] = keep_lo[id(nd)]
+        return new_states, new_los
 
 
 class TwoLevelSMR:
@@ -1815,6 +1951,18 @@ class SMRDriver:
         self.adaptive = mode == "adaptive"
         numlevel = pin.get_or_add_int("parthenon/mesh", "numlevel", 2)
 
+        # tiled spawn/destroy adaptivity (<parthenon/refinement>
+        # style=tiled): patches come and go with the refine tags over a
+        # fixed tile lattice (MultiLevelSMR.regrid_tiles) instead of one
+        # deck patch per level re-centering (style=move, the default)
+        self.tiled = (self.adaptive and pin.get_or_add_str(
+            "parthenon/refinement", "style", "move") == "tiled")
+        self.tile = tuple(
+            pin.get_or_add_int("parthenon/refinement", f"tile_nx{d + 1}", 16)
+            if grid.nx[d] > 1 else 1 for d in range(3))
+        self.regrid_nbuf = pin.get_or_add_int(
+            "parthenon/refinement", "nbuf", 1)
+
         patches = []
         # 1) reference static_refinement blocks (physical bounds)
         for blk in pin.block_names():
@@ -1826,7 +1974,7 @@ class SMRDriver:
         # 2) deck patch_lo/patch_n keys (artemis_tpu dialect; one per level).
         # numlevel <= 1 means no criteria/deck patches (tracking patches from
         # refine_distance may still be added below).
-        if not patches and numlevel >= 2:
+        if not patches and numlevel >= 2 and not self.tiled:
             for lev in range(1, max(2, numlevel)):
                 scale = 2 ** (lev - 1)
                 base_nx = [grid.nx[d] * scale for d in range(3)]
@@ -1981,6 +2129,12 @@ class SMRDriver:
                 if pr is not None and i + 1 < len(prims):
                     prims[i + 1] = pr
         self._states = self.smr.initialize(prims)
+        if self.tiled and self.criterion is not None:
+            # initial AMR iteration: refine the ICs before the first step
+            # (Parthenon's pre-evolution refinement pass)
+            self._states, self._los = self.smr.regrid_tiles(
+                self._states, self._los, self.criterion, self.tile,
+                nbuf=self.regrid_nbuf)
         root = self._states[0]
         return {fl: dict(root[fl]) for fl in root}
 
@@ -1999,10 +2153,27 @@ class SMRDriver:
             if node.radiation is not None:
                 out[f"n{i}.rad.Er"] = mk(i, "rad", "Er")
             out[f"n{i}.lo"] = (lambda i_: (lambda: np.asarray(self._los[i_])))(i)
+        pool = [nd for nd in self.smr.nodes if getattr(nd, "pool", False)]
+        if pool:
+            # tile-pool topology: spawn/destroy trees rebuild these patches
+            # before loading the per-node arrays (same node order -> same
+            # indices as at dump time; pool nodes always trail the deck/
+            # tracking nodes)
+            out["pool"] = lambda: np.array(
+                [list(nd.lo) + list(nd.n) for nd in pool], dtype=np.int64)
         return out
 
     def load_restart(self, payloads, root_state):
         """Rehydrate the fine levels from restart payloads."""
+        if "pool" in payloads:
+            for row in np.asarray(payloads["pool"], dtype=np.int64):
+                node = self.smr.add_patch(1, tuple(int(v) for v in row[:3]),
+                                          tuple(int(v) for v in row[3:6]))
+                node.pool = True
+            self.smr._compile()
+            self._los = [None] + [
+                jnp.asarray(np.array(nd.lo, dtype=np.int32))
+                for nd in self.smr.nodes[1:]]
         self._states = [None] * len(self.smr.nodes)
         self._states[0] = {fl: dict(root_state[fl]) for fl in root_state}
         for node in self.smr.nodes[1:]:
@@ -2035,7 +2206,11 @@ class SMRDriver:
                                           jnp.asarray(time), self._los, None)
         self._ncycle += 1
         if self._ncycle % self.retag_interval == 0:
-            if self.user_criterion is not None:
+            if self.tiled and self.criterion is not None:
+                self._states, self._los = self.smr.regrid_tiles(
+                    self._states, self._los, self.criterion, self.tile,
+                    nbuf=self.regrid_nbuf)
+            elif self.user_criterion is not None:
                 self._states, self._los = self.smr.retag_user(
                     self._states, self._los, self.user_criterion)
             elif self.criterion is not None:

@@ -1810,16 +1810,141 @@ def _stage_kernel_curv_gather6(bdt_ref, gdt_ref, u0_ref, u1_ref, w_hbm,
                grav=grav, cart=cart, dxs=dxs)
 
 
+def _stage_kernel_curv_gather6b(bdt_ref, gdt_ref, u0_ref, u1_ref, w_hbm,
+                                sx, sy_lo, sy_hi, sz_lo, sz_hi, cx_ref,
+                                cyw_ref, czw_ref, u_ref, w_ref, dm_ref,
+                                slab, xs, sems, *, ng, nx, ny, nz, tz, ty,
+                                active_z, pcm, gamma, gam0, gam1, dfloor,
+                                siefloor, de_switch, ix, full, x1dep,
+                                x2dep, has_rot, rf_omega, rsolver, cv,
+                                grav, cart=False, dxs=None):
+    """Minimal-DMA gather frontend (v2): each of the five USED slab
+    regions gets exactly one predicated DMA (edge tiles read the strip,
+    interior tiles the neighbor rows), landing directly at its slab
+    position — no value selects and no z/y reassembly concats.  The
+    (z-halo x y-band) corners are never read by the x/y/z sweeps (each
+    sweep extends exactly one axis), so they get no DMA at all; gated to
+    diff=None (the stress stencil reads mixed corners).  x1 ghosts
+    arrive as ONE merged strip (lo ghosts at lanes [0,ng), hi at
+    [ng,2ng)) — half the v1 strip traffic, one DMA."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    z0 = i * tz
+    y0 = j * ty
+    nyb = ny // ty
+    nzb = nz // tz if active_z else 1
+    zsz = tz + 4 if active_z else 1
+    zin = 2 if active_z else 0     # slab plane of the first interior z
+
+    def pred_copy(cond, src_edge, src_int, dst, sem):
+        """One DMA into ``dst``: the strip window on edge tiles, the
+        interior window elsewhere.  Exactly one copy signals ``sem``
+        (equal byte counts), so the wait is unconditional."""
+        @pl.when(cond)
+        def _():
+            pltpu.make_async_copy(src_edge, dst, sem).start()
+
+        @pl.when(jnp.logical_not(cond))
+        def _():
+            pltpu.make_async_copy(src_int, dst, sem).start()
+
+        return pltpu.make_async_copy(src_int, dst, sem)
+
+    waits = []
+    # interior (z-mid, y-mid)
+    d0 = pltpu.make_async_copy(
+        w_hbm.at[:, pl.ds(z0, tz), pl.ds(pl.multiple_of(y0, 8), ty), :],
+        slab.at[:, pl.ds(zin, tz), pl.ds(8, ty), :], sems.at[0])
+    d0.start()
+    waits.append(d0)
+    # y-mid z halos (read by the z sweep)
+    if active_z:
+        waits.append(pred_copy(
+            i == 0,
+            sz_lo.at[:, :, pl.ds(pl.multiple_of(y0 + 8, 8), ty), :],
+            w_hbm.at[:, pl.ds(jnp.maximum(z0 - 2, 0), 2),
+                     pl.ds(pl.multiple_of(y0, 8), ty), :],
+            slab.at[:, pl.ds(0, 2), pl.ds(8, ty), :], sems.at[1]))
+        waits.append(pred_copy(
+            i == nzb - 1,
+            sz_hi.at[:, :, pl.ds(pl.multiple_of(y0 + 8, 8), ty), :],
+            w_hbm.at[:, pl.ds(jnp.minimum(z0 + tz, nz - 2), 2),
+                     pl.ds(pl.multiple_of(y0, 8), ty), :],
+            slab.at[:, pl.ds(2 + tz, 2), pl.ds(8, ty), :], sems.at[2]))
+    # y bands over the interior z planes only (the band z-halo planes are
+    # corners no sweep reads; strips carry padded-z rows, so the strip
+    # window starts zin planes in)
+    ylo = pl.multiple_of(jnp.maximum(y0 - 8, 0), 8)
+    yhi = pl.multiple_of(jnp.minimum(y0 + ty, ny - 8), 8)
+    waits.append(pred_copy(
+        j == 0,
+        sy_lo.at[:, pl.ds(z0 + zin, tz), :, :],
+        w_hbm.at[:, pl.ds(z0, tz), pl.ds(ylo, 8), :],
+        slab.at[:, pl.ds(zin, tz), pl.ds(0, 8), :], sems.at[3]))
+    waits.append(pred_copy(
+        j == nyb - 1,
+        sy_hi.at[:, pl.ds(z0 + zin, tz), :, :],
+        w_hbm.at[:, pl.ds(z0, tz), pl.ds(yhi, 8), :],
+        slab.at[:, pl.ds(zin, tz), pl.ds(8 + ty, 8), :], sems.at[4]))
+    # merged x1 strip (lo lanes [0,ng), hi lanes [ng,2ng))
+    d5 = pltpu.make_async_copy(
+        sx.at[:, pl.ds(z0, zsz), pl.ds(pl.multiple_of(y0, 8), _yst(ty)), :],
+        xs, sems.at[5])
+    d5.start()
+    waits.append(d5)
+
+    bdt = bdt_ref[0]
+    for d in waits:
+        d.wait()
+
+    sl = slab[...]
+    # sublane-concat the used band rows + interior so the result carries
+    # no sublane offset into the lane concat below (Mosaic cannot concat
+    # offset slices along a non-concat dimension)
+    sc = jnp.concatenate([sl[:, :, 6:8], sl[:, :, 8:8 + ty],
+                          sl[:, :, 8 + ty:10 + ty]], axis=2)
+    xg = xs[...][:, :, :ty + 4, :]
+    # hi ghosts live at lanes [ng, 2ng); rotate them to lane 0 — Mosaic
+    # cannot concat a lane-offset slice directly
+    xh = jnp.roll(xg, -ng, axis=-1)
+    s = jnp.concatenate([xg[..., :ng], sc, xh[..., :ng]], axis=-1)
+    _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
+               u_ref, w_ref, dm_ref, ng=ng, nx=nx, tz=tz, ty=ty,
+               active_z=active_z, pcm=pcm, gamma=gamma, gam0=gam0,
+               gam1=gam1, dfloor=dfloor, siefloor=siefloor,
+               de_switch=de_switch, ix=ix, full=full, x1dep=x1dep,
+               x2dep=x2dep, has_rot=has_rot, rf_omega=rf_omega,
+               rsolver=rsolver, diff=None, cv=cv, grav=grav, cart=cart,
+               dxs=dxs)
+
+
 def stage_curv_gather6(w_int, u0, u1, grid, cfg, gam0, gam1, beta_dt,
                        force_pcm, coeffs, packed, strips, rf_omega=0.0,
                        grav=None, grav_dt=0.0, interpret=None):
     """Fused full-mode stage with six-face strip gather; consumes the
     UNPADDED interior prims plus {("x1"|"x2"|"x3", side): strip} arrays
-    (layouts: prepare_gather6_root_strips)."""
+    (layouts: prepare_gather6_root_strips).  Diffusion-free stages run
+    the v2 minimal-DMA kernel; the stress stencil (mixed-corner reads)
+    keeps the v1 full-assembly kernel."""
     from .pallas_stage import _interpret_mode
 
     if interpret is None:
         interpret = _interpret_mode()
+    if coeffs.diff is None:
+        return _stage_curv_gather6_v2(
+            w_int, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
+            coeffs, packed, strips, rf_omega=rf_omega, grav=grav,
+            grav_dt=grav_dt, interpret=interpret)
+    return _stage_curv_gather6_v1(
+        w_int, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
+        coeffs, packed, strips, rf_omega=rf_omega, grav=grav,
+        grav_dt=grav_dt, interpret=interpret)
+
+
+def _stage_curv_gather6_v1(w_int, u0, u1, grid, cfg, gam0, gam1, beta_dt,
+                           force_pcm, coeffs, packed, strips, rf_omega=0.0,
+                           grav=None, grav_dt=0.0, interpret=None):
+    """v1 frontend: full 13-DMA gather with value-select assembly."""
     nx, ny, nz = grid.nx
     g1 = grid.ng[0]
     active_z = nz > 1
@@ -1919,6 +2044,107 @@ def stage_curv_gather6(w_int, u0, u1, grid, cfg, gam0, gam1, beta_dt,
       jnp.reshape(jnp.asarray(grav_dt, dt), (1,)), u0_, u1_, wi,
       strips[("x1", 0)], strips[("x1", 1)], strips[("x2", 0)],
       strips[("x2", 1)], sz0, sz1, CXj, CYWj, CZWj)
+    return u_new[None], w_new[None], dmax
+
+
+def _stage_curv_gather6_v2(w_int, u0, u1, grid, cfg, gam0, gam1, beta_dt,
+                           force_pcm, coeffs, packed, strips, rf_omega=0.0,
+                           grav=None, grav_dt=0.0, interpret=None):
+    """v2 frontend: 6 predicated region DMAs per block, merged x1 strip."""
+    nx, ny, nz = grid.nx
+    g1 = grid.ng[0]
+    active_z = nz > 1
+    wi = w_int[0]
+    u0_ = u0[0]
+    u1_ = u1[0]
+    CX, CY, CZ, ix = packed
+    pcm = force_pcm or cfg.recon == "pcm"
+    tz = _pick_tz(nz) if active_z else 1
+
+    kern = functools.partial(
+        _stage_kernel_curv_gather6b, ng=g1, nx=nx, ny=ny, nz=nz, tz=tz,
+        ty=TY, active_z=active_z, pcm=pcm, gamma=cfg.gamma, gam0=gam0,
+        gam1=gam1, dfloor=cfg.dfloor, siefloor=cfg.siefloor,
+        de_switch=cfg.de_switch, ix=ix, full=True, x1dep=coeffs.x1dep,
+        x2dep=coeffs.x2dep,
+        has_rot=any(np.any(f1 != 0) for f1, _ in coeffs.vrot),
+        rf_omega=rf_omega, rsolver=cfg.rsolver, cv=cfg.cv,
+        grav=grav, cart=geo.is_cartesian(coeffs.coords),
+        dxs=_uniform_dxs(grid, coeffs))
+    dt = wi.dtype
+    zsz = tz + 4 if active_z else 1
+    nyb = ny // TY
+    CXj = jnp.asarray(CX)
+    CYW = np.stack([CY[:, jb * TY: jb * TY + TY + 4] for jb in range(nyb)])
+    if active_z:
+        nzb = nz // tz
+        CZW = np.stack([CZ[:, ib * tz: ib * tz + tz + 4]
+                        for ib in range(nzb)])
+    else:
+        nzb = 1
+        CZW = CZ[None, :, :1]
+    CZW = CZW[..., None]
+    CYWj = jnp.asarray(CYW)
+    CZWj = jnp.asarray(CZW)
+    blk = (6, tz, TY, nx)
+    imap = lambda i, j: (0, i, j, 0)
+    from .pallas_stage import rk_register_blocks as _rrb
+
+    u0_, u1_, spec0, spec1 = _rrb(u0_, u1_, gam0, gam1, blk, imap, dt)
+    # merged x1 strip: lo ghost lanes [0,ng), hi ghost lanes [ng,2ng)
+    sxl = strips[("x1", 0)]
+    sxh = strips[("x1", 1)]
+    sxm = jnp.concatenate([sxl[..., :g1], sxh[..., :g1]], axis=-1)
+    sxm = jnp.pad(sxm, [(0, 0), (0, 0), (0, 0), (0, 128 - 2 * g1)])
+    zstrip = (6, 2, ny + 16, nx)
+    sz0 = strips.get(("x3", 0))
+    sz1 = strips.get(("x3", 1))
+    if sz0 is None:           # 2-D (inactive z): dummy rows, never read
+        sz0 = jnp.zeros((6, 1, ny + 16, nx), dt)
+        sz1 = sz0
+        zstrip = (6, 1, ny + 16, nx)
+    u_new, w_new, dmax = pl.pallas_call(
+        kern,
+        grid=(nzb, nyb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            spec0,
+            spec1,
+            pl.BlockSpec(memory_space=pl.ANY),   # interior w
+            pl.BlockSpec(memory_space=pl.ANY),   # merged x1 strip
+            pl.BlockSpec(memory_space=pl.ANY),   # x2 lo strip
+            pl.BlockSpec(memory_space=pl.ANY),   # x2 hi strip
+            pl.BlockSpec(memory_space=pl.ANY),   # x3 lo strip
+            pl.BlockSpec(memory_space=pl.ANY),   # x3 hi strip
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + CYW.shape[1:], lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + CZW.shape[1:], lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((6, nz, ny, nx), dt),
+            jax.ShapeDtypeStruct((6, nz, ny, nx), dt),
+            jax.ShapeDtypeStruct((nzb, nyb), dt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((6, zsz, TY + 16, nx), dt),   # slab
+            pltpu.VMEM((6, zsz, _yst(TY), 128), dt),  # merged x strip
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM),
+        interpret=interpret,
+    )(jnp.reshape(jnp.asarray(beta_dt, dt), (1,)),
+      jnp.reshape(jnp.asarray(grav_dt, dt), (1,)), u0_, u1_, wi,
+      sxm, strips[("x2", 0)], strips[("x2", 1)], sz0, sz1,
+      CXj, CYWj, CZWj)
     return u_new[None], w_new[None], dmax
 
 

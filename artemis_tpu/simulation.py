@@ -363,13 +363,6 @@ class Simulation:
         import jax.numpy as jnp
 
         self.restarted = restart is not None
-        self.restart_payloads = {}  # name -> fn() -> np.ndarray (rst extras)
-        if self.nbody is not None:
-            self.restart_payloads["nbody"] = self.nbody.restart_payload
-        if hasattr(self.driver, "restart_payloads"):
-            # fine-level AMR states (bit-exact restarts incl. refinement)
-            for key, fn in self.driver.restart_payloads().items():
-                self.restart_payloads[f"amr.{key}"] = fn
         if restart is not None:
             from .io.dumps import load_restart
 
@@ -557,6 +550,20 @@ class Simulation:
                 gas_cfg, dust_cfg, skip_d=shard_axis)
         return {k: (bc_custom[k] if k in localized else p0.bc_custom[k])
                 for k in bc_custom}
+
+    @property
+    def restart_payloads(self):
+        """name -> fn() -> np.ndarray restart extras, rebuilt per access:
+        tag-driven spawn/destroy regrids change the AMR payload set at
+        runtime, so the dump observer must see the CURRENT tree."""
+        out = {}
+        if self.nbody is not None:
+            out["nbody"] = self.nbody.restart_payload
+        if hasattr(self.driver, "restart_payloads"):
+            # fine-level AMR states (bit-exact restarts incl. refinement)
+            for key, fn in self.driver.restart_payloads().items():
+                out[f"amr.{key}"] = fn
+        return out
 
     def run(self, log_every: int = 0, extra_observers=(), walltime=None):
         import time as _t

@@ -31,7 +31,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import numpy as np
 
 
-def _measure(sim_state, step, dt, grid_nx, nsteps, reps):
+def _measure(sim_state, step, dt, grid_nx, nsteps, reps, ret_state=False):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -61,7 +61,7 @@ def _measure(sim_state, step, dt, grid_nx, nsteps, reps):
         best = max(best, int(np.prod(grid_nx)) * nsteps / el)
     rho = np.asarray(state["gas"]["u"][0, 0])
     assert np.all(np.isfinite(rho)), "bench produced non-finite density"
-    return best
+    return (best, state) if ret_state else best
 
 
 def bench_disk(nsteps, reps):
@@ -83,8 +83,19 @@ def bench_disk(nsteps, reps):
     ], data_dir="/tmp/bench_disk")
     drv = sim.driver
     dt = jnp.asarray(0.3 * drv.estimate_dt(sim.state), dtype=jnp.float32)
-    return _measure(sim.state, drv._build_step(), dt, sim.grid.nx,
-                    nsteps, reps)
+    d0 = np.asarray(sim.state["gas"]["w"][0, 0], dtype=np.float64)
+    rate, state = _measure(sim.state, drv._build_step(), dt, sim.grid.nx,
+                           nsteps, reps, ret_state=True)
+    # f32 production-accuracy gate (BASELINE north star: "matching
+    # reference L1"): the equilibrium disk must hold its density-weighted
+    # L2 deviation under the regression threshold (disk.py:42) on the f32
+    # fused-kernel path across the whole timed window.
+    d = np.asarray(state["gas"]["w"][0, 0], dtype=np.float64)
+    l2 = float(np.sqrt((d0 * (d - d0) ** 2).sum()) / d0.sum())
+    assert l2 <= 6e-3, f"f32 disk equilibrium L2 {l2:g} > 6e-3"
+    print(f"# disk f32 equilibrium L2 vs IC: {l2:.3e} (gate 6e-3)",
+          file=sys.stderr)
+    return rate
 
 
 def bench_rhd_amr(nsteps, reps):
@@ -139,6 +150,16 @@ def bench_rhd_amr(nsteps, reps):
         best = max(best, zones * nsteps / el)
     rho = np.asarray(states[0]["gas"]["u"][0, 0])
     assert np.all(np.isfinite(rho)), "rhd bench produced non-finite density"
+    # f32 sanity bound on the north-star composition: the (quiet-start)
+    # Keplerian disk must not blow up its density field over the timed
+    # window on the fused f32 path (loose: Cartesian disks shed a startup
+    # transient near the cavity, unlike the body-fitted spherical leg)
+    d0 = np.asarray(sim.state["gas"]["w"][0, 0], dtype=np.float64)
+    d = np.asarray(states[0]["gas"]["w"][0, 0], dtype=np.float64)
+    l2 = float(np.sqrt((d0 * (d - d0) ** 2).sum()) / d0.sum())
+    print(f"# rhd f32 density L2 vs IC: {l2:.3e} (gate 0.1)",
+          file=sys.stderr)
+    assert l2 <= 0.1, f"rhd f32 density L2 {l2:g} > 0.1"
     return best
 
 

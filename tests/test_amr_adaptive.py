@@ -1,0 +1,193 @@
+"""Tag-driven spawn/destroy adaptivity (MultiLevelSMR.regrid_tiles).
+
+The reference tags cells every cycle and Parthenon creates/destroys/
+redistributes refined MeshBlocks (parthenon::Refinement::Tag,
+artemis_driver.cpp:292; criteria amr_criteria.hpp:28-96).  The TPU-native
+recast is a fixed tile lattice whose level-1 patches spawn where refine
+tags land and drop where the derefine criterion clears them — every patch
+is a static-shape XLA program, so only the patch SET changes at regrid.
+
+Gates: an off-center blast whose refined coverage GROWS as the shock
+expands (not just re-centers), exact (1e-12) mass conservation across
+spawns/destroys, and the sedov2d profile at the coords-test threshold.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from scipy.interpolate import interp1d
+
+import jax.numpy as jnp
+
+from artemis_tpu.amr import MultiLevelSMR
+from artemis_tpu.config import ParameterInput
+from artemis_tpu.driver import Integrator
+from artemis_tpu.grid import grid_from_input
+from artemis_tpu.ops.hydro import FluidCfg
+
+HERE = os.path.dirname(__file__)
+DECK = os.path.join(HERE, "..", "inputs", "blast_amr.in")
+DAT2 = np.loadtxt(os.path.join(HERE, "data", "sedov2d.dat"), comments="#")
+
+TILED = [
+    "parthenon/refinement/style=tiled",
+    "parthenon/refinement/tile_nx1=16",
+    "parthenon/refinement/tile_nx2=16",
+]
+
+
+def _pool(drv):
+    return [nd for nd in drv.smr.nodes if getattr(nd, "pool", False)]
+
+
+def _total_mass(sim):
+    grid = sim.grid
+    vol = np.broadcast_to(grid.geom.volume(), grid.shape_entire)[
+        grid.int_slices]
+    return float((np.asarray(sim.state["gas"]["u"][0, 0]) * vol).sum())
+
+
+def _bump_states(ml, cfg, centers):
+    """Root state with sharp density squares at the given (y, x) cells."""
+    w = np.ones((1, 6, 1, 32, 32))
+    w[:, 1:4] = 0.0
+    for (cy, cx) in centers:
+        w[:, 0, :, cy:cy + 4, cx:cx + 4] = 4.0
+    w[:, 4] = 1.0
+    w[:, 5] = w[:, 4] / ((cfg.gamma - 1.0) * w[:, 0])
+    u, wj = ml.root.hydro.prim_to_cons(jnp.asarray(w), cfg)
+    return [{"gas": {"u": u, "w": wj}}]
+
+
+def _make_ml():
+    pin = ParameterInput.from_file(os.path.join(HERE, "..", "inputs",
+                                                "blast.in"))
+    pin.apply_overrides(["parthenon/mesh/nx1=32", "parthenon/mesh/nx2=32"])
+    grid = grid_from_input(pin)
+    cfg = FluidCfg(fluid="gas", recon="plm", rsolver="hlle", gamma=1.4,
+                   cfl=0.3)
+    return MultiLevelSMR(grid, Integrator.make("rk2"), cfg, patches=[],
+                         moving_patches=True), cfg
+
+
+CRIT = dict(field="density", type="gradient", refine_thr=0.5, deref_thr=0.1)
+
+
+def test_tiled_spawn_growth_and_state():
+    """Tiles spawn over tagged features, ADD more when a second feature
+    appears (growth, not relocation), and carry prolonged fine data."""
+    ml, cfg = _make_ml()
+    states = _bump_states(ml, cfg, [(12, 12)])
+    states, los = ml.regrid_tiles(states, [None], CRIT, (8, 8, 1))
+    pool1 = [nd for nd in ml.nodes if getattr(nd, "pool", False)]
+    assert pool1, "no tiles spawned"
+    los1 = {nd.lo for nd in pool1}
+    rho_f = np.asarray(states[pool1[0].index]["gas"]["w"][0, 0])
+    assert rho_f.max() > 1.5, "spawned tile missing prolonged data"
+
+    # a second, disjoint feature appears: coverage GROWS, old tiles stay
+    states[0] = _bump_states(ml, cfg, [(12, 12), (22, 22)])[0]
+    states, los = ml.regrid_tiles(states, los, CRIT, (8, 8, 1))
+    pool2 = [nd for nd in ml.nodes if getattr(nd, "pool", False)]
+    los2 = {nd.lo for nd in pool2}
+    assert len(pool2) > len(pool1), "coverage did not grow"
+    assert los1 <= los2, "existing tiles were dropped while still tagged"
+    # surviving tiles kept their state object (bit-exact survival)
+    for nd in pool2:
+        if nd.lo in los1:
+            assert np.asarray(states[nd.index]["gas"]["w"][0, 0]).max() > 1.5
+
+
+def test_tiled_derefinement():
+    """Tiles drop when every covered cell satisfies the derefine
+    criterion (deref_thr), and absent one they persist (hysteresis)."""
+    ml, cfg = _make_ml()
+    states = _bump_states(ml, cfg, [(12, 12)])
+    states, los = ml.regrid_tiles(states, [None], CRIT, (8, 8, 1))
+    assert [nd for nd in ml.nodes if getattr(nd, "pool", False)]
+
+    # smooth the root field -> every cell passes the deref criterion
+    states[0] = _bump_states(ml, cfg, [])[0]
+    states, los = ml.regrid_tiles(states, los, CRIT, (8, 8, 1))
+    assert not [nd for nd in ml.nodes if getattr(nd, "pool", False)], \
+        "tiles survived a fully-derefined field"
+    assert len(states) == len(ml.nodes) == 1
+
+    # without deref_thr the tiles persist (refine-only hysteresis)
+    crit = dict(CRIT, deref_thr=0.0)
+    states = _bump_states(ml, cfg, [(12, 12)])
+    states, los = ml.regrid_tiles(states, [None], crit, (8, 8, 1))
+    n1 = len(ml.nodes)
+    states[0] = _bump_states(ml, cfg, [])[0]
+    states, los = ml.regrid_tiles(states, los, crit, (8, 8, 1))
+    assert len(ml.nodes) == n1, "tiles dropped without a deref criterion"
+
+
+@pytest.mark.slow
+def test_tiled_blast_grows_coverage(tmp_path):
+    """Off-center Sedov blast under deck-driven tiled adaptivity: the
+    refined footprint expands with the shock, mass is conserved to
+    1e-12 across every spawn, and the composite solution matches the
+    sedov2d profile at the coords-test threshold (L2 < 1)."""
+    from artemis_tpu.simulation import Simulation
+
+    sim = Simulation(DECK, overrides=TILED + [
+        "parthenon/time/tlim=0.1",
+        "parthenon/refinement/check_interval=25",
+    ], data_dir=str(tmp_path))
+    drv = sim.driver
+    assert drv.tiled
+    pool0 = _pool(drv)
+    assert pool0, "initial regrid spawned no patches"
+    los0 = {nd.lo for nd in pool0}
+    m0 = _total_mass(sim)
+
+    sim.run()
+    assert sim.tm.time >= 0.1 * (1 - 1e-12)
+    pool1 = _pool(drv)
+    los1 = {nd.lo for nd in pool1}
+    assert len(pool1) > len(pool0), \
+        f"coverage did not grow: {sorted(los0)} -> {sorted(los1)}"
+    assert los1 - los0, "no new tile positions spawned"
+
+    m1 = _total_mass(sim)
+    assert abs(m1 - m0) / m0 < 1e-12, f"mass drift {(m1 - m0) / m0:.3e}"
+
+    pf = interp1d(DAT2[:, 0], DAT2[:, 3])
+    w = np.asarray(sim.state["gas"]["w"][0])
+    pres = w[4][0]
+    x1v, x2v, _ = sim.grid.cell_centers()
+    rr = np.sqrt((x1v + 0.2) ** 2 + (x2v + 0.2) ** 2)[0]
+    rr = np.broadcast_to(rr, pres.shape)
+    inb = rr <= DAT2[:, 0].max()
+    pans = pf(np.clip(rr, DAT2[0, 0], DAT2[:, 0].max()))
+    l2 = float(np.sqrt(((pres - pans)[inb] ** 2).mean()))
+    assert np.isfinite(l2) and l2 < 1.0, f"pressure L2 {l2:g}"
+
+
+def test_tiled_restart_roundtrip(tmp_path):
+    """A checkpoint written mid-run restores the pool bit-exactly."""
+    from artemis_tpu.simulation import Simulation
+
+    sim = Simulation(DECK, overrides=TILED + [
+        "parthenon/time/tlim=0.03",
+        "parthenon/refinement/check_interval=10",
+        "parthenon/output2/file_type=rst",
+        "parthenon/output2/dt=0.015",
+    ], data_dir=str(tmp_path))
+    sim.run()
+    rsts = sorted(f for f in os.listdir(tmp_path) if ".rst.npz" in f
+                  and "final" in f)
+    assert rsts
+    pool_before = sorted(nd.lo for nd in _pool(sim.driver))
+    assert pool_before
+
+    sim2 = Simulation(DECK, overrides=TILED, data_dir=str(tmp_path),
+                      restart=os.path.join(str(tmp_path), rsts[-1]))
+    pool_after = sorted(nd.lo for nd in _pool(sim2.driver))
+    assert pool_after == pool_before
+    for i in range(1, len(sim.driver.smr.nodes)):
+        a = np.asarray(sim.driver._states[i]["gas"]["u"])
+        b = np.asarray(sim2.driver._states[i]["gas"]["u"])
+        assert np.array_equal(a, b), f"node {i} state not bit-exact"

@@ -51,15 +51,22 @@ def test_nbody_planet_disk(tmp_path):
     assert abs(pi_ - p0i) / p0i <= 0.04, f"inner wake {pi_:g} vs {p0i:g}"
     assert abs(po_ - p0o) / p0o <= 0.04, f"outer wake {po_:g} vs {p0o:g}"
 
-    # temperature profile check (locally isothermal disk holds T = 0.0025/R).
-    # NOTE: the reference threshold is 2e-4 (nbody.py:131); we measure 2.6e-4,
-    # with the excess localized at the planet and traced to sink-accretion
-    # heating (without the sink the fit gives -1.00006).  Tracked as a known
-    # difference; tightened once the sink energy bookkeeping is reconciled.
+    # temperature profile check (locally isothermal disk holds T = 0.0025/R)
+    # at the reference threshold 2e-4 (nbody.py:131-136) with the
+    # reference's fit abscissa: analysis.load_level fits against FACE
+    # MIDPOINTS rc = (r_f[1:]+r_f[:-1])/2, not volume centroids
+    # (analysis.py load_level).  Measured 1.6e-4; the residual is the
+    # sink-accretion heating localized at the planet, present in the
+    # reference too (accrete() removes mass but not internal energy,
+    # particle_base.hpp:190-244).
     T = (w[5] / sim.gas_cfg.cv)[0]
     Tavg = T.mean(axis=0)
-    fit = np.polyfit(np.log(rc), np.log(Tavg), 1)
-    assert abs(fit[0] - (-1.0)) <= 5e-4, f"T plaw {fit[0]:g}"
+    g = sim.grid.geom
+    s3, s2, s1 = sim.grid.int_slices
+    rf = g.xf1[s1.start:s1.stop + 1]
+    rc_mid = 0.5 * (rf[1:] + rf[:-1])
+    fit = np.polyfit(np.log(rc_mid), np.log(Tavg), 1)
+    assert abs(fit[0] - (-1.0)) <= 2e-4, f"T plaw {fit[0]:g}"
     assert abs(math.exp(fit[1]) - 0.0025) / 0.0025 <= 5e-3
 
 
