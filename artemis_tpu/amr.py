@@ -1118,7 +1118,40 @@ class MultiLevelSMR:
                     wp, self._sib_links[i],
                     [st["gas"]["w"] for st in states])
 
-        # 2. fused stage per node
+        # 2. fused stage — ONE node-batched launch when every node shares
+        # the grid shape and lean-Cartesian envelope (the kernel family
+        # runs far faster per zone at larger launch sizes), else per node
+        if g6 is not None and _psc.gather6_batch_ok(self.nodes,
+                                                    self._fused):
+            co0, packed0, rf0, gspec0 = self._fused[0]
+            grav = None
+            grav_dt = 0.0
+            if gspec0 is not None:
+                gm_, soft2_, gmode, gpos, tstart, tstop = gspec0
+                grav = (gm_, soft2_, gmode, gpos)
+                tstart = float(np.clip(tstart, -1e38, 1e38))
+                tstop = float(np.clip(tstop, -1e38, 1e38))
+                grav_dt = jnp.where(
+                    jnp.logical_and(time >= tstart, time < tstop), bdt, 0.0)
+            kdt = states[0]["gas"]["w"].dtype
+            u_all, w_all, _ = _psc.stage_curv_gather6_batched(
+                [states[nd.index]["gas"]["w"] for nd in self.nodes],
+                [states[nd.index]["gas"]["u"].astype(kdt)
+                 for nd in self.nodes],
+                [u1s[nd.index]["gas"].astype(kdt) for nd in self.nodes],
+                self.root.grid, self.cfg, gam0, gam1, bdt, force_pcm,
+                [b[0] for b in self._fused], [b[1] for b in self._fused],
+                strips, rf_omega=rf0, grav=grav, grav_dt=grav_dt)
+            new_states = []
+            for node in self.nodes:
+                st = {"gas": {"u": u_all[node.index][None],
+                              "w": w_all[node.index][None]}}
+                if "rad" in states[node.index]:
+                    st["rad"] = states[node.index]["rad"]
+                new_states.append(st)
+            return self._stage_fused_glue(states, new_states, los,
+                                          wpads, slabs, bdt, force_pcm, g6)
+
         new_states = []
         for node, (co, packed, rf_omega, gspec) in zip(self.nodes,
                                                        self._fused):
@@ -1154,7 +1187,11 @@ class MultiLevelSMR:
             if "rad" in states[i]:
                 st["rad"] = states[i]["rad"]
             new_states.append(st)
+        return self._stage_fused_glue(states, new_states, los, wpads,
+                                      slabs, bdt, force_pcm, g6)
 
+    def _stage_fused_glue(self, states, new_states, los, wpads, slabs,
+                          bdt, force_pcm, g6):
         # 3. interface deltas + restriction, deepest parents first (a middle
         # node's u is final before it restricts into ITS parent).  The
         # dual-energy switch re-runs after the rim deltas and before the

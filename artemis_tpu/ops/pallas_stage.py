@@ -44,14 +44,19 @@ def _yslab(hs: int) -> int:
     return -(-(TY + 2 * hs) // 8) * 8
 
 
-def rk_blend(u0_ref, u1_ref, gam0, gam1, divf, bdt):
+def rk_blend(u0_ref, u1_ref, gam0, gam1, divf, bdt, lead=False):
     """gam0*u0 + gam1*u1 + bdt*divF with statically-zero/one coefficients
     elided.  Stage 1 of every integrator (and both vl2 stages) has
     gam0 == 0: the u0 register is then a dummy block whose HBM fetch the
     frontends skip entirely (``rk_register_blocks``).  Bit-identical to
-    the dense form for finite inputs (0.0*x + y == y, 1.0*x == x)."""
+    the dense form for finite inputs (0.0*x + y == y, 1.0*x == x).
+    ``lead=True``: the register blocks carry a leading node axis of 1
+    (node-batched kernels)."""
     u0 = u0_ref[...] if gam0 != 0.0 else None
     u1 = u1_ref[...] if gam1 != 0.0 else None
+    if lead:
+        u0 = u0[0] if u0 is not None else None
+        u1 = u1[0] if u1 is not None else None
     out = []
     for c in range(len(divf)):
         acc = None

@@ -60,3 +60,20 @@ def test_binary_adiabatic(tmp_path, rsolver, de_switch):
     assert abs(pi_ - p0i) / p0i <= 0.05, f"inner wake {pi_:g} vs {p0i:g}"
     assert abs(po_ - p0o) / p0o <= 0.05, f"outer wake {po_:g} vs {p0o:g}"
     assert not np.isnan(w).any()
+
+
+def test_binary_smoke(tmp_path):
+    """30-cycle smoke of the circumbinary disk in the DEFAULT suite: the
+    binary potential + cooling + viscosity path stays finite and the
+    planet wake starts forming at the forcing radius (catches broken
+    source terms without the full-orbit run)."""
+    sim = run_deck(DECK, ["parthenon/time/nlim=30"], str(tmp_path))
+    w = np.asarray(sim.state["gas"]["w"][0])
+    assert np.isfinite(w).all()
+    d = w[0][0]
+    assert (d > 0).all()
+    x1v, x2v, _ = sim.grid.cell_centers()
+    rc = x1v[0, 0]
+    sig = np.abs(d - d.mean(axis=0))
+    ii = np.argwhere(rc >= 1.0)[0][0]
+    assert sig[:, ii].max() > 1e-6, "no wake forming at the planet radius"

@@ -58,3 +58,23 @@ def test_disk(geom, gamma, bc, tmp_path):
 ])
 def test_disk_full(geom, gamma, bc, tmp_path):
     _run_case(geom, gamma, bc, tmp_path)
+
+
+def test_disk_sph_smoke(tmp_path):
+    """Fast spherical-geometry gate (the full-res sph cases are in the
+    slow set): half-resolution disk_sph for 5 cycles must hold the same
+    equilibrium threshold — catches spherical-path breaks in the default
+    suite."""
+    deck = os.path.join(HERE, "..", "inputs", "disk_sph.in")
+    sim = run_deck(deck, [
+        "parthenon/time/nlim=5",
+        "parthenon/mesh/nx1=64", "parthenon/mesh/nx2=32",
+        "parthenon/mesh/nx3=32",
+        "gas/de_switch=1e-2",
+    ], str(tmp_path))
+    w0 = np.asarray(sim.problem.prims["gas"][0])
+    w = np.asarray(sim.state["gas"]["w"][0])
+    d0, d = w0[0], w[0]
+    assert not np.isnan(w).any() and (d > 0).all()
+    err = np.sqrt((d0 * (d - d0) ** 2).sum()) / d0.sum()
+    assert err <= 6e-3, f"disk_sph smoke err {err:g}"

@@ -334,3 +334,17 @@ vy = 1.2
     # particle 2 sits outside the half-width-0.5 box -> removed
     assert nb.alive.tolist() == [1, 0]
     assert nb.couple[1] == 0 and nb.live[1] == 0
+
+
+def test_nbody_smoke(tmp_path):
+    """20-cycle smoke of the live star+planet disk in the DEFAULT suite:
+    rebound-coupled stage advance stays finite, particles stay alive and
+    the planet holds its orbit (catches coupling breaks without the
+    full-orbit wake run)."""
+    sim = run_deck(DECK, ["parthenon/time/nlim=20"], str(tmp_path))
+    assert sim.nbody.alive.all()
+    w = np.asarray(sim.state["gas"]["w"][0])
+    assert np.isfinite(w).all() and (w[0] > 0).all()
+    pos = np.asarray(sim.nbody.pos)
+    a = np.linalg.norm(pos[1] - pos[0])
+    assert abs(a - 1.0) < 1e-3, f"planet separation drifted to {a:g}"
