@@ -569,7 +569,7 @@ class _Node:
         if hc is None:
             hc = self.parent.hydro
         if scatter is None:
-            def scatter(A, upd, starts, d):
+            def scatter(A, upd, starts, d, side):
                 return jax.lax.dynamic_update_slice(A, upd, tuple(starts))
         out = {}
         for d in hc.dims:
@@ -625,7 +625,7 @@ class _Node:
                     else:
                         starts.append(0)
                 starts = [jnp.asarray(v, jnp.int32) for v in starts]
-                Fc = scatter(Fc, update, starts, d)
+                Fc = scatter(Fc, update, starts, d, side)
             out[d] = (Fc,) + fx_c[d][1:]
         return out
 
@@ -688,6 +688,18 @@ class MultiLevelSMR:
         sharded tree all-gathers it along the decomposition axis for
         replicated (non-wrap) patches."""
         return states[node.parent.index][key][kind]
+
+    def _node_lo(self, node: "_Node", los):
+        """Effective (possibly shard-local) patch origin in parent
+        interior cells: identity here; the sharded tree offsets
+        DISTRIBUTED patches by the shard's slice of the patch."""
+        return los[node.index]
+
+    def _post_fine_ghosts(self, wp, node: "_Node", fl: str, states):
+        """Hook after parent-prolongated ghost fill: identity here; the
+        sharded tree swaps a distributed patch's internal-seam ghosts
+        for the neighbor shard's FINE data."""
+        return wp
 
     def _parent_grid(self, node: "_Node"):
         """Parent grid in the frame of ``node.lo`` (GLOBAL for replicated
@@ -1354,12 +1366,14 @@ class MultiLevelSMR:
                 if node.parent is None:
                     wp[fl] = self._root_fill(w, node, fl)
                 else:
-                    wp[fl] = self._apply_sib_links(
-                        node.fill_fine_ghosts(
-                            w, self._parent_arr(states, node, fl, "w"),
-                            los[node.index]),
-                        self._sib_links[node.index],
-                        [st[fl]["w"] for st in states])
+                    wp[fl] = self._post_fine_ghosts(
+                        self._apply_sib_links(
+                            node.fill_fine_ghosts(
+                                w, self._parent_arr(states, node, fl, "w"),
+                                self._node_lo(node, los)),
+                            self._sib_links[node.index],
+                            [st[fl]["w"] for st in states]),
+                        node, fl, states)
             wpads.append(wp)
 
         # 2. fluxes per node per fluid
@@ -1379,7 +1393,7 @@ class MultiLevelSMR:
             for fl, _ in node.fluids():
                 fxs[p][fl] = self._flux_correct(node, fxs[p][fl],
                                                 fxs[node.index][fl],
-                                                los[node.index])
+                                                self._node_lo(node, los))
 
         # 4. update + diffusion + sources per node
         new_states = []
@@ -1415,7 +1429,7 @@ class MultiLevelSMR:
             if node.parent is None:
                 continue
             p = node.parent.index
-            lo = los[node.index]
+            lo = self._node_lo(node, los)
             for fl, _ in node.fluids():
                 new_states[p][fl]["u"] = self._restrict_into(
                     node, new_states[p][fl]["u"],
@@ -1569,9 +1583,13 @@ class MultiLevelSMR:
         def tags_fn(node, wc):
             field = wc[:, 0] if criterion.get("field", "density") == "density" \
                 else wc[:, 4]
-            dims = [d for d in (1, 2, 3) if node.parent.grid.nx[d - 1] > 1]
+            # ``wc`` is the host-side (reassembled GLOBAL) parent array, so
+            # the stencil widths must come from the parent's GLOBAL grid
+            # (node.parent.grid is the shard-local window on sharded trees)
+            pgrid = self.ic_grids[node.parent.index]
+            dims = [d for d in (1, 2, 3) if pgrid.nx[d - 1] > 1]
             if criterion.get("type", "gradient") == "gradient":
-                widths = ref_mod.grid_stencil_widths(node.parent.grid)
+                widths = ref_mod.grid_stencil_widths(pgrid)
                 tags, _ = ref_mod.scalar_first_derivative(
                     jnp.asarray(field), widths, dims,
                     criterion["refine_thr"], criterion.get("deref_thr", 0.0))
@@ -2058,7 +2076,9 @@ class SMRDriver:
                 diffusion_factory=diffusion_factory, bc_custom=bc_custom,
                 omf=omf, patches=patches, mesh=mesh, axis=shard_axis,
                 nbody=nbody, radiation_factory=radiation_factory,
-                moving_patches=self.adaptive or bool(track))
+                moving_patches=self.adaptive or bool(track),
+                distribute=pin.get_or_add_bool("artemis", "amr_distribute",
+                                               False))
         else:
             self.smr = MultiLevelSMR(
                 grid, integrator, gas_cfg, dust_cfg=dust_cfg,

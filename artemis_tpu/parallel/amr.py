@@ -51,7 +51,18 @@ class ShardedSMR(MultiLevelSMR):
                  bc_custom=None, omf: float = 0.0,
                  patches: Optional[List[dict]] = None,
                  mesh: Optional[Mesh] = None, axis: int = 3, nbody=None,
-                 radiation_factory=None, moving_patches: bool = False):
+                 radiation_factory=None, moving_patches: bool = False,
+                 distribute: bool = False):
+        # distribute=True: non-wrap patches BLOCK-SHARD along the
+        # decomposition axis (each shard computes 1/nshards of the fine
+        # level) instead of replicating — refined work then scales out
+        # like the reference's rank-distributed MeshBlocks
+        # (src/artemis.cpp:51-54).  Cartesian, radiation-free trees.
+        self._distribute = bool(distribute)
+        if self._distribute and radiation_factory is not None:
+            raise ValueError(
+                "amr_distribute with radiation is not supported yet "
+                "(the per-level FLD solve assumes wrap/replicated frames)")
         self.mesh_dev = mesh if mesh is not None else make_device_mesh()
         self.nshards = int(self.mesh_dev.devices.size)
         d = int(axis)
@@ -150,6 +161,51 @@ class ShardedSMR(MultiLevelSMR):
         d = self._shard_axis
         gn = self._gtree.add_patch(level, lo, n)
         parent = self.nodes[gn.parent.index]
+        if (self._distribute and not gn.wrap[d - 1] and not gn.curv
+                and gn.active[d - 1] and not self._is_rep(parent)):
+            # DISTRIBUTED non-wrap patch: shard k owns parent cells
+            # [lo + k*n/S, lo + (k+1)*n/S) of the patch window; ghosts at
+            # internal seams come from the neighbor shard's fine data
+            # (ppermute), the two global ends from parent prolongation,
+            # restriction/flux correction land through masked
+            # global-frame scatters at shard-offset starts.
+            S = self.nshards
+            if gn.n[d - 1] % S or (gn.n[d - 1] // S) % 2:
+                raise ValueError(
+                    f"distributed patch x{d} extent {gn.n[d - 1]} must "
+                    f"split into even per-shard slices over {S} shards")
+            from ..amr import _Node, _refine_grid
+            from ..ops.hydro import Hydro
+
+            nn = list(gn.n)
+            nn[d - 1] //= S
+            node = _Node.__new__(_Node)
+            for k_, v_ in gn.__dict__.items():
+                if k_ not in ("ml", "parent", "children", "index", "hydro",
+                              "sources", "diffusion", "radiation", "grid",
+                              "n"):
+                    setattr(node, k_, v_)
+            node.ml = self
+            node.parent = parent
+            node.children = []
+            node.index = len(self.nodes)
+            self.nodes.append(node)
+            parent.children.append(node)
+            node.n = tuple(nn)
+            # shard-0 window geometry; Cartesian grids are translation-
+            # invariant, and the per-shard Hydro fields are localized
+            # lazily from the GLOBAL patch build in __init__
+            node.grid = _refine_grid(self._gtree.nodes[parent.index].grid,
+                                     gn.lo, tuple(nn))
+            node.hydro = Hydro(node.grid, self.cfg, self.dust_cfg)
+            node.sources = (list(self.sources_factory(node.grid))
+                            if self.sources_factory else [])
+            node.diffusion = (self.diffusion_factory(node.hydro)
+                              if self.diffusion_factory else None)
+            node.radiation = None
+            node.replicated = False
+            node.distributed = True
+            return node
         if gn.wrap[d - 1]:
             if self._is_rep(parent):
                 raise ValueError("a wrap patch cannot nest inside a "
@@ -190,13 +246,19 @@ class ShardedSMR(MultiLevelSMR):
         return lax.all_gather(a, AXIS, axis=a.ndim - self._shard_axis,
                               tiled=True)
 
-    def _scatter_axis(self, A, upd, starts, face=False):
+    def _scatter_axis(self, A, upd, starts, face=False, apply=None,
+                      route=False):
         """Masked scatter of ``upd`` at GLOBAL-frame ``starts`` into the
         shard-local window of ``A``: place into a global-extent zero
         buffer, slice this shard's window (``axis_index``), blend where
         touched.  ``face=True`` for arrays with face extent (n+1) along
         the sharded axis — a seam face is updated on BOTH shards that
-        carry a copy of it."""
+        carry a copy of it.  ``apply`` (traced bool): gate the whole
+        scatter off on shards where it is False.  ``route=True``
+        (distributed patches): every shard contributes a DIFFERENT slab
+        at a different global offset — psum the global buffers first so
+        each contribution reaches whichever shard's window it lands in
+        (the slabs are disjoint along the axis, so the sum is a union)."""
         d = self._shard_axis
         axg = A.ndim - d
         ncell = A.shape[axg] - (1 if face else 0)
@@ -207,6 +269,11 @@ class ShardedSMR(MultiLevelSMR):
                                      upd.astype(A.dtype), starts)
         M = lax.dynamic_update_slice(jnp.zeros(shape, jnp.bool_),
                                      jnp.ones(upd.shape, jnp.bool_), starts)
+        if apply is not None:
+            M = jnp.logical_and(M, apply)
+        if route and self.nshards > 1:
+            B = lax.psum(jnp.where(M, B, jnp.zeros_like(B)), AXIS)
+            M = lax.psum(M.astype(jnp.int32), AXIS) > 0
         k = lax.axis_index(AXIS)
         ls = [jnp.int32(0)] * A.ndim
         ls[axg] = jnp.int32(k * ncell)
@@ -214,52 +281,119 @@ class ShardedSMR(MultiLevelSMR):
         Mw = lax.dynamic_slice(M, tuple(ls), A.shape)
         return jnp.where(Mw, Bw, A)
 
+    @staticmethod
+    def _is_dist(node):
+        return getattr(node, "distributed", False)
+
+    def _node_lo(self, node, los):
+        lo = los[node.index]
+        if self._is_dist(node) and self.nshards > 1:
+            d = self._shard_axis
+            k = lax.axis_index(AXIS)
+            off = jnp.zeros(3, lo.dtype).at[d - 1].set(
+                (k * node.n[d - 1]).astype(lo.dtype))
+            lo = lo + off
+        return lo
+
+    def _post_fine_ghosts(self, wp, node, fl, states):
+        """Distributed patches: internal-seam ghosts along the sharded
+        axis take the neighbor shard's FINE edge data (fine-fine seams,
+        exactly conservative); the two global ends keep the prolonged
+        parent slabs the fill produced."""
+        if not (self._is_dist(node) and self.nshards > 1):
+            return wp
+        d = self._shard_axis
+        S = self.nshards
+        ng = node.grid.ng[d - 1]
+        nloc = node.grid.nx[d - 1]
+        ax = wp.ndim - d
+
+        def axsl(s0, s1):
+            sl = [slice(None)] * wp.ndim
+            sl[ax] = slice(s0, s1)
+            return tuple(sl)
+
+        head = wp[axsl(ng, 2 * ng)]
+        tail = wp[axsl(nloc, ng + nloc)]
+        from_left = lax.ppermute(tail, AXIS,
+                                 [(i, i + 1) for i in range(S - 1)])
+        from_right = lax.ppermute(head, AXIS,
+                                  [(i + 1, i) for i in range(S - 1)])
+        k = lax.axis_index(AXIS)
+        lo_slab = jnp.where(k > 0, from_left, wp[axsl(0, ng)])
+        hi_slab = jnp.where(k < S - 1, from_right,
+                            wp[axsl(ng + nloc, 2 * ng + nloc)])
+        wp = wp.at[axsl(0, ng)].set(lo_slab)
+        wp = wp.at[axsl(ng + nloc, 2 * ng + nloc)].set(hi_slab)
+        return wp
+
     def _parent_arr(self, states, node, key, kind):
         w = states[node.parent.index][key][kind]
-        if (self.nshards > 1 and self._is_rep(node)
+        if (self.nshards > 1
+                and (self._is_rep(node) or self._is_dist(node))
                 and not self._is_rep(node.parent)):
             w = self._gather_axis(w)
         return w
 
     def _parent_grid(self, node):
-        if self._is_rep(node) and not self._is_rep(node.parent):
+        if (self._is_rep(node) or self._is_dist(node)) \
+                and not self._is_rep(node.parent):
             return self._gtree.nodes[node.parent.index].grid
         return node.parent.grid
 
     def _flux_correct(self, node, fx_c, fx_f, lo):
-        if (self.nshards == 1 or not self._is_rep(node)
+        if (self.nshards == 1
+                or not (self._is_rep(node) or self._is_dist(node))
                 or self._is_rep(node.parent)):
             return node.flux_correct(fx_c, fx_f, lo)
         hc = self._gtree.nodes[node.parent.index].hydro  # global face areas
+        dist = self._is_dist(node)
 
-        def scatter(A, upd, starts, d):
+        def scatter(A, upd, starts, d, side):
+            apply = None
+            if dist and d == self._shard_axis:
+                # only the patch's GLOBAL end faces are coarse-fine:
+                # the end shards apply their own end-face delta, the
+                # internal seam faces are fine-fine and must not correct
+                k = lax.axis_index(AXIS)
+                apply = (k == 0) if side == 0 else (k == self.nshards - 1)
             return self._scatter_axis(A, upd, starts,
-                                      face=(d == self._shard_axis))
+                                      face=(d == self._shard_axis),
+                                      apply=apply, route=dist)
 
         return node.flux_correct(fx_c, fx_f, lo, hc=hc, scatter=scatter)
 
     def _restrict_into(self, node, arr, res, lo):
-        if (self.nshards == 1 or not self._is_rep(node)
+        if (self.nshards == 1
+                or not (self._is_rep(node) or self._is_dist(node))
                 or self._is_rep(node.parent)):
             return MultiLevelSMR._restrict_into(self, node, arr, res, lo)
         starts = [0] * (arr.ndim - 3) + [lo[2], lo[1], lo[0]]
-        return self._scatter_axis(arr, res, starts)
+        return self._scatter_axis(arr, res, starts,
+                                  route=self._is_dist(node))
 
     def _cover_mask(self, node, los):
         if not node.children:
             return None
-        reps = [ch for ch in node.children
-                if self._is_rep(ch) and not self._is_rep(node)]
-        if self.nshards == 1 or not reps:
+        glob = [ch for ch in node.children
+                if (self._is_rep(ch) or self._is_dist(ch))
+                and not self._is_rep(node)]
+        if self.nshards == 1 or not glob:
             return MultiLevelSMR._cover_mask(self, node, los)
+        d = self._shard_axis
         mask = jnp.ones(tuple(reversed(node.grid.nx)))
         for ch in node.children:
             lo = los[ch.index]
-            zeros = jnp.zeros(tuple(ch.n[2 - i] if node.grid.nx[2 - i] > 1
+            # distributed children cover their GLOBAL footprint (every
+            # shard zeroes the window that falls inside its slice)
+            n_g = list(ch.n)
+            if self._is_dist(ch):
+                n_g[d - 1] *= self.nshards
+            zeros = jnp.zeros(tuple(n_g[2 - i] if node.grid.nx[2 - i] > 1
                                     else 1 for i in range(3)))
             starts = [jnp.asarray(lo[2 - i] if node.grid.nx[2 - i] > 1
                                   else 0, jnp.int32) for i in range(3)]
-            if ch in reps:
+            if ch in glob:
                 mask = self._scatter_axis(mask, zeros, starts)
             else:
                 mask = jax.lax.dynamic_update_slice(mask, zeros,
