@@ -193,6 +193,7 @@ class Radiation:
         # linearization: the limiter/diffusivity lag one step)
         kap_t = self.kappa(rho, T0) + cfg.kappa_s  # transport opacity
         chi = kap_t * rho  # 1/mfp
+        ftiny = float(jnp.finfo(Er0.dtype).tiny)
 
         def grad_mag(E):
             g2 = 0.0
@@ -202,9 +203,24 @@ class Radiation:
                 g2 = g2 + gp * gp
             return jnp.sqrt(g2)
 
-        R = grad_mag(Er0) / (chi * jnp.maximum(Er0, 1e-300) + 1e-300)
+        R = grad_mag(Er0) / (chi * jnp.maximum(Er0, ftiny) + ftiny)
         lam = (2.0 + R) / (6.0 + 3.0 * R + R * R)  # Levermore-Pomraning
-        Dcell = cfg.c_code * lam / (chi + 1e-300)
+        Dcell = cfg.c_code * lam / (chi + ftiny)
+        # FLD validity cap.  In a flat-field optically thin region the
+        # limiter stays at its diffusive value (R -> 0, lam = 1/3) while
+        # 1/chi -> inf, so D = c/(3 chi) is unbounded: on the disk-RHD
+        # corners (rho at dfloor) dt*D/w^2 reaches ~1e8, which both breaks
+        # f32 CG (attainable residual ~ eps*cond) and over-propagates Er
+        # the moment a gradient appears.  Cap D at c*L (L = node domain
+        # extent): a transparent region then equilibrates within one
+        # light-crossing time of the domain, which is FLD's own accuracy
+        # floor in the streaming limit (optically thick problems, e.g.
+        # the Lowrie-Edwards rad_shock anchor, never reach the cap).
+        ext = 0.0
+        for d in self.dims:
+            w = jnp.asarray(self.widths[d - 1])
+            ext = jnp.maximum(ext, jnp.max(jnp.sum(w, axis=w.ndim - d)))
+        Dcell = jnp.minimum(Dcell, cfg.c_code * ext)
 
         # Merge the deck-BC Dirichlet edges (scalars from `ic` BCs) with
         # the per-call AMR ghost planes; AMR planes take precedence (a
@@ -301,12 +317,20 @@ class Radiation:
             def body(carry):
                 x, r, z, p, rz, rs, it = carry
                 Ap = matvec(p, sf)
-                alpha = rz / jnp.maximum(self._psum(jnp.sum(p * Ap)), tiny)
+                pAp = self._psum(jnp.sum(p * Ap))
+                # Breakdown guard: the operator is SPD, but near the
+                # attainable-residual floor f32 roundoff can drive the
+                # summed p.Ap to <= 0; dividing by max(pAp, tiny) then
+                # yields an ~1e38 alpha and x + alpha*p - alpha*p = NaN.
+                # On breakdown freeze x/r and force rs to 0 so the loop
+                # exits with the best iterate.
+                ok = pAp > tiny
+                alpha = jnp.where(ok, rz, 0.0) / jnp.where(ok, pAp, 1.0)
                 x = x + alpha * p
                 r = r - alpha * Ap
                 z = r / diag
                 rz_new = self._psum(jnp.sum(r * z))
-                rs_new = self._psum(jnp.sum(r * r))
+                rs_new = jnp.where(ok, self._psum(jnp.sum(r * r)), 0.0)
                 p = z + (rz_new / jnp.maximum(rz, tiny)) * p
                 return (x, r, z, p, rz_new, rs_new, it + 1)
 
