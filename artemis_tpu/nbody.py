@@ -48,11 +48,14 @@ def _lib():
     return _LIB
 
 
-# reference integrator menu (nbody.cpp:203-223): ias15/bs/mercurius map to
-# the adaptive Gauss-Radau integrator; whfast/janus/saba to the fixed-step
-# Wisdom-Holman symplectic; leapfrog to plain leapfrog
-INTEGRATORS = {"ias15": 0, "bs": 0, "whfast": 3, "leapfrog": 1, "janus": 3,
-               "saba": 3, "mercurius": 0, "none": 2}
+# reference integrator menu (nbody.cpp:203-223), each backed by the genuine
+# algorithm class in native/nbody.cpp: ias15 = adaptive 15th-order
+# Gauss-Radau; bs = adaptive Gragg-Bulirsch-Stoer extrapolation;
+# mercurius = WHFast with K-switched direct close encounters;
+# whfast = fixed-step Wisdom-Holman symplectic (janus/saba, rebound's other
+# fixed-step symplectics, map here); leapfrog = plain kick-drift-kick
+INTEGRATORS = {"ias15": 0, "bs": 4, "whfast": 3, "leapfrog": 1, "janus": 3,
+               "saba": 3, "mercurius": 5, "none": 2}
 
 
 def _init_orbit(gm, a, e, i, o, O, f):

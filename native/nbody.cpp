@@ -47,7 +47,23 @@ struct Sim {
   int pn2 = 1;
   std::vector<double> m, pos, vel, radius;
   std::vector<int> alive;
+  // mercurius encounter-subsystem extras (zero/empty = plain N-body):
+  // central 1/r^2 attractor of strength central_mu at the origin, and a
+  // per-particle changeover radius; pair forces are weighted by
+  // (1 - K(r / max(rcrit_i, rcrit_j))) when kweight is set.
+  double central_mu = 0.0;
+  int kweight = 0;
+  std::vector<double> rcrit;
 };
+
+// MERCURIUS changeover function (Rein et al. 2019 eq. 10): smooth quintic
+// ramp from 0 (r <= 0.1 rc, fully direct) to 1 (r >= rc, fully symplectic).
+double kchange(double r, double rc) {
+  const double y = (r / rc - 0.1) / 0.9;
+  if (y <= 0.0) return 0.0;
+  if (y >= 1.0) return 1.0;
+  return y * y * y * (10.0 + y * (-15.0 + 6.0 * y));
+}
 
 // ---------------------------------------------------------------------------
 // accelerations: softening-free mutual gravity + optional PN corrections
@@ -63,10 +79,23 @@ void accel(const Sim &s, const double *x, const double *v, double *a) {
       double r2 = dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2];
       double r = std::sqrt(r2);
       double ir3 = 1.0 / (r2 * r + 1e-300);
+      if (s.kweight) {
+        const double rc = std::max(s.rcrit[i], s.rcrit[j]);
+        ir3 *= 1.0 - kchange(r, rc);
+      }
       for (int d = 0; d < 3; d++) {
         a[3 * i + d] -= s.G * s.m[j] * dx[d] * ir3;
         a[3 * j + d] += s.G * s.m[i] * dx[d] * ir3;
       }
+    }
+  }
+  if (s.central_mu > 0.0) {
+    for (int i = 0; i < n; i++) {
+      if (!s.alive[i]) continue;
+      const double r2 = x[3 * i] * x[3 * i] + x[3 * i + 1] * x[3 * i + 1] +
+                        x[3 * i + 2] * x[3 * i + 2];
+      const double ir3 = 1.0 / (r2 * std::sqrt(r2) + 1e-300);
+      for (int d = 0; d < 3; d++) a[3 * i + d] -= s.central_mu * x[3 * i + d] * ir3;
     }
   }
 
@@ -261,7 +290,6 @@ double ias15_step(Sim &s, double dt, double dt_max, double eps, double *dt_next)
         const double hdt = h * dt;
         for (int d = 0; d < n3; d++) {
           // series for x and v at node h from current b
-          double ax = a0[d], av = a0[d];
           double xacc = 0.0, vacc = 0.0;
           double hk = 1.0;
           for (int k = 1; k <= 7; k++) {
@@ -314,6 +342,97 @@ double ias15_step(Sim &s, double dt, double dt_max, double eps, double *dt_next)
     s.pos[d] = x0[d] + v0[d] * dt + 0.5 * dt * dt * (a0[d] + 2.0 * xacc);
   }
   return dt;
+}
+
+// ---------------------------------------------------------------------------
+// Gragg-Bulirsch-Stoer: modified-midpoint substeps + Richardson extrapolation
+// in h^2 (Gragg's smoothed scheme has an even error expansion).  This is the
+// algorithm class behind the reference menu's "bs" option
+// (rebound integrator_bs.c, itself after Hairer ODEX) — a genuinely distinct
+// method from the Gauss-Radau collocation above.
+// ---------------------------------------------------------------------------
+
+// one modified-midpoint pass over [0, dt] with nsub substeps on y = (x, v)
+void midpoint_pass(Sim &s, const double *x0, const double *v0, double dt,
+                   int nsub, double *xout, double *vout) {
+  const int n3 = 3 * s.n;
+  const double h = dt / nsub;
+  std::vector<double> xm(x0, x0 + n3), vm(v0, v0 + n3);  // z_{m-1}
+  std::vector<double> xc(n3), vc(n3), a(n3);             // z_m
+  accel(s, xm.data(), vm.data(), a.data());
+  for (int d = 0; d < n3; d++) {
+    xc[d] = xm[d] + h * vm[d];
+    vc[d] = vm[d] + h * a[d];
+  }
+  for (int m = 1; m < nsub; m++) {
+    accel(s, xc.data(), vc.data(), a.data());
+    for (int d = 0; d < n3; d++) {
+      const double xn = xm[d] + 2.0 * h * vc[d];
+      const double vn = vm[d] + 2.0 * h * a[d];
+      xm[d] = xc[d]; vm[d] = vc[d];
+      xc[d] = xn; vc[d] = vn;
+    }
+  }
+  accel(s, xc.data(), vc.data(), a.data());
+  for (int d = 0; d < n3; d++) {  // Gragg smoothing endpoint formula
+    xout[d] = 0.5 * (xc[d] + xm[d] + h * vc[d]);
+    vout[d] = 0.5 * (vc[d] + vm[d] + h * a[d]);
+  }
+}
+
+// advance by one adaptive GBS step; returns dt taken, sets *dt_next
+double bs_step(Sim &s, double dt, double dt_max, double eps, double *dt_next) {
+  static const int NSEQ[8] = {2, 4, 6, 8, 10, 12, 14, 16};
+  const int n3 = 3 * s.n;
+  std::vector<double> x0(s.pos), v0(s.vel);
+  // scale for the relative error test: per-component magnitude floor
+  std::vector<double> sc(2 * n3);
+  for (int d = 0; d < n3; d++) {
+    sc[d] = std::fabs(x0[d]);
+    sc[n3 + d] = std::fabs(v0[d]);
+  }
+  double scmax = 1e-300;
+  for (double v : sc) scmax = std::max(scmax, v);
+  for (double &v : sc) v = std::max(v, 1e-6 * scmax);
+
+  std::vector<double> T(8 * 2 * n3);  // extrapolation tableau rows
+  std::vector<double> xk(n3), vk(n3);
+  for (;;) {
+    dt = std::min(dt, dt_max);
+    double err = 1e300;
+    int k = 0;
+    for (k = 0; k < 8; k++) {
+      midpoint_pass(s, x0.data(), v0.data(), dt, NSEQ[k], xk.data(), vk.data());
+      double *Tk = &T[k * 2 * n3];
+      for (int d = 0; d < n3; d++) { Tk[d] = xk[d]; Tk[n3 + d] = vk[d]; }
+      // Aitken-Neville update in h^2 = (dt/NSEQ)^2
+      for (int j = k - 1; j >= 0; j--) {
+        const double r = (double)NSEQ[k] / (double)NSEQ[j];
+        const double den = r * r - 1.0;
+        double *Tj = &T[j * 2 * n3], *Tj1 = &T[(j + 1) * 2 * n3];
+        for (int d = 0; d < 2 * n3; d++) Tj[d] = Tj1[d] + (Tj1[d] - Tj[d]) / den;
+      }
+      if (k > 0) {
+        err = 0.0;
+        const double *Ta = &T[0], *Tb = &T[2 * n3];
+        for (int d = 0; d < 2 * n3; d++)
+          err = std::max(err, std::fabs(Ta[d] - Tb[d]) / sc[d]);
+        if (err < eps) break;
+      }
+    }
+    if (err < eps || dt <= 1e-12 * dt_max) {
+      const int kk = std::min(k, 7);
+      const double fac =
+          0.9 * std::pow(eps / (err + 1e-300), 1.0 / (2.0 * kk + 1.0));
+      *dt_next = dt * std::min(5.0, std::max(0.2, fac));
+      for (int d = 0; d < n3; d++) {
+        s.pos[d] = T[d];
+        s.vel[d] = T[n3 + d];
+      }
+      return dt;
+    }
+    dt *= 0.5;  // reject: halve and rebuild the tableau
+  }
 }
 
 void leapfrog_step(Sim &s, double dt) {
@@ -391,90 +510,203 @@ void kepler_drift(double mu, double *r, double *v, double dt) {
   for (int d = 0; d < 3; d++) { r[d] = rn[d]; v[d] = vn[d]; }
 }
 
-void whfast_step(Sim &s, double dt) {
+// democratic-heliocentric state: body 0 = dominant central mass (the
+// reference setups put the star first); heliocentric positions +
+// barycentric velocities
+struct DH {
+  double m0 = 0.0, mtot = 0.0;
+  double pv[3] = {0, 0, 0};        // barycentric velocity of the COM
+  std::vector<double> rh, vb;
+};
+
+DH dh_from_inertial(const Sim &s) {
   const int n = s.n;
-  if (n < 2) return;
-  // body 0 = dominant central mass (the reference setups put the star
-  // first); work in heliocentric positions + barycentric velocities
-  const double m0 = s.m[0];
-  std::vector<double> rh(3 * n), vb(3 * n);
-  // barycentric velocities
-  double mtot = 0.0, pv[3] = {0, 0, 0};
+  DH d;
+  d.m0 = s.m[0];
+  d.rh.resize(3 * n);
+  d.vb.resize(3 * n);
   for (int i = 0; i < n; i++) {
     if (!s.alive[i]) continue;
-    mtot += s.m[i];
-    for (int d = 0; d < 3; d++) pv[d] += s.m[i] * s.vel[3 * i + d];
+    d.mtot += s.m[i];
+    for (int k = 0; k < 3; k++) d.pv[k] += s.m[i] * s.vel[3 * i + k];
   }
-  for (int d = 0; d < 3; d++) pv[d] /= mtot;
+  for (int k = 0; k < 3; k++) d.pv[k] /= d.mtot;
   for (int i = 0; i < n; i++)
-    for (int d = 0; d < 3; d++) {
-      rh[3 * i + d] = s.pos[3 * i + d] - s.pos[d];
-      vb[3 * i + d] = s.vel[3 * i + d] - pv[d];
+    for (int k = 0; k < 3; k++) {
+      d.rh[3 * i + k] = s.pos[3 * i + k] - s.pos[k];
+      d.vb[3 * i + k] = s.vel[3 * i + k] - d.pv[k];
     }
+  return d;
+}
 
-  auto sun_drift = [&](double h) {
-    double ps[3] = {0, 0, 0};
-    for (int i = 1; i < n; i++) {
-      if (!s.alive[i]) continue;
-      for (int d = 0; d < 3; d++) ps[d] += s.m[i] * vb[3 * i + d];
-    }
-    for (int i = 1; i < n; i++) {
-      if (!s.alive[i]) continue;
-      for (int d = 0; d < 3; d++) rh[3 * i + d] += h * ps[d] / m0;
-    }
-  };
-  auto kick = [&](double h) {
-    // planet-planet interactions only (the Kepler part handles the star)
-    for (int i = 1; i < n; i++) {
-      if (!s.alive[i]) continue;
-      double a[3] = {0, 0, 0};
-      for (int j = 1; j < n; j++) {
-        if (j == i || !s.alive[j]) continue;
-        double dr[3];
-        for (int d = 0; d < 3; d++) dr[d] = rh[3 * i + d] - rh[3 * j + d];
-        const double d2 = dr[0] * dr[0] + dr[1] * dr[1] + dr[2] * dr[2];
-        const double idr3 = 1.0 / (std::sqrt(d2) * d2 + 1e-300);
-        for (int d = 0; d < 3; d++) a[d] -= s.G * s.m[j] * dr[d] * idr3;
-      }
-      for (int d = 0; d < 3; d++) vb[3 * i + d] += h * a[d];
-    }
-  };
-
-  sun_drift(0.5 * dt);
-  kick(0.5 * dt);
-  for (int i = 1; i < n; i++) {
-    if (!s.alive[i]) continue;
-    kepler_drift(s.G * m0, &rh[3 * i], &vb[3 * i], dt);
-  }
-  kick(0.5 * dt);
-  sun_drift(0.5 * dt);
-
-  // back to inertial coordinates: the center of mass drifts uniformly;
-  // the star sits at COM minus the mass-weighted heliocentric offsets
+// back to inertial coordinates: the center of mass drifts uniformly;
+// the star sits at COM minus the mass-weighted heliocentric offsets
+void dh_to_inertial(Sim &s, const DH &dh, double dt) {
+  const int n = s.n;
   for (int d = 0; d < 3; d++) {
     double Rc = 0.0, mr = 0.0, mv = 0.0;
     for (int i = 0; i < n; i++) {
       if (!s.alive[i]) continue;
       Rc += s.m[i] * s.pos[3 * i + d];
       if (i > 0) {
-        mr += s.m[i] * rh[3 * i + d];
-        mv += s.m[i] * vb[3 * i + d];
+        mr += s.m[i] * dh.rh[3 * i + d];
+        mv += s.m[i] * dh.vb[3 * i + d];
       }
     }
-    Rc = Rc / mtot + dt * pv[d];        // COM after the step (exact)
-    const double r0d = Rc - mr / mtot;  // star position
-    const double v0d = -mv / m0;        // star barycentric velocity
+    Rc = Rc / dh.mtot + dt * dh.pv[d];     // COM after the step (exact)
+    const double r0d = Rc - mr / dh.mtot;  // star position
+    const double v0d = -mv / dh.m0;        // star barycentric velocity
     for (int i = 0; i < n; i++) {
       if (!s.alive[i]) continue;
       if (i == 0) {
         s.pos[3 * i + d] = r0d;
-        s.vel[3 * i + d] = pv[d] + v0d;
+        s.vel[3 * i + d] = dh.pv[d] + v0d;
       } else {
-        s.pos[3 * i + d] = r0d + rh[3 * i + d];
-        s.vel[3 * i + d] = pv[d] + vb[3 * i + d];
+        s.pos[3 * i + d] = r0d + dh.rh[3 * i + d];
+        s.vel[3 * i + d] = dh.pv[d] + dh.vb[3 * i + d];
       }
     }
   }
+}
+
+void dh_sun_drift(const Sim &s, DH &d, double h) {
+  double ps[3] = {0, 0, 0};
+  for (int i = 1; i < s.n; i++) {
+    if (!s.alive[i]) continue;
+    for (int k = 0; k < 3; k++) ps[k] += s.m[i] * d.vb[3 * i + k];
+  }
+  for (int i = 1; i < s.n; i++) {
+    if (!s.alive[i]) continue;
+    for (int k = 0; k < 3; k++) d.rh[3 * i + k] += h * ps[k] / d.m0;
+  }
+}
+
+// planet-planet interaction kick (the Kepler part handles the star); with
+// rcrit non-null the pair force is weighted by the MERCURIUS changeover K
+void dh_kick(const Sim &s, DH &d, double h, const double *rcrit) {
+  for (int i = 1; i < s.n; i++) {
+    if (!s.alive[i]) continue;
+    double a[3] = {0, 0, 0};
+    for (int j = 1; j < s.n; j++) {
+      if (j == i || !s.alive[j]) continue;
+      double dr[3];
+      for (int k = 0; k < 3; k++) dr[k] = d.rh[3 * i + k] - d.rh[3 * j + k];
+      const double d2 = dr[0] * dr[0] + dr[1] * dr[1] + dr[2] * dr[2];
+      double idr3 = 1.0 / (std::sqrt(d2) * d2 + 1e-300);
+      if (rcrit)
+        idr3 *= kchange(std::sqrt(d2), std::max(rcrit[i], rcrit[j]));
+      for (int k = 0; k < 3; k++) a[k] -= s.G * s.m[j] * dr[k] * idr3;
+    }
+    for (int k = 0; k < 3; k++) d.vb[3 * i + k] += h * a[k];
+  }
+}
+
+void whfast_step(Sim &s, double dt) {
+  if (s.n < 2) return;
+  DH d = dh_from_inertial(s);
+  dh_sun_drift(s, d, 0.5 * dt);
+  dh_kick(s, d, 0.5 * dt, nullptr);
+  for (int i = 1; i < s.n; i++) {
+    if (!s.alive[i]) continue;
+    kepler_drift(s.G * d.m0, &d.rh[3 * i], &d.vb[3 * i], dt);
+  }
+  dh_kick(s, d, 0.5 * dt, nullptr);
+  dh_sun_drift(s, d, 0.5 * dt);
+  dh_to_inertial(s, d, dt);
+}
+
+// ---------------------------------------------------------------------------
+// MERCURIUS hybrid (Rein et al. 2019; reference menu option "mercurius",
+// rebound integrator_mercurius.c): WHFast everywhere, with the interaction
+// Hamiltonian split by the changeover K(r/rcrit) — the symplectic kick gets
+// K·F, and planets inside a changeover sphere are integrated directly
+// (adaptive Gauss-Radau) through the drift phase under the central Kepler
+// field plus the complementary (1-K)·F pair forces.
+// ---------------------------------------------------------------------------
+void mercurius_step(Sim &s, double dt, double hillfac, double eps) {
+  if (s.n < 2) return;
+  const int n = s.n;
+  DH d = dh_from_inertial(s);
+
+  // changeover radii: hillfac Hill radii from the osculating heliocentric
+  // orbit (vis-viva semi-major axis; unbound orbits fall back to |r|)
+  std::vector<double> rcrit(n, 0.0);
+  for (int i = 1; i < n; i++) {
+    if (!s.alive[i] || s.m[i] < 0.0) continue;
+    const double *r = &d.rh[3 * i], *v = &d.vb[3 * i];
+    const double rr = std::sqrt(r[0] * r[0] + r[1] * r[1] + r[2] * r[2]);
+    const double v2 = v[0] * v[0] + v[1] * v[1] + v[2] * v[2];
+    const double mu = s.G * d.m0;
+    const double ainv = 2.0 / (rr + 1e-300) - v2 / mu;
+    const double a = (ainv > 1e-300) ? 1.0 / ainv : rr;
+    rcrit[i] = hillfac * a * std::cbrt(std::max(s.m[i], 1e-300) / (3.0 * d.m0));
+  }
+
+  dh_sun_drift(s, d, 0.5 * dt);
+  dh_kick(s, d, 0.5 * dt, rcrit.data());
+
+  // encounter detection: pair inside (or predicted to enter) the changeover
+  // sphere during this drift
+  std::vector<int> enc(n, 0);
+  bool any = false;
+  for (int i = 1; i < n; i++) {
+    if (!s.alive[i]) continue;
+    for (int j = i + 1; j < n; j++) {
+      if (!s.alive[j]) continue;
+      double dr[3], dv[3];
+      for (int k = 0; k < 3; k++) {
+        dr[k] = d.rh[3 * i + k] - d.rh[3 * j + k];
+        dv[k] = d.vb[3 * i + k] - d.vb[3 * j + k];
+      }
+      const double r = std::sqrt(dr[0] * dr[0] + dr[1] * dr[1] + dr[2] * dr[2]);
+      const double vrel = std::sqrt(dv[0] * dv[0] + dv[1] * dv[1] + dv[2] * dv[2]);
+      if (r - vrel * dt < std::max(rcrit[i], rcrit[j])) {
+        enc[i] = enc[j] = 1;
+        any = true;
+      }
+    }
+  }
+
+  for (int i = 1; i < n; i++) {
+    if (!s.alive[i] || enc[i]) continue;
+    kepler_drift(s.G * d.m0, &d.rh[3 * i], &d.vb[3 * i], dt);
+  }
+  if (any) {
+    // direct integration of the encounter subsystem in heliocentric coords:
+    // central mu Kepler field + complementary (1-K) pair forces
+    Sim sub;
+    sub.G = s.G;
+    sub.central_mu = s.G * d.m0;
+    sub.kweight = 1;
+    std::vector<int> idx;
+    for (int i = 1; i < n; i++)
+      if (s.alive[i] && enc[i]) idx.push_back(i);
+    sub.n = (int)idx.size();
+    for (int i : idx) {
+      sub.m.push_back(s.m[i]);
+      sub.rcrit.push_back(rcrit[i]);
+      sub.radius.push_back(0.0);
+      sub.alive.push_back(1);
+      for (int k = 0; k < 3; k++) {
+        sub.pos.push_back(d.rh[3 * i + k]);
+        sub.vel.push_back(d.vb[3 * i + k]);
+      }
+    }
+    double t = 0.0, dt_next = dt;
+    int guard = 0;
+    while (t < dt * (1.0 - 1e-14) && guard++ < 100000) {
+      t += ias15_step(sub, std::min(dt_next, dt - t), dt - t, eps, &dt_next);
+    }
+    for (size_t q = 0; q < idx.size(); q++)
+      for (int k = 0; k < 3; k++) {
+        d.rh[3 * idx[q] + k] = sub.pos[3 * q + k];
+        d.vb[3 * idx[q] + k] = sub.vel[3 * q + k];
+      }
+  }
+
+  dh_kick(s, d, 0.5 * dt, rcrit.data());
+  dh_sun_drift(s, d, 0.5 * dt);
+  dh_to_inertial(s, d, dt);
 }
 
 }  // namespace
@@ -483,7 +715,9 @@ extern "C" {
 
 // Integrate the system from t0 to t1.  Arrays are modified in place.
 // itype: 0=ias15, 1=leapfrog, 2=none, 3=whfast (Wisdom-Holman symplectic,
-// democratic heliocentric).  dt0: initial/fixed step (<=0: auto).
+// democratic heliocentric), 4=bs (adaptive Gragg-Bulirsch-Stoer),
+// 5=mercurius (WHFast + K-switched direct close encounters).
+// dt0: initial/fixed step (<=0: auto).
 // Returns the number of collision merges that occurred.
 int nb_integrate(int n, double *m, double *pos, double *vel, double *radius,
                  int *alive, double t0, double t1, double dt0, int itype,
@@ -506,20 +740,25 @@ int nb_integrate(int n, double *m, double *pos, double *vel, double *radius,
   double t = t0;
   const double total = t1 - t0;
   double dt = (dt0 > 0.0) ? std::min(dt0, total) : total;
-  if (itype == 0) {
+  if (itype == 0 || itype == 4) {  // adaptive: ias15 / bs
     double dt_next = dt;
     int guard = 0;
     while (t < t1 - 1e-14 * std::fabs(t1) && guard++ < 1000000) {
-      const double taken = ias15_step(s, std::min(dt_next, t1 - t), t1 - t,
-                                      epsilon, &dt_next);
+      const double taken =
+          (itype == 4)
+              ? bs_step(s, std::min(dt_next, t1 - t), t1 - t, epsilon, &dt_next)
+              : ias15_step(s, std::min(dt_next, t1 - t), t1 - t, epsilon,
+                           &dt_next);
       t += taken;
       if (resolve_collisions(s, merge_on_collision)) merges++;
     }
-  } else {  // leapfrog / whfast, fixed dt
+  } else {  // leapfrog / whfast / mercurius, fixed dt
     const int nsteps = std::max(1, (int)std::ceil(total / dt));
     const double h = total / nsteps;
     for (int i = 0; i < nsteps; i++) {
-      if (itype == 3)
+      if (itype == 5)
+        mercurius_step(s, h, 3.0, epsilon);  // rebound default hillfac=3
+      else if (itype == 3)
         whfast_step(s, h);
       else
         leapfrog_step(s, h);
