@@ -22,6 +22,11 @@ def main(argv=None) -> int:
                     help="time N instrumented cycles per driver phase and "
                          "print the table before the run (Kokkos-Tools "
                          "named-kernel profiling analogue)")
+    ap.add_argument("--profile-kernels", type=int, default=0, metavar="N",
+                    help="time every Pallas kernel launch over N eager "
+                         "cycles and print the per-kernel table before the "
+                         "run (below-phase attribution; see "
+                         "profiling.kernel_table)")
     ap.add_argument("overrides", nargs="*", help="block/key=value overrides")
     args = ap.parse_args(argv)
 
@@ -59,6 +64,10 @@ def main(argv=None) -> int:
             from .profiling import phase_table
 
             phase_table(sim, ncycles=args.profile)
+        if args.profile_kernels > 0:
+            from .profiling import kernel_table
+
+            kernel_table(sim, ncycles=args.profile_kernels)
         zcps = sim.run(log_every=args.ncycle_out, walltime=args.walltime)
         print(f"walltime-rate: {zcps:.3e} zone-cycles/sec "
               f"(ncycle={sim.tm.ncycle}, t={sim.tm.time:.6e}, {sim.status})")

@@ -75,6 +75,23 @@ elif variant == "padded":
                                     False, co, packed, full=True,
                                     grav=grav, grav_dt=bdt)
         return un, wn
+elif variant == "gather6_batched":
+    # the production north-star launch: N=2 same-shaped nodes in ONE
+    # kernel (root + level-1 patch both 128x128x32 on the rhd deck)
+    strips = {k: jax.device_put(np.asarray(v, np.float32))
+              for k, v in psc.prepare_gather6_root_strips(grid, caches).items()}
+    NB = int(os.environ.get("PROF_KERN_NODES", "2"))
+
+    w = jnp.concatenate([w] * NB)   # [NB,6,nz,ny,nx] node-stacked carry
+    u = jnp.concatenate([u] * NB)
+
+    def one(w_, u_):
+        ua, wa, dm = psc.stage_curv_gather6_batched(
+            [w_[i][None] for i in range(NB)], [u_[i][None] for i in range(NB)],
+            [u_[i][None] for i in range(NB)], grid, cfg, 0.0, 1.0, bdt,
+            False, [co] * NB, [packed] * NB, [strips] * NB,
+            grav=grav, grav_dt=bdt)
+        return wa, ua
 else:
     strips = {k: jax.device_put(np.asarray(v, np.float32))
               for k, v in psc.prepare_gather6_root_strips(grid, caches).items()}
@@ -98,11 +115,12 @@ def many(w_, u_):
 m = jax.jit(many)
 wc, uc = m(w, u)
 float(jnp.sum(wc[0, 0, 0, 0, 0]))
+zones = int(w.shape[0]) * nx * ny * nz
 best = 0.0
 for _ in range(3):
     t0 = time.perf_counter()
     wc, uc = m(wc, uc)
     float(jnp.sum(wc[0, 0, 0, 0, 0]))
-    best = max(best, nx * ny * nz * 50 / (time.perf_counter() - t0))
-print(f"{variant} {nx}x{ny}x{nz} tz={psc._pick_tz(nz)} ty={psc.TY}: "
-      f"{best:.4e} zone-stages/s")
+    best = max(best, zones * 50 / (time.perf_counter() - t0))
+print(f"{variant} {int(w.shape[0])}x[{nx}x{ny}x{nz}] tz={psc._pick_tz(nz)} "
+      f"ty={psc.TY}: {best:.4e} zone-stages/s")
