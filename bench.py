@@ -111,6 +111,11 @@ def bench_rhd_amr(nsteps, reps):
 
     deck = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "inputs", "disk_rhd_amr.in")
+    # the axon tunnel costs ~30ms per dispatch+sync round trip; at the
+    # production cycle time (~ms) a 50-step window pays ~10% tunnel tax.
+    # Lengthen the timed scan so the reported number is the steady-state
+    # device rate, not the tunnel RTT.
+    nsteps = max(nsteps, 150)
     nx = int(os.environ.get("BENCH_RHD_NX", "128"))
     ny = int(os.environ.get("BENCH_RHD_NY", "128"))
     nz = int(os.environ.get("BENCH_RHD_NZ", "32"))

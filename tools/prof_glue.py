@@ -1,0 +1,86 @@
+"""Ablate the north-star AMR RHD cycle into kernel / glue / prolongation
+/ radiation shares on the REAL device (jitted 50-cycle scan, one sync).
+
+Usage: python tools/prof_glue.py VARIANT [nsteps]
+VARIANT:
+  full      — the production step (what bench.py times)
+  noglue    — _stage_fused_glue skipped (rim deltas, block set_aux,
+              restriction, block resync all elided; prolongation stays)
+  noprolong — child ghost strips frozen at step entry (prolongation
+              gather elided from the cycle; glue stays)
+  norad     — radiation pass skipped
+Each variant is its own process/compile; compare the printed z-c/s.
+"""
+import os
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/artemis_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from artemis_tpu.simulation import Simulation
+from artemis_tpu import amr as amr_mod
+
+variant = sys.argv[1] if len(sys.argv) > 1 else "full"
+nsteps = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+
+sim = Simulation(os.path.join(_ROOT, "inputs", "disk_rhd_amr.in"), overrides=[
+    "artemis/precision=float32",
+    "parthenon/mesh/nx1=128", "parthenon/mesh/nx2=128",
+    "parthenon/mesh/nx3=32",
+] + (["physics/radiation=false"] if variant == "norad" else []),
+    data_dir="/tmp/prof_glue")
+drv = sim.driver
+drv._ensure_states(sim.state)
+smr, los = drv.smr, drv._los
+dt = jnp.asarray(0.3 * float(drv.estimate_dt(sim.state)), dtype=jnp.float32)
+zones = sum(int(np.prod(n.grid.nx)) for n in smr.nodes)
+
+if variant == "noglue":
+    def _skip_glue(self, states, new_states, los, wpads, slabs, bdt,
+                   force_pcm, g6):
+        return new_states, None
+    amr_mod.MultiLevelSMR._stage_fused_glue = _skip_glue
+elif variant == "noprolong":
+    # freeze each child's strips/slabs at their step-entry values
+    frozen = {}
+    for node in smr.nodes:
+        if node.parent is not None:
+            frozen[node.index] = node.ghost_strips(
+                smr._parent_arr(drv._states, node, "gas", "w"),
+                los[node.index])
+            frozen[node.index] = jax.tree_util.tree_map(
+                jax.device_put, frozen[node.index])
+        type(node).ghost_strips = (
+            lambda self, wp, lo, _f=frozen: _f[self.index])
+
+step = smr._step
+
+
+def multi(states, dt):
+    def body(s, _):
+        return step(s, dt, jnp.asarray(0.0, dt.dtype), los, None), None
+    s, _ = lax.scan(body, states, None, length=nsteps)
+    return s
+
+
+mstep = jax.jit(multi)
+states = mstep(drv._states, dt)
+float(jnp.sum(states[0]["gas"]["u"][0, 0, 0, 0]))
+best = 0.0
+for _ in range(3):
+    t0 = time.perf_counter()
+    states = mstep(states, dt)
+    float(jnp.sum(states[0]["gas"]["u"][0, 0, 0, 0]))
+    el = time.perf_counter() - t0
+    best = max(best, zones * nsteps / el)
+print(f"{variant} nsteps={nsteps}: {best:.4e} z-c/s "
+      f"({zones * nsteps / best * 1e3 / nsteps:.3f} ms/cycle)")

@@ -91,7 +91,9 @@ elif variant == "gather6_batched":
             [u_[i][None] for i in range(NB)], grid, cfg, 0.0, 1.0, bdt,
             False, [co] * NB, [packed] * NB, [strips] * NB,
             grav=grav, grav_dt=bdt)
-        return wa, ua
+        # ua/wa are already stacked [NB,6,nz,ny,nx]; keep the carry's
+        # (w, u) order and dtypes
+        return wa.astype(w_.dtype), ua.astype(u_.dtype)
 else:
     strips = {k: jax.device_put(np.asarray(v, np.float32))
               for k, v in psc.prepare_gather6_root_strips(grid, caches).items()}
