@@ -49,6 +49,18 @@ if variant == "noglue":
                    force_pcm, g6):
         return new_states, None
     amr_mod.MultiLevelSMR._stage_fused_glue = _skip_glue
+elif variant == "norim":
+    amr_mod.MultiLevelSMR._apply_rim_delta_g6 = (
+        lambda self, u_p, node, los, w_par, w_fine, slabs, bdt,
+        force_pcm: u_p)
+elif variant == "norestrict":
+    # rim deltas stay; block set_aux + restriction + block resync skipped
+    amr_mod.MultiLevelSMR._block_set_auxiliary = (
+        lambda self, u_p, child, los: u_p)
+    amr_mod.MultiLevelSMR._restrict_into = (
+        lambda self, node, u_p, avg, lo: u_p)
+    amr_mod.MultiLevelSMR._block_resync = (
+        lambda self, u, w, child, los: (u, w))
 elif variant == "noprolong":
     # freeze each child's strips/slabs at their step-entry values
     frozen = {}
