@@ -1153,7 +1153,9 @@ class MultiLevelSMR:
                 [u1s[nd.index]["gas"].astype(kdt) for nd in self.nodes],
                 self.root.grid, self.cfg, gam0, gam1, bdt, force_pcm,
                 [b[0] for b in self._fused], [b[1] for b in self._fused],
-                strips, rf_omega=rf0, grav=grav, grav_dt=grav_dt)
+                strips, rf_omega=rf0, grav=grav, grav_dt=grav_dt,
+                dxs_list=[_psc._uniform_dxs(nd.grid, b[0])
+                          for nd, b in zip(self.nodes, self._fused)])
             new_states = []
             for node in self.nodes:
                 st = {"gas": {"u": u_all[node.index][None],

@@ -618,7 +618,7 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
                u_ref, w_ref, dm_ref, *, ng, nx, tz, ty, active_z, pcm, gamma,
                gam0, gam1, dfloor, siefloor, de_switch, ix, full, x1dep,
                x2dep, has_rot, rf_omega, rsolver, diff, cv, grav,
-               cart=False, dxs=None, lead=False):
+               cart=False, dxs=None, sdx_ref=None, lead=False):
     """The fused stage math on an assembled VMEM slab ``s``
     ([6, zsz, ty+4, >=nx+2ng]; ``lead=True``: node-batched kernel —
     grid is (node, z, y) and every coefficient/register block and the
@@ -629,10 +629,14 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
     the update/PdV/C2P/CFL arithmetic uses compile-time scalars instead
     of broadcast row products (the lean Cartesian body; only the folded
     point-gravity still reads coordinate rows).  Algebraically identical
-    to the row path (A_d/V = 1/dx_d on uniform Cartesian grids)."""
+    to the row path (A_d/V = 1/dx_d on uniform Cartesian grids).
+    ``sdx_ref`` is the node-batched equivalent: an SMEM [N, 3] array of
+    RECIPROCAL cell sizes (per-node dx differs across tree levels, so
+    the lean scalars ride SMEM instead of the compile-time constants)."""
     i = pl.program_id(1 if lead else 0)
     j = pl.program_id(2 if lead else 1)
-    lean = cart and dxs is not None and diff is None and rf_omega == 0.0
+    lean = (cart and (dxs is not None or sdx_ref is not None)
+            and diff is None and rf_omega == 0.0)
     zsz = tz + 4 if active_z else 1
     CX = cx_ref[...][0] if lead else cx_ref[...]
 
@@ -743,7 +747,13 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
     if lean:
         # uniform Cartesian: A_lo = A_hi and A/V = 1/dx_d — one scalar
         # multiply per direction (the lean Cartesian form)
-        sdx1, sdx2, sdx3 = (1.0 / dxs[0], 1.0 / dxs[1], 1.0 / dxs[2])
+        if dxs is not None:
+            sdx1, sdx2, sdx3 = (1.0 / dxs[0], 1.0 / dxs[1], 1.0 / dxs[2])
+        else:
+            n0 = pl.program_id(0)
+            sdx1 = sdx_ref[n0, 0]
+            sdx2 = sdx_ref[n0, 1]
+            sdx3 = sdx_ref[n0, 2]
         divf = []
         for c in range(6):
             dv = (ax(Fx[c], 2, 0, nx) - ax(Fx[c], 2, 1, nx + 1)) * sdx1
@@ -2172,12 +2182,12 @@ def _stage_curv_gather6_v2(w_int, u0, u1, grid, cfg, gam0, gam1, beta_dt,
 
 def _stage_kernel_curv_gather6n(bdt_ref, gdt_ref, u0_ref, u1_ref, w_hbm,
                                 sx, sy_lo, sy_hi, sz_lo, sz_hi, cx_ref,
-                                cyw_ref, czw_ref, u_ref, w_ref, dm_ref,
-                                slab, xs, sems, *, ng, nx, ny, nz, tz, ty,
-                                active_z, pcm, gamma, gam0, gam1, dfloor,
-                                siefloor, de_switch, ix, full, x1dep,
-                                x2dep, has_rot, rf_omega, rsolver, cv,
-                                grav, cart=False, dxs=None):
+                                cyw_ref, czw_ref, sdx_ref, u_ref, w_ref,
+                                dm_ref, slab, xs, sems, *, ng, nx, ny, nz,
+                                tz, ty, active_z, pcm, gamma, gam0, gam1,
+                                dfloor, siefloor, de_switch, ix, full,
+                                x1dep, x2dep, has_rot, rf_omega, rsolver,
+                                cv, grav, cart=False, lean_smem=False):
     """Node-batched v2 gather frontend: grid = (node, z, y) over a STACK
     of same-shaped tree nodes — one pallas_call advances every level, so
     the per-launch pipeline warmup/dispatch amortizes over the whole
@@ -2261,19 +2271,24 @@ def _stage_kernel_curv_gather6n(bdt_ref, gdt_ref, u0_ref, u1_ref, w_hbm,
                de_switch=de_switch, ix=ix, full=full, x1dep=x1dep,
                x2dep=x2dep, has_rot=has_rot, rf_omega=rf_omega,
                rsolver=rsolver, diff=None, cv=cv, grav=grav, cart=cart,
-               dxs=dxs, lead=True)
+               sdx_ref=sdx_ref if lean_smem else None, lead=True)
 
 
 def stage_curv_gather6_batched(ws, u0s, u1s, grid, cfg, gam0, gam1,
                                beta_dt, force_pcm, coeffs_list,
                                packed_list, strips_list, rf_omega=0.0,
-                               grav=None, grav_dt=0.0, interpret=None):
+                               grav=None, grav_dt=0.0, dxs_list=None,
+                               interpret=None):
     """One fused RK stage for N same-shaped tree nodes in ONE launch.
 
     ``ws``/``u0s``/``u1s``: per-node [1,6,nz,ny,nx] arrays (stacked
     here); ``coeffs_list``/``packed_list``/``strips_list``: per-node
     CurvCoeffs / pack() / gather6 strip dicts.  The grav/rf scalars must
     be shared (per-node geometry enters through the coefficient rows).
+    ``dxs_list`` (per-node uniform-Cartesian (dx1,dx2,dx3) tuples, or
+    None entries) enables the lean Cartesian body with the per-node
+    1/dx scalars riding SMEM — per-node dx differs across tree levels,
+    so they cannot be the single-launch compile-time constants.
     Returns (u_all, w_all, dmax) with a leading node axis."""
     from .pallas_stage import _interpret_mode
 
@@ -2291,6 +2306,9 @@ def stage_curv_gather6_batched(ws, u0s, u1s, grid, cfg, gam0, gam1,
     tz = _pick_tz(nz) if active_z else 1
     co0 = coeffs_list[0]
 
+    cart = geo.is_cartesian(co0.coords)
+    lean_smem = (cart and dxs_list is not None
+                 and all(d is not None for d in dxs_list))
     kern = functools.partial(
         _stage_kernel_curv_gather6n, ng=g1, nx=nx, ny=ny, nz=nz, tz=tz,
         ty=TY, active_z=active_z, pcm=pcm, gamma=cfg.gamma, gam0=gam0,
@@ -2299,11 +2317,13 @@ def stage_curv_gather6_batched(ws, u0s, u1s, grid, cfg, gam0, gam1,
         x2dep=co0.x2dep,
         has_rot=any(np.any(f1 != 0) for f1, _ in co0.vrot),
         rf_omega=rf_omega, rsolver=cfg.rsolver, cv=cfg.cv,
-        grav=grav, cart=geo.is_cartesian(co0.coords),
-        # per-node dx differs across levels: geometry must come from the
-        # stacked coefficient ROWS, never the static lean scalars
-        dxs=None)
+        grav=grav, cart=cart, lean_smem=lean_smem)
     dt = w_all.dtype
+    if lean_smem:
+        sdx = jnp.asarray(np.array([[1.0 / d[0], 1.0 / d[1], 1.0 / d[2]]
+                                    for d in dxs_list], np.float64), dt)
+    else:   # dummy, never read (lean_smem is a compile-time gate)
+        sdx = jnp.zeros((N, 3), dt)
     zsz = tz + 4 if active_z else 1
     nyb = ny // TY
     nzb = nz // tz if active_z else 1
@@ -2369,6 +2389,7 @@ def stage_curv_gather6_batched(ws, u0s, u1s, grid, cfg, gam0, gam1,
             pl.BlockSpec((1, 1) + CZWs.shape[2:],
                          lambda i0, i, j: (i0, i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # per-node 1/dx
         ],
         out_specs=(
             live,
@@ -2390,7 +2411,7 @@ def stage_curv_gather6_batched(ws, u0s, u1s, grid, cfg, gam0, gam1,
         interpret=interpret,
     )(jnp.reshape(jnp.asarray(beta_dt, dt), (1,)),
       jnp.reshape(jnp.asarray(grav_dt, dt), (1,)), u0_all, u1_all, w_all,
-      sxm, sy0, sy1, sz0, sz1, CXs, CYWj, CZWj)
+      sxm, sy0, sy1, sz0, sz1, CXs, CYWj, CZWj, sdx)
     return u_new, w_new, dmax
 
 
