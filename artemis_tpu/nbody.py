@@ -52,10 +52,11 @@ def _lib():
 # algorithm class in native/nbody.cpp: ias15 = adaptive 15th-order
 # Gauss-Radau; bs = adaptive Gragg-Bulirsch-Stoer extrapolation;
 # mercurius = WHFast with K-switched direct close encounters;
-# whfast = fixed-step Wisdom-Holman symplectic (janus/saba, rebound's other
-# fixed-step symplectics, map here); leapfrog = plain kick-drift-kick
-INTEGRATORS = {"ias15": 0, "bs": 4, "whfast": 3, "leapfrog": 1, "janus": 3,
-               "saba": 3, "mercurius": 5, "none": 2}
+# whfast = fixed-step Wisdom-Holman symplectic; janus = bit-reversible
+# integer-lattice DKD (Rein & Tamayo 2018); saba = SABA(2) two-stage
+# symplectic (Laskar & Robutel 2001); leapfrog = plain kick-drift-kick
+INTEGRATORS = {"ias15": 0, "bs": 4, "whfast": 3, "leapfrog": 1, "janus": 6,
+               "saba": 7, "mercurius": 5, "none": 2}
 
 
 def _init_orbit(gm, a, e, i, o, O, f):

@@ -616,6 +616,95 @@ void whfast_step(Sim &s, double dt) {
 }
 
 // ---------------------------------------------------------------------------
+// SABA(2) symplectic (Laskar & Robutel 2001; reference menu option "saba",
+// rebound integrator_saba.c — different formulation: this one composes the
+// SAME democratic-heliocentric flows as whfast_step above, with the
+// Gauss-Legendre two-stage coefficients replacing the single Strang stage).
+// For H = H_Kepler + eps (H_int + H_sun) the error is O(eps h^4 + eps^2 h^2)
+// instead of leapfrog's O(eps h^2): at solar-system-like eps this buys
+// ~(h-independent) two extra digits at the same step.  The B (perturbation)
+// flow groups the interaction kick with the sun-drift 'jump' term by an
+// inner Strang split — both are O(eps), so the grouping error is O(eps^2
+// h^3), below the method's own eps^2 floor.
+//   A(c1 h) B(h/2) A(c2 h) B(h/2) A(c1 h),  c1 = 1/2 - sqrt(3)/6, c2 = 1/sqrt(3)
+// ---------------------------------------------------------------------------
+
+void saba_A(Sim &s, DH &d, double h) {   // Kepler flow
+  for (int i = 1; i < s.n; i++) {
+    if (!s.alive[i]) continue;
+    kepler_drift(s.G * d.m0, &d.rh[3 * i], &d.vb[3 * i], h);
+  }
+}
+
+void saba_B(Sim &s, DH &d, double h) {   // perturbation: jump + kick + jump
+  dh_sun_drift(s, d, 0.5 * h);
+  dh_kick(s, d, h, nullptr);
+  dh_sun_drift(s, d, 0.5 * h);
+}
+
+void saba_step(Sim &s, double dt) {
+  if (s.n < 2) return;
+  const double c1 = 0.5 - std::sqrt(3.0) / 6.0;
+  const double c2 = 1.0 / std::sqrt(3.0);
+  DH d = dh_from_inertial(s);
+  saba_A(s, d, c1 * dt);
+  saba_B(s, d, 0.5 * dt);
+  saba_A(s, d, c2 * dt);
+  saba_B(s, d, 0.5 * dt);
+  saba_A(s, d, c1 * dt);
+  dh_to_inertial(s, d, dt);
+}
+
+// ---------------------------------------------------------------------------
+// JANUS bit-reversible integrator (Rein & Tamayo 2018; reference menu option
+// "janus", rebound integrator_janus.c — different formulation: order-2
+// kernel on this file's Sim arrays rather than rebound's order-6
+// composition).  Positions and velocities live on a fixed-resolution int64
+// lattice; the drift-kick-drift map uses only integer additions of rounded
+// increments, so running dt -> -dt retraces the trajectory EXACTLY (to the
+// bit) over any number of steps within one nb_integrate call — no secular
+// phase-space drift from floating-point roundoff.  Resolution 2^-50
+// (~8.9e-16) code units per tick — a POWER OF TWO, so double<->lattice
+// conversion is exact for |ticks| < 2^53 and reversibility survives
+// nb_integrate call boundaries (|x| up to 2^13 code units before the
+// exactness bound; N-body decks are O(1-10) code units).
+// ---------------------------------------------------------------------------
+
+constexpr double JANUS_SCALE = 8.881784197001252e-16;  // 2^-50
+
+void janus_steps(Sim &s, double h, int nsteps, int merge_on_collision,
+                 int *merges) {
+  const int n3 = 3 * s.n;
+  std::vector<long long> xi(n3), vi(n3);
+  for (int d = 0; d < n3; d++) {
+    xi[d] = llround(s.pos[d] / JANUS_SCALE);
+    vi[d] = llround(s.vel[d] / JANUS_SCALE);
+  }
+  std::vector<double> a(n3);
+  for (int step = 0; step < nsteps; step++) {
+    for (int d = 0; d < n3; d++)          // integer drift h/2
+      xi[d] += llround(0.5 * h * (double)vi[d]);
+    for (int d = 0; d < n3; d++) s.pos[d] = xi[d] * JANUS_SCALE;
+    accel(s, s.pos.data(), s.vel.data(), a.data());
+    for (int d = 0; d < n3; d++)          // integer kick h
+      vi[d] += llround(h * a[d] / JANUS_SCALE);
+    for (int d = 0; d < n3; d++)          // integer drift h/2
+      xi[d] += llround(0.5 * h * (double)vi[d]);
+    for (int d = 0; d < n3; d++) {
+      s.pos[d] = xi[d] * JANUS_SCALE;
+      s.vel[d] = vi[d] * JANUS_SCALE;
+    }
+    if (resolve_collisions(s, merge_on_collision)) {
+      (*merges)++;                        // lattice state rebuilt post-merge
+      for (int d = 0; d < n3; d++) {
+        xi[d] = llround(s.pos[d] / JANUS_SCALE);
+        vi[d] = llround(s.vel[d] / JANUS_SCALE);
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
 // MERCURIUS hybrid (Rein et al. 2019; reference menu option "mercurius",
 // rebound integrator_mercurius.c): WHFast everywhere, with the interaction
 // Hamiltonian split by the changeover K(r/rcrit) — the symplectic kick gets
@@ -716,7 +805,9 @@ extern "C" {
 // Integrate the system from t0 to t1.  Arrays are modified in place.
 // itype: 0=ias15, 1=leapfrog, 2=none, 3=whfast (Wisdom-Holman symplectic,
 // democratic heliocentric), 4=bs (adaptive Gragg-Bulirsch-Stoer),
-// 5=mercurius (WHFast + K-switched direct close encounters).
+// 5=mercurius (WHFast + K-switched direct close encounters),
+// 6=janus (bit-reversible integer lattice DKD), 7=saba (SABA(2)
+// two-stage symplectic over the democratic-heliocentric split).
 // dt0: initial/fixed step (<=0: auto).
 // Returns the number of collision merges that occurred.
 int nb_integrate(int n, double *m, double *pos, double *vel, double *radius,
@@ -752,17 +843,23 @@ int nb_integrate(int n, double *m, double *pos, double *vel, double *radius,
       t += taken;
       if (resolve_collisions(s, merge_on_collision)) merges++;
     }
-  } else {  // leapfrog / whfast / mercurius, fixed dt
+  } else {  // leapfrog / whfast / mercurius / janus / saba, fixed dt
     const int nsteps = std::max(1, (int)std::ceil(total / dt));
     const double h = total / nsteps;
-    for (int i = 0; i < nsteps; i++) {
-      if (itype == 5)
-        mercurius_step(s, h, 3.0, epsilon);  // rebound default hillfac=3
-      else if (itype == 3)
-        whfast_step(s, h);
-      else
-        leapfrog_step(s, h);
-      if (resolve_collisions(s, merge_on_collision)) merges++;
+    if (itype == 6) {  // janus keeps its integer lattice across steps
+      janus_steps(s, h, nsteps, merge_on_collision, &merges);
+    } else {
+      for (int i = 0; i < nsteps; i++) {
+        if (itype == 5)
+          mercurius_step(s, h, 3.0, epsilon);  // rebound default hillfac=3
+        else if (itype == 3)
+          whfast_step(s, h);
+        else if (itype == 7)
+          saba_step(s, h);
+        else
+          leapfrog_step(s, h);
+        if (resolve_collisions(s, merge_on_collision)) merges++;
+      }
     }
   }
 
