@@ -666,6 +666,12 @@ class MultiLevelSMR:
         ShardedSMR's own nodes hold shard-local windows)."""
         return [nd.grid for nd in self.nodes]
 
+    def _place_fresh(self, node, st):
+        """Placement hook for a freshly spawned/prolonged node state
+        (identity here; ShardedSMR pins replicated-node states to a
+        replicated sharding so regrid outputs match the step's specs)."""
+        return st
+
     def _exchange(self, tail, head, d):
         """Return the (low, high) periodic extensions along axis ``d``
         given this block's own boundary slabs: identity locally (the
@@ -778,21 +784,35 @@ class MultiLevelSMR:
         on every shard)."""
         return True
 
+    def _links_static(self, node: "_Node") -> bool:
+        """Is this node's position lattice-static (its ``node.lo`` is the
+        compiled truth)?  Always on a non-moving tree; on a moving tree
+        only for POOL tiles — spawn/destroy tiles are anchored to the
+        regrid lattice and every topology change recompiles
+        (regrid_tiles), so the static-slice links stay valid between
+        regrids.  Retag-moved patches (move-style, particle tracking)
+        carry traced positions and keep prolonged ghosts."""
+        return not self.moving_patches or getattr(node, "pool", False)
+
     def _sibling_links(self):
         """{node.index: [(sib_index, dst_slices, src_slices), ...]}:
         overlap of the node's padded fine box with each same-parent
         sibling's interior, in [z,y,x] slices (dst: node's padded array,
-        src: sibling's interior array).  Static patch positions only —
-        moving trees keep prolonged ghosts."""
+        src: sibling's interior array).  Static patch positions only
+        (``_links_static``) — without this exchange, adjacent same-level
+        patches would evolve against prolonged-coarse seams and the
+        union would not conserve (Parthenon same-level boundary buffers,
+        artemis_driver.cpp:255-261)."""
         links = {node.index: [] for node in self.nodes}
-        if not self._sibling_exchange or self.moving_patches:
+        if not self._sibling_exchange:
             return links
         for node in self.nodes:
-            if node.parent is None:
+            if node.parent is None or not self._links_static(node):
                 continue
             ng = node.grid.ng
             for sib in node.parent.children:
-                if sib is node or not self._sib_pair_ok(node, sib):
+                if sib is node or not self._links_static(sib) \
+                        or not self._sib_pair_ok(node, sib):
                     continue
                 dst, src = [], []
                 empty = False
@@ -890,7 +910,8 @@ class MultiLevelSMR:
             except ValueError:
                 return None
             bundles.append((co, co.pack(),
-                            flux_srcs[0].omega if flux_srcs else 0.0, gspec))
+                            flux_srcs[0].omega if flux_srcs else 0.0, gspec,
+                            _psc._uniform_dxs(node.grid, co)))
         return bundles
 
     # patches may move at runtime (adaptive retagging): gather6's static
@@ -1135,7 +1156,7 @@ class MultiLevelSMR:
         # runs far faster per zone at larger launch sizes), else per node
         if g6 is not None and _psc.gather6_batch_ok(self.nodes,
                                                     self._fused):
-            co0, packed0, rf0, gspec0 = self._fused[0]
+            co0, packed0, rf0, gspec0, _dxs0 = self._fused[0]
             grav = None
             grav_dt = 0.0
             if gspec0 is not None:
@@ -1154,8 +1175,7 @@ class MultiLevelSMR:
                 self.root.grid, self.cfg, gam0, gam1, bdt, force_pcm,
                 [b[0] for b in self._fused], [b[1] for b in self._fused],
                 strips, rf_omega=rf0, grav=grav, grav_dt=grav_dt,
-                dxs_list=[_psc._uniform_dxs(nd.grid, b[0])
-                          for nd, b in zip(self.nodes, self._fused)])
+                dxs_list=[b[4] for b in self._fused])
             new_states = []
             for node in self.nodes:
                 st = {"gas": {"u": u_all[node.index][None],
@@ -1167,8 +1187,8 @@ class MultiLevelSMR:
                                           wpads, slabs, bdt, force_pcm, g6)
 
         new_states = []
-        for node, (co, packed, rf_omega, gspec) in zip(self.nodes,
-                                                       self._fused):
+        for node, (co, packed, rf_omega, gspec, _dxs) in zip(self.nodes,
+                                                             self._fused):
             i = node.index
             grav = None
             grav_dt = 0.0
@@ -1470,7 +1490,12 @@ class MultiLevelSMR:
             else:
                 Erp = self._parent_arr(states, node, "rad", "Er")
                 Er_pad = node.fill_fine_ghosts(st["rad"]["Er"], Erp,
-                                               los[i])
+                                               self._node_lo(node, los))
+                # distributed patches: internal-seam ghosts take the
+                # neighbor shard's fine Er (the CG matvec itself
+                # exchanges per-iteration via Radiation._shift; this
+                # seeds the gradient limiter and the end planes)
+                Er_pad = self._post_fine_ghosts(Er_pad, node, "rad", states)
                 Er_pad = self._apply_sib_links(
                     Er_pad, self._sib_links[i], sib_Er)
                 gh = {}
@@ -1502,7 +1527,7 @@ class MultiLevelSMR:
             if node.parent is None:
                 continue
             p = node.parent.index
-            lo = los[node.index]
+            lo = self._node_lo(node, los)
             pst = dict(states[p])
             for key, kind in (("gas", "u"), ("rad", "Er")):
                 arr = self._restrict_into(
@@ -1594,7 +1619,8 @@ class MultiLevelSMR:
                 widths = ref_mod.grid_stencil_widths(pgrid)
                 tags, _ = ref_mod.scalar_first_derivative(
                     jnp.asarray(field), widths, dims,
-                    criterion["refine_thr"], criterion.get("deref_thr", 0.0))
+                    criterion["refine_thr"], criterion.get("deref_thr", 0.0),
+                    bc=pgrid.bc)
             else:
                 tags, _ = ref_mod.scalar_magnitude(
                     jnp.asarray(field), criterion["refine_thr"],
@@ -1778,7 +1804,8 @@ class MultiLevelSMR:
         for i, nd in enumerate(self.nodes):
             nd.index = i
 
-    def regrid_tiles(self, states, los, criterion, tile, nbuf=1):
+    def regrid_tiles(self, states, los, criterion, tile, nbuf=1,
+                     tags_fn=None):
         """Tag-driven spawn/destroy adaptivity over a fixed tile lattice.
 
         The root interior is tiled by ``tile``-sized windows anchored at
@@ -1791,6 +1818,11 @@ class MultiLevelSMR:
         prolong from the root; destroys drop (restriction already
         deposited their data).  Returns (states, los).
 
+        ``tags_fn`` (problem-defined criterion, <artemis> amr_user):
+        ``fn(w_gas, grid) -> bool refine mask`` over the root interior
+        replaces the <gas> refine_* keys; a tile derefines when its
+        (buffered) window is completely untagged.
+
         Equivalent of parthenon::Refinement::Tag + MeshBlock
         creation/destruction (artemis_driver.cpp:292, amr_criteria.hpp),
         recast as a static-shape patch pool for XLA."""
@@ -1798,24 +1830,38 @@ class MultiLevelSMR:
 
         from .ops import refinement as ref_mod
 
-        if self._shard_axis is not None:
-            raise ValueError("tile regrid on a sharded tree is not supported")
-        root = self.root
+        # tag/lattice frame: the GLOBAL root grid.  On a sharded tree the
+        # local root is one shard's window but states[0] is the global
+        # (device-sharded) array — np.asarray gathers it host-side, the
+        # same host-driven pass the reference performs when Parthenon
+        # tags and re-distributes MeshBlocks across ranks each cycle
+        # (artemis_driver.cpp:292, artemis.cpp:51-54).  Spawned tiles are
+        # REPLICATED nodes (ShardedSMR.add_patch), so the new topology is
+        # identical on every shard by construction.
+        groot = self.ic_grids[0]
         wc = np.asarray(states[0]["gas"]["w"])
-        field = wc[:, 0] if criterion.get("field", "density") == "density" \
-            else wc[:, 4]
-        dims = [d for d in (1, 2, 3) if root.grid.nx[d - 1] > 1]
-        deref_thr = criterion.get("deref_thr", 0.0)
-        if criterion.get("type", "gradient") == "gradient":
-            widths = ref_mod.grid_stencil_widths(root.grid)
-            tags, deref = ref_mod.scalar_first_derivative(
-                jnp.asarray(field), widths, dims,
-                criterion["refine_thr"], deref_thr)
+        deref_all = None
+        if tags_fn is not None:
+            tags = np.asarray(tags_fn(wc, groot), dtype=bool)
+            while tags.ndim > 3:                     # species axis
+                tags = tags.any(axis=0)
+            deref_thr = 1.0
         else:
-            tags, deref = ref_mod.scalar_magnitude(
-                jnp.asarray(field), criterion["refine_thr"], deref_thr)
-        tags = np.asarray(tags).any(axis=0)          # [z, y, x]
-        deref_all = np.asarray(deref).all(axis=0)
+            field = wc[:, 0] if criterion.get("field", "density") == "density" \
+                else wc[:, 4]
+            dims = [d for d in (1, 2, 3) if groot.nx[d - 1] > 1]
+            deref_thr = criterion.get("deref_thr", 0.0)
+            if criterion.get("type", "gradient") == "gradient":
+                widths = ref_mod.grid_stencil_widths(groot)
+                tags, deref = ref_mod.scalar_first_derivative(
+                    jnp.asarray(field), widths, dims,
+                    criterion["refine_thr"], deref_thr,
+                    bc=groot.bc)
+            else:
+                tags, deref = ref_mod.scalar_magnitude(
+                    jnp.asarray(field), criterion["refine_thr"], deref_thr)
+            tags = np.asarray(tags).any(axis=0)          # [z, y, x]
+            deref_all = np.asarray(deref).all(axis=0)
         # buffer the refine tags by nbuf cells per active axis
         for _ in range(max(0, nbuf)):
             t2 = tags.copy()
@@ -1828,9 +1874,11 @@ class MultiLevelSMR:
                     t2[tuple(sl_lo)] |= tags[tuple(sl_hi)]
                     t2[tuple(sl_hi)] |= tags[tuple(sl_lo)]
             tags = t2
+        if tags_fn is not None:
+            deref_all = ~tags
 
-        nx = root.grid.nx
-        rims = [max(1, -(-root.grid.ng[d] // 2)) + 1 if nx[d] > 1 else 0
+        nx = groot.nx
+        rims = [max(1, -(-groot.ng[d] // 2)) + 1 if nx[d] > 1 else 0
                 for d in range(3)]
         tile = tuple(tile[d] if nx[d] > 1 else 1 for d in range(3))
         lattice = []
@@ -1881,8 +1929,8 @@ class MultiLevelSMR:
         new_states[0] = states[0]
         for nd in self.nodes[1:]:
             if nd in spawned:
-                new_states[nd.index] = self._fresh_patch_state(
-                    states[0], nd, nd.lo)
+                new_states[nd.index] = self._place_fresh(
+                    nd, self._fresh_patch_state(states[0], nd, nd.lo))
                 new_los[nd.index] = jnp.asarray(
                     np.array(nd.lo, dtype=np.int32))
             else:
@@ -2011,12 +2059,31 @@ class SMRDriver:
         # tiled spawn/destroy adaptivity (<parthenon/refinement>
         # style=tiled): patches come and go with the refine tags over a
         # fixed tile lattice (MultiLevelSMR.regrid_tiles) instead of one
-        # deck patch per level re-centering (style=move, the default)
+        # deck patch per level re-centering (style=move).  Tiled is the
+        # DEFAULT whenever the deck carries a refinement criterion —
+        # reference adaptive decks (refinement=adaptive + <gas> refine_*
+        # keys, running.rst:117-135) then get the reference's
+        # create/destroy-MeshBlocks semantics; criterion-less adaptive
+        # decks keep the single re-centering patch per level.
+        has_crit = pin.exists("gas", "refine_thr") or pin.get_or_add_bool(
+            "artemis", "amr_user", False)
         self.tiled = (self.adaptive and pin.get_or_add_str(
-            "parthenon/refinement", "style", "move") == "tiled")
-        self.tile = tuple(
-            pin.get_or_add_int("parthenon/refinement", f"tile_nx{d + 1}", 16)
-            if grid.nx[d] > 1 else 1 for d in range(3))
+            "parthenon/refinement", "style",
+            "tiled" if has_crit else "move") == "tiled")
+        # default tile: 16 root cells per active axis, clamped (even) to
+        # what fits inside the nesting rim so small meshes work out of
+        # the box; an EXPLICIT tile_nx that does not fit still raises in
+        # regrid_tiles (a deck error, not a default)
+        tile = []
+        for d in range(3):
+            if grid.nx[d] <= 1:
+                tile.append(1)
+                continue
+            rim = max(1, -(-grid.ng[d] // 2)) + 1
+            fit = max(2, (grid.nx[d] - 2 * rim) // 2 * 2)
+            tile.append(pin.get_or_add_int(
+                "parthenon/refinement", f"tile_nx{d + 1}", min(16, fit)))
+        self.tile = tuple(tile)
         self.regrid_nbuf = pin.get_or_add_int(
             "parthenon/refinement", "nbuf", 1)
 
@@ -2078,7 +2145,8 @@ class SMRDriver:
                 diffusion_factory=diffusion_factory, bc_custom=bc_custom,
                 omf=omf, patches=patches, mesh=mesh, axis=shard_axis,
                 nbody=nbody, radiation_factory=radiation_factory,
-                moving_patches=self.adaptive or bool(track),
+                moving_patches=(self.adaptive and not self.tiled)
+                or bool(track),
                 distribute=pin.get_or_add_bool("artemis", "amr_distribute",
                                                False))
         else:
@@ -2088,7 +2156,11 @@ class SMRDriver:
                 diffusion_factory=diffusion_factory, bc_custom=bc_custom,
                 omf=omf, patches=patches, nbody=nbody,
                 radiation_factory=radiation_factory,
-                moving_patches=self.adaptive or bool(track))
+                # tiled pools are lattice-static between regrids (every
+                # topology change recompiles): sibling fine-ghost links
+                # and the gather6 fast path stay available
+                moving_patches=(self.adaptive and not self.tiled)
+                or bool(track))
 
         for (k, rd) in track:
             pos = np.asarray(nbody.pos)[k] - np.asarray(nbody.Rf)
@@ -2188,14 +2260,21 @@ class SMRDriver:
                 if pr is not None and i + 1 < len(prims):
                     prims[i + 1] = pr
         self._states = self.smr.initialize(prims)
-        if self.tiled and self.criterion is not None:
+        if self.tiled and (self.criterion is not None
+                           or self.user_criterion is not None):
             # initial AMR iteration: refine the ICs before the first step
             # (Parthenon's pre-evolution refinement pass)
-            self._states, self._los = self.smr.regrid_tiles(
-                self._states, self._los, self.criterion, self.tile,
-                nbuf=self.regrid_nbuf)
+            self._states, self._los = self._regrid()
         root = self._states[0]
         return {fl: dict(root[fl]) for fl in root}
+
+    def _regrid(self):
+        """Tiled spawn/destroy pass; the problem-defined criterion
+        (amr_user) overrides the <gas> refine_* keys."""
+        return self.smr.regrid_tiles(
+            self._states, self._los,
+            self.criterion if self.user_criterion is None else {},
+            self.tile, nbuf=self.regrid_nbuf, tags_fn=self.user_criterion)
 
     def restart_payloads(self):
         """Fine-level arrays for bit-exact restart (name -> fn)."""
@@ -2265,10 +2344,9 @@ class SMRDriver:
                                           jnp.asarray(time), self._los, None)
         self._ncycle += 1
         if self._ncycle % self.retag_interval == 0:
-            if self.tiled and self.criterion is not None:
-                self._states, self._los = self.smr.regrid_tiles(
-                    self._states, self._los, self.criterion, self.tile,
-                    nbuf=self.regrid_nbuf)
+            if self.tiled and (self.criterion is not None
+                               or self.user_criterion is not None):
+                self._states, self._los = self._regrid()
             elif self.user_criterion is not None:
                 self._states, self._los = self.smr.retag_user(
                     self._states, self._los, self.user_criterion)

@@ -750,6 +750,9 @@ def _curv_body(s, bdt, gdt_ref, u0_ref, u1_ref, cx_ref, cyw_ref, czw_ref,
         if dxs is not None:
             sdx1, sdx2, sdx3 = (1.0 / dxs[0], 1.0 / dxs[1], 1.0 / dxs[2])
         else:
+            # per-node 1/dx rows are indexed by the NODE grid axis — only
+            # the node-batched (lead) launch has one at program_id(0)
+            assert lead, "sdx_ref requires the node-batched (lead) grid"
             n0 = pl.program_id(0)
             sdx1 = sdx_ref[n0, 0]
             sdx2 = sdx_ref[n0, 1]
@@ -2423,7 +2426,7 @@ def gather6_batch_ok(nodes, bundles):
         return False
     g0 = nodes[0].grid
     gs0 = bundles[0][3]
-    for node, (co, _, rfo, gspec) in zip(nodes, bundles):
+    for node, (co, _, rfo, gspec, *_rest) in zip(nodes, bundles):
         g = node.grid
         if (g.nx != g0.nx or g.ng != g0.ng or node.curv
                 or co.diff is not None or rfo != 0.0):

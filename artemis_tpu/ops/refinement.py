@@ -6,6 +6,7 @@ static/adaptive refinement driver to place fine patches.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,19 +45,41 @@ def grid_stencil_widths(grid):
     return w1, w2, w3
 
 
-def scalar_first_derivative(field, widths, dims, refine_thr, deref_thr):
+def scalar_first_derivative(field, widths, dims, refine_thr, deref_thr,
+                            bc=None):
     """Normalized gradient magnitude criterion (ScalarFirstDerivative,
     amr_criteria.hpp:28-96).
 
     ``widths[d-1]`` is the physical stencil width ``sdx_d * h_d``
     (``grid_stencil_widths``); the criterion is
     ``eps = |grad f| * sqrt(sum_d w_d^2) / |f|`` as in the reference.
+
+    ``bc`` (the grid's per-axis boundary pair) selects the edge stencil:
+    the reference evaluates the centered difference through BC-filled
+    ghost cells (amr_criteria.hpp:49-66 runs over interior+-1), so a
+    periodic axis wraps while any other axis sees edge-replicated
+    neighbors (the outflow/reflect ghost value for a scalar) — a steep
+    feature at one outflow edge must not tag cells at the opposite edge.
+    ``bc=None`` keeps the legacy all-wrap stencil.
     """
     g2 = 0.0
     w2 = 0.0
     for d in dims:
         w = widths[d - 1]
-        df = (jnp.roll(field, -1, axis=-d) - jnp.roll(field, 1, axis=-d)) / w
+        periodic = bc is None or bc[d - 1] == ("periodic", "periodic")
+        ax = field.ndim - d
+        if periodic:
+            fp = jnp.roll(field, -1, axis=ax)
+            fm = jnp.roll(field, 1, axis=ax)
+        else:
+            n = field.shape[ax]
+            fp = jnp.concatenate(
+                [jax.lax.slice_in_dim(field, 1, n, axis=ax),
+                 jax.lax.slice_in_dim(field, n - 1, n, axis=ax)], axis=ax)
+            fm = jnp.concatenate(
+                [jax.lax.slice_in_dim(field, 0, 1, axis=ax),
+                 jax.lax.slice_in_dim(field, 0, n - 1, axis=ax)], axis=ax)
+        df = (fp - fm) / w
         g2 = g2 + df ** 2
         w2 = w2 + w ** 2
     eps = jnp.sqrt(g2) * jnp.sqrt(w2) / jnp.maximum(jnp.abs(field), 1e-300)

@@ -380,6 +380,10 @@ class Simulation:
                       if k.startswith("amr.")}
             if amr_pl and hasattr(self.driver, "load_restart"):
                 self.driver.load_restart(amr_pl, self.state)
+            if hasattr(self.driver, "_ncycle"):
+                # retag/regrid cadence counts GLOBAL cycles: a restarted
+                # run must regrid on the same cycles as a straight run
+                self.driver._ncycle = meta["ncycle"]
             self.tm = SimTime(
                 time=meta["time"],
                 dt=meta["dt"],

@@ -74,6 +74,85 @@ def _make_ml():
 CRIT = dict(field="density", type="gradient", refine_thr=0.5, deref_thr=0.1)
 
 
+def _make_ml_periodic():
+    """32^2 periodic box (constant pgen deck dialect) for exact-invariant
+    conservation checks."""
+    from artemis_tpu.config import ParameterInput as PI
+
+    box = """
+<artemis>
+problem = constant
+coordinates = cartesian
+<parthenon/time>
+tlim = 1.0
+<parthenon/mesh>
+nghost = 2
+nx1 = 32
+x1min = -1.0
+x1max = 1.0
+ix1_bc = periodic
+ox1_bc = periodic
+nx2 = 32
+x2min = -1.0
+x2max = 1.0
+ix2_bc = periodic
+ox2_bc = periodic
+nx3 = 1
+x3min = -0.25
+x3max = 0.25
+<gas>
+gamma = 1.4
+<problem>
+rho = 1.0
+pres = 1.0
+"""
+    pin = PI.from_string(box)
+    grid = grid_from_input(pin)
+    cfg = FluidCfg(fluid="gas", recon="plm", rsolver="hlle", gamma=1.4,
+                   cfl=0.3)
+    return MultiLevelSMR(grid, Integrator.make("rk2"), cfg, patches=[],
+                         moving_patches=True), cfg, grid
+
+
+def test_tiled_pool_seam_conservation():
+    """Four ADJACENT pool tiles conserve mass to roundoff: sibling
+    fine-ghost links apply to lattice-static pool tiles even on a
+    moving tree (_links_static), so tile-tile seams see fine data
+    instead of prolonged-coarse values (Parthenon same-level boundary
+    buffers; without the exchange a 4-tile pool drifted ~4e-4)."""
+    ml, cfg, grid = _make_ml_periodic()
+    # sharp square spanning the corner where 4 tiles meet (tile 8x8,
+    # lattice anchored at the rim: lo in {2, 10, 18})
+    w = np.ones((1, 6, 1, 32, 32))
+    w[:, 1:4] = 0.0
+    w[:, 0, :, 14:20, 14:20] = 4.0
+    w[:, 4] = 1.0
+    w[:, 4, :, 14:20, 14:20] = 10.0
+    w[:, 5] = w[:, 4] / ((cfg.gamma - 1.0) * w[:, 0])
+    u, wj = ml.root.hydro.prim_to_cons(jnp.asarray(w), cfg)
+    states = [{"gas": {"u": u, "w": wj}}]
+    states, los = ml.regrid_tiles(states, [None], CRIT, (8, 8, 1))
+    pool = [nd for nd in ml.nodes if getattr(nd, "pool", False)]
+    assert len(pool) == 4, f"expected a 2x2 tile pool, got {len(pool)}"
+    # every tile links to its 3 siblings
+    for nd in pool:
+        assert len(ml._sib_links[nd.index]) == 3
+
+    vol = np.broadcast_to(grid.geom.volume(), grid.shape_entire)[
+        grid.int_slices]
+
+    def mass(st):
+        return float((np.asarray(st[0]["gas"]["u"][0, 0]) * vol).sum())
+
+    m0 = mass(states)
+    dt = 0.8 * float(ml._dt(states))
+    for _ in range(20):
+        states = ml._step(states, jnp.asarray(dt), jnp.asarray(0.0), los,
+                          None)
+    drift = abs(mass(states) - m0) / m0
+    assert drift < 1e-12, f"pool seam mass drift {drift:.3e}"
+
+
 def test_tiled_spawn_growth_and_state():
     """Tiles spawn over tagged features, ADD more when a second feature
     appears (growth, not relocation), and carry prolonged fine data."""
@@ -125,11 +204,39 @@ def test_tiled_derefinement():
 
 
 @pytest.mark.slow
+def test_tiled_blast_conserves(tmp_path):
+    """Deck-driven tiled adaptivity conserves mass across live
+    spawn/destroy regrids, measured on a window where the invariant is
+    exact: tlim=0.05 keeps the shock interior to the outflow boundaries
+    (by tlim=0.1 it exits and even an UNREFINED run loses 5.8e-2, so no
+    AMR gate is meaningful there).  Measured with the sibling-link fix:
+    -1.6e-10 (was +1.8e-3 when adjacent tiles evolved against
+    prolonged-coarse seams); gate at ~60x measured."""
+    from artemis_tpu.simulation import Simulation
+
+    sim = Simulation(DECK, overrides=TILED + [
+        "parthenon/time/tlim=0.05",
+        "parthenon/refinement/check_interval=25",
+    ], data_dir=str(tmp_path))
+    drv = sim.driver
+    assert drv.tiled
+    assert _pool(drv), "initial regrid spawned no patches"
+    m0 = _total_mass(sim)
+    sim.run()
+    assert sim.tm.time >= 0.05 * (1 - 1e-12)
+    drift = abs(_total_mass(sim) - m0) / m0
+    assert drift < 1e-8, f"mass drift {drift:.3e}"
+
+
+@pytest.mark.slow
 def test_tiled_blast_grows_coverage(tmp_path):
     """Off-center Sedov blast under deck-driven tiled adaptivity: the
-    refined footprint expands with the shock, mass is conserved to
-    1e-12 across every spawn, and the composite solution matches the
-    sedov2d profile at the coords-test threshold (L2 < 1)."""
+    refined footprint expands with the shock (growth, not relocation)
+    and the composite solution matches the sedov2d profile at the
+    coords-test threshold (L2 < 1).  No mass gate here: with outflow
+    boundaries the shock exits the domain before tlim=0.1 — exact
+    conservation is gated on the interior window
+    (test_tiled_blast_conserves) and on the periodic pool smoke."""
     from artemis_tpu.simulation import Simulation
 
     sim = Simulation(DECK, overrides=TILED + [
@@ -141,7 +248,6 @@ def test_tiled_blast_grows_coverage(tmp_path):
     pool0 = _pool(drv)
     assert pool0, "initial regrid spawned no patches"
     los0 = {nd.lo for nd in pool0}
-    m0 = _total_mass(sim)
 
     sim.run()
     assert sim.tm.time >= 0.1 * (1 - 1e-12)
@@ -150,9 +256,6 @@ def test_tiled_blast_grows_coverage(tmp_path):
     assert len(pool1) > len(pool0), \
         f"coverage did not grow: {sorted(los0)} -> {sorted(los1)}"
     assert los1 - los0, "no new tile positions spawned"
-
-    m1 = _total_mass(sim)
-    assert abs(m1 - m0) / m0 < 1e-12, f"mass drift {(m1 - m0) / m0:.3e}"
 
     pf = interp1d(DAT2[:, 0], DAT2[:, 3])
     w = np.asarray(sim.state["gas"]["w"][0])

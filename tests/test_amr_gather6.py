@@ -56,10 +56,10 @@ def test_gather6_matches_padded_fused(tmp_path, monkeypatch):
             b = np.asarray(out[i]["gas"][key], dtype=np.float64)
             scale = np.max(np.abs(a)) + 1e-30
             err = np.max(np.abs(a - b)) / scale
-            # the node-batched kernel computes divF/PdV through per-node
-            # geometry ROWS (children have different dx) while the padded
-            # kernel's uniform-Cartesian body folds them into scalar 1/dx
-            # — algebraically identical, so agreement is f32-ulp
+            # the node-batched kernel reads per-node SMEM 1/dx scalars
+            # (all-Cartesian uniform nodes) while the padded kernel folds
+            # its single node's 1/dx as compile-time constants —
+            # algebraically identical, so agreement is f32-ulp
             # accumulation over the stepped window
             assert err < 4e-6, f"node {i} {key} mismatch {err:g}"
     rho = np.asarray(out[0]["gas"]["w"][0, 0])
@@ -67,12 +67,17 @@ def test_gather6_matches_padded_fused(tmp_path, monkeypatch):
 
 
 def test_gather6_gate_rejects_moving_trees(tmp_path, monkeypatch):
-    """Adaptive decks keep the padded path (static-margin guarantee)."""
+    """MOVE-style adaptive decks keep the padded path (patch positions
+    are traced, so gather6's static lo-margin guarantee cannot hold).
+    Tiled spawn/destroy trees are lattice-static between regrids and DO
+    keep the fast path (moving_patches=False there)."""
     monkeypatch.setenv("ARTEMIS_PALLAS_INTERPRET", "1")
     sim = Simulation(os.path.join(INP, "disk_rhd_amr.in"), overrides=OVR + [
         "parthenon/mesh/refinement=adaptive",
+        "parthenon/refinement/style=move",
         "gas/refine_field=density",
         "gas/refine_type=magnitude",
         "gas/refine_thr=0.5",
     ], data_dir=str(tmp_path))
+    assert sim.driver.smr.moving_patches
     assert sim.driver.smr._gather6 is None

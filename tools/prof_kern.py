@@ -86,11 +86,15 @@ elif variant == "gather6_batched":
     u = jnp.concatenate([u] * NB)
 
     def one(w_, u_):
+        # dxs_list engages the lean SMEM 1/dx body — the path production
+        # runs (amr.py MultiLevelSMR._stage_fused); without it this would
+        # profile the row-geometry body instead
         ua, wa, dm = psc.stage_curv_gather6_batched(
             [w_[i][None] for i in range(NB)], [u_[i][None] for i in range(NB)],
             [u_[i][None] for i in range(NB)], grid, cfg, 0.0, 1.0, bdt,
             False, [co] * NB, [packed] * NB, [strips] * NB,
-            grav=grav, grav_dt=bdt)
+            grav=grav, grav_dt=bdt,
+            dxs_list=[psc._uniform_dxs(grid, co)] * NB)
         # ua/wa are already stacked [NB,6,nz,ny,nx]; keep the carry's
         # (w, u) order and dtypes
         return wa.astype(w_.dtype), ua.astype(u_.dtype)

@@ -27,6 +27,7 @@ FAMILIES = {
     "drag": "tests/test_drag.py",
     "disk": "tests/test_disk.py",
     "ssheet": "tests/test_ssheet.py",
+    "strat": "tests/test_strat.py",
     "nbody": "tests/test_nbody.py",
     "binary": "tests/test_binary.py",
     "binary_adi": "tests/test_binary.py",
@@ -36,11 +37,27 @@ FAMILIES = {
     "amr": "tests/test_amr.py tests/test_amr_multilevel.py "
            "tests/test_amr_radiation.py tests/test_amr_fused.py "
            "tests/test_amr_gather6.py tests/test_amr_siblings.py "
-           "tests/test_amr_sharded.py",
+           "tests/test_amr_sharded.py tests/test_amr_adaptive.py",
     "decks": "tests/test_decks.py",
     "parallel": "tests/test_parallel.py",
     "restart": "tests/test_restart.py tests/test_outputs_restart.py",
+    "pallas": "tests/test_pallas_stage.py tests/test_pallas_curv.py",
+    "f32": "tests/test_f32.py",
+    "profiling": "tests/test_profiling.py",
 }
+
+
+def check_families_complete():
+    """Every tests/test_*.py module must be mapped by some family —
+    a new test module that is not in FAMILIES would silently never run
+    in any suite (the reference CI runs everything per PR, ci.yml:28-96).
+    Returns the list of unmapped modules (empty = complete)."""
+    import glob
+
+    mapped = {m for v in FAMILIES.values() for m in v.split()}
+    present = {os.path.relpath(p, ROOT).replace(os.sep, "/")
+               for p in glob.glob(os.path.join(ROOT, "tests", "test_*.py"))}
+    return sorted(present - mapped)
 
 
 def load_suite(name: str):
@@ -60,6 +77,11 @@ def main(argv):
         return 2
     slow = "--slow" in argv
     argv = [a for a in argv if a != "--slow"]
+    missing = check_families_complete()
+    if missing:
+        print("ERROR: test modules not mapped to any family (add them to "
+              f"FAMILIES): {' '.join(missing)}", file=sys.stderr)
+        return 2
     mods = []
     for suite in argv:
         for fam in load_suite(suite):
