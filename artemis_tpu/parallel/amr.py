@@ -59,10 +59,6 @@ class ShardedSMR(MultiLevelSMR):
         # like the reference's rank-distributed MeshBlocks
         # (src/artemis.cpp:51-54).  Cartesian, radiation-free trees.
         self._distribute = bool(distribute)
-        if self._distribute and radiation_factory is not None:
-            raise ValueError(
-                "amr_distribute with radiation is not supported yet "
-                "(the per-level FLD solve assumes wrap/replicated frames)")
         self.mesh_dev = mesh if mesh is not None else make_device_mesh()
         self.nshards = int(self.mesh_dev.devices.size)
         d = int(axis)
@@ -161,19 +157,31 @@ class ShardedSMR(MultiLevelSMR):
         d = self._shard_axis
         gn = self._gtree.add_patch(level, lo, n)
         parent = self.nodes[gn.parent.index]
-        if (self._distribute and not gn.wrap[d - 1] and not gn.curv
-                and gn.active[d - 1] and not self._is_rep(parent)):
+        S = self.nshards
+        from ..geometry import geometry as geo
+
+        # curvilinear patches distribute when the geometry is IGNORABLE
+        # along the sharded axis (grids are uniform-spaced per axis by
+        # construction, so shard windows are then translation-invariant:
+        # volf/spacings/face factors identical on every shard; any
+        # coordinate-dependent hydro/source field is localized lazily in
+        # __init__).  phi decomposition of a disk (x3dep == False) is the
+        # production case; spherical theta (x2dep) keeps replication.
+        dep = {1: geo.x1dep, 2: geo.x2dep, 3: geo.x3dep}[d]
+        dist_ok = (self._distribute and not gn.wrap[d - 1]
+                   and not (gn.curv and dep(gn.grid.coords))
+                   and gn.active[d - 1] and not self._is_rep(parent)
+                   # uneven splits fall back to replication below (a deck
+                   # portability guarantee, not an error: Parthenon
+                   # redistributes any block count over ranks)
+                   and gn.n[d - 1] % S == 0 and (gn.n[d - 1] // S) % 2 == 0)
+        if dist_ok:
             # DISTRIBUTED non-wrap patch: shard k owns parent cells
             # [lo + k*n/S, lo + (k+1)*n/S) of the patch window; ghosts at
             # internal seams come from the neighbor shard's fine data
             # (ppermute), the two global ends from parent prolongation,
             # restriction/flux correction land through masked
             # global-frame scatters at shard-offset starts.
-            S = self.nshards
-            if gn.n[d - 1] % S or (gn.n[d - 1] // S) % 2:
-                raise ValueError(
-                    f"distributed patch x{d} extent {gn.n[d - 1]} must "
-                    f"split into even per-shard slices over {S} shards")
             from ..amr import _Node, _refine_grid
             from ..ops.hydro import Hydro
 
@@ -197,12 +205,29 @@ class ShardedSMR(MultiLevelSMR):
             # lazily from the GLOBAL patch build in __init__
             node.grid = _refine_grid(self._gtree.nodes[parent.index].grid,
                                      gn.lo, tuple(nn))
+            if node.curv:
+                # the copied volf/ghost_spacings are the GLOBAL patch's;
+                # rebuild them on the shard-0 window (valid on every
+                # shard: the geometry is ignorable along d) against the
+                # GLOBAL parent frame (node.lo indexes global parent
+                # cells — the local root window would be out of range)
+                real_parent = node.parent
+                node.parent = self._gtree.nodes[parent.index]
+                node._set_curv_weights()
+                node.parent = real_parent
             node.hydro = Hydro(node.grid, self.cfg, self.dust_cfg)
             node.sources = (list(self.sources_factory(node.grid))
                             if self.sources_factory else [])
             node.diffusion = (self.diffusion_factory(node.hydro)
                               if self.diffusion_factory else None)
-            node.radiation = None
+            # distributed FLD: the CG is matrix-free, so the matvec
+            # shards with the SAME single-hop ppermute halo the hydro
+            # uses (Radiation._shift), dots psum, and the Dirichlet
+            # parent coupling applies only at the shard-0 / shard-(S-1)
+            # global end planes (Radiation._edge_masks).  enable_sharding
+            # is wired in __init__'s non-replicated loop.
+            node.radiation = (self.radiation_factory(node.hydro)
+                              if self.radiation_factory else None)
             node.replicated = False
             node.distributed = True
             return node
@@ -239,6 +264,22 @@ class ShardedSMR(MultiLevelSMR):
                           if self.radiation_factory else None)
         node.replicated = True
         return node
+
+    def remove_patch(self, node):
+        """Drop a leaf in BOTH trees (global stays in lockstep with
+        local: same indices)."""
+        self._gtree.remove_patch(self._gtree.nodes[node.index])
+        MultiLevelSMR.remove_patch(self, node)
+
+    def _place_fresh(self, node, st):
+        """Spawned (replicated) node states were prolonged host-side from
+        the device-sharded root; pin them to a fully-replicated sharding
+        so they match the compiled step's in_specs."""
+        if not self._is_rep(node):
+            return st
+        sh = NamedSharding(self.mesh_dev, P())
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, sh), st)
 
     # -- replicated-patch <-> sharded-parent coupling ---------------------
     def _gather_axis(self, a):

@@ -171,8 +171,12 @@ class Radiation:
         return jnp.zeros_like(rho)
 
     # -- step ------------------------------------------------------------
-    def step(self, state, dt, ghosts=None):
+    def step(self, state, dt, ghosts=None, with_iters=False):
         """One operator-split radiation update (exchange + diffusion).
+
+        ``with_iters``: also return the per-Newton-outer CG iteration
+        counts (tools/prof_rad.py — the counts ARE the radiation cost
+        model: coupled_iters x CG(7-pt matvec) full-grid passes/step).
 
         ``ghosts``: optional {d: (E_lo_plane, E_hi_plane)} Dirichlet
         boundary planes (one cell outside the domain along d) for AMR
@@ -219,7 +223,12 @@ class Radiation:
         ext = 0.0
         for d in self.dims:
             w = jnp.asarray(self.widths[d - 1])
-            ext = jnp.maximum(ext, jnp.max(jnp.sum(w, axis=w.ndim - d)))
+            s = jnp.max(jnp.sum(w, axis=w.ndim - d))
+            if self._axis_name is not None and d == self._axis_d:
+                # block-sharded axis: the NODE extent is nshards shard
+                # windows (keeps the cap identical to the serial solve)
+                s = s * self._nshards
+            ext = jnp.maximum(ext, s)
         Dcell = jnp.minimum(Dcell, cfg.c_code * ext)
 
         # Merge the deck-BC Dirichlet edges (scalars from `ic` BCs) with
@@ -339,8 +348,9 @@ class Radiation:
                 return jnp.logical_and(rs_c > tol * tol * bb,
                                        it < self.cfg.cg_maxiter)
 
-            x, *_ = lax.while_loop(cond, body, (x0, r, z, p, rz, rs, 0))
-            return x
+            x, _, _, _, _, _, it = lax.while_loop(
+                cond, body, (x0, r, z, p, rz, rs, 0))
+            return x, it
 
         # Coupled implicit exchange + diffusion.  A Lie split (local
         # implicit exchange, then implicit diffusion) has a steady state
@@ -357,6 +367,7 @@ class Radiation:
         a_r = cfg.arad
         Tk = T0
         Er_new = Er0
+        cg_iters = []
         for _ in range(cfg.coupled_iters):
             kap = self.kappa(rho, Tk)
             sig = dt * cfg.c_code * kap * rho
@@ -365,7 +376,8 @@ class Radiation:
             sf = sig * f
             emis = a_r * Tk**4 + beta * (T0 - Tk)
             b = Er0 + sf * emis + b_ghost
-            Er_new = cg(b, Er_new, sf, diag_geo + sf)
+            Er_new, it = cg(b, Er_new, sf, diag_geo + sf)
+            cg_iters.append(it)
             Tk = T0 - sf * (emis - Er_new) / rcv
 
         # Gas internal-energy change: charge the gas with the radiation
@@ -381,6 +393,8 @@ class Radiation:
         new = dict(state)
         new["gas"] = {"u": u, "w": state["gas"]["w"]}
         new["rad"] = {"Er": Er_new}
+        if with_iters:
+            return new, jnp.stack(cg_iters)
         return new
 
     def sync_gas(self, state):

@@ -351,8 +351,13 @@ def test_sharded_tracking_restart_bitexact(tmp_path):
 
 def test_sharded_adaptive_deck(tmp_path):
     """Deck-driven adaptive refinement under sharding (blast_amr with a
-    periodic x3): the retag machinery runs end-to-end and the sharded
-    run matches serial exactly."""
+    periodic x3).  With tiled the DEFAULT for criterion decks, this now
+    exercises spawn/destroy regrids on a 4-shard tree end-to-end: the
+    host-side tag pass gathers the sharded root, spawned tiles run as
+    replicated nodes, and the tile SET matches serial exactly.  State
+    tolerance 1e-11: the block-sharded root's psum/ppermute orders
+    differ from serial at the ulp level and ~500 blast cycles over 8
+    tiles amplify to a few e-13 (measured 4.0e-13)."""
     deck = os.path.join(INP, "blast_amr.in")
     args = ["parthenon/time/tlim=0.02",
             "parthenon/mesh/nx3=8", "parthenon/mesh/x3min=-0.5",
@@ -361,14 +366,21 @@ def test_sharded_adaptive_deck(tmp_path):
             "parthenon/refinement/patch_nx3=8",
             "parthenon/refinement/check_interval=5"]
     s0 = Simulation(deck, overrides=args, data_dir=str(tmp_path / "serial"))
+    assert s0.driver.tiled
     s0.run()
     s1 = Simulation(deck, overrides=args, data_dir=str(tmp_path / "shard"),
                     nshards=4)
+    assert s1.driver.tiled
     s1.run()
+    pool0 = sorted(nd.lo for nd in s0.driver.smr.nodes
+                   if getattr(nd, "pool", False))
+    pool1 = sorted(nd.lo for nd in s1.driver.smr.nodes
+                   if getattr(nd, "pool", False))
+    assert pool0 and pool0 == pool1, (pool0, pool1)
     a = np.asarray(s0.state["gas"]["w"])
     b = np.asarray(s1.state["gas"]["w"])
     assert np.isfinite(b).all()
-    assert np.abs(a - b).max() < 1e-13
+    assert np.abs(a - b).max() < 1e-11
 
 
 def test_sharded_amr_distributed_fine_level(tmp_path):
@@ -405,3 +417,92 @@ def test_sharded_amr_distributed_fine_level(tmp_path):
         assert a.shape == b.shape  # sharded output reassembles globally
         assert np.isfinite(b).all()
         assert np.abs(a - b).max() < 1e-12, (lvl, np.abs(a - b).max())
+
+
+def test_sharded_amr_distributed_radiation(tmp_path):
+    """Distributed fine level WITH gray FLD (the north-star composition):
+    the patch's CG matvec block-shards along the decomposition axis —
+    ppermute stencil halos at internal fine-fine seams, psum dot
+    products, prolonged-parent Dirichlet planes applied only at the
+    shard-0 / shard-(S-1) global end faces (Radiation._edge_masks).
+    Matches the serial refined RHD run to roundoff (reference: every
+    MeshBlock at every level is rank-distributed and jaybenne photons
+    migrate across rank boundaries, src/artemis.cpp:51-54)."""
+    deck = os.path.join(INP, "rad_shock.in")
+    args = ["parthenon/time/nlim=10",
+            "parthenon/mesh/nx1=64", "parthenon/mesh/nx2=1",
+            "parthenon/mesh/nx3=16",
+            "parthenon/mesh/ix3_bc=periodic", "parthenon/mesh/ox3_bc=periodic",
+            "parthenon/mesh/x3min=0.0", "parthenon/mesh/x3max=1.0",
+            "parthenon/mesh/refinement=static",
+            "parthenon/refinement/patch_nx1=32",
+            "parthenon/refinement/patch_nx3=8"]
+    s0 = Simulation(deck, overrides=args, data_dir=str(tmp_path / "serial"))
+    s0.run()
+    s1 = Simulation(deck, overrides=args + ["artemis/amr_distribute=true"],
+                    data_dir=str(tmp_path / "shard"), nshards=4)
+    node = s1.driver.smr.nodes[1]
+    assert getattr(node, "distributed", False)
+    assert node.radiation is not None
+    assert node.radiation._nshards == 4
+    s1.run()
+    for key, kind in (("gas", "w"), ("rad", "Er")):
+        a = np.asarray(s0.state[key][kind])
+        b = np.asarray(s1.state[key][kind])
+        assert np.isfinite(b).all()
+        rel = np.abs(a - b).max() / np.abs(a).max()
+        assert rel < 1e-11, (key, kind, rel)
+
+
+def test_sharded_amr_distributed_curvilinear(tmp_path):
+    """Distributed fine level on a CURVILINEAR disk: a phi-partial ring
+    patch block-shards along phi (the geometry is ignorable there —
+    x3dep — so shard windows are translation-invariant and the shard-0
+    volf/spacings hold everywhere).  Matches the serial refined run."""
+    deck = os.path.join(INP, "disk_sph.in")
+    args = ["parthenon/time/nlim=10",
+            "parthenon/mesh/nx1=64", "parthenon/mesh/nx2=16",
+            "parthenon/mesh/nx3=16",
+            "parthenon/mesh/refinement=static",
+            "parthenon/refinement/patch_nx1=32",
+            "parthenon/refinement/patch_nx2=8",
+            "parthenon/refinement/patch_nx3=8"]
+    s0 = Simulation(deck, overrides=args, data_dir=str(tmp_path / "serial"))
+    s0.run()
+    s1 = Simulation(deck, overrides=args + ["artemis/amr_distribute=true"],
+                    data_dir=str(tmp_path / "shard"), nshards=4)
+    node = s1.driver.smr.nodes[1]
+    assert getattr(node, "distributed", False) and node.curv
+    assert node.grid.nx[2] == s0.driver.smr.nodes[1].grid.nx[2] // 4
+    s1.run()
+    for lvl in (0, 1):
+        a = np.asarray(s0.driver._states[lvl]["gas"]["w"])
+        b = np.asarray(s1.driver._states[lvl]["gas"]["w"])
+        assert a.shape == b.shape
+        assert np.isfinite(b).all()
+        rel = np.abs(a - b).max() / np.abs(a).max()
+        assert rel < 1e-11, (lvl, rel)
+
+
+def test_sharded_distribute_uneven_falls_back(tmp_path):
+    """A patch extent that does not split evenly over the shards
+    REPLICATES instead of raising (deck portability: Parthenon
+    redistributes any block count over ranks)."""
+    deck = os.path.join(INP, "linwave.in")
+    args = ["parthenon/time/nlim=2", "parthenon/mesh/nghost=2",
+            "parthenon/mesh/nx1=32", "parthenon/mesh/nx2=8",
+            "parthenon/mesh/nx3=16", "problem/amp=1.0e-6",
+            "gas/reconstruct=plm",
+            "parthenon/mesh/refinement=static",
+            "parthenon/refinement/patch_nx1=16",
+            "parthenon/refinement/patch_nx2=4",
+            # 6 does not split into even slices over 4 shards
+            "parthenon/refinement/patch_nx3=6",
+            "artemis/amr_distribute=true"]
+    s1 = Simulation(deck, overrides=args, data_dir=str(tmp_path / "shard"),
+                    nshards=4)
+    node = s1.driver.smr.nodes[1]
+    assert not getattr(node, "distributed", False)
+    assert node.replicated
+    s1.run()
+    assert np.isfinite(np.asarray(s1.state["gas"]["w"])).all()

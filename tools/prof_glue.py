@@ -32,10 +32,13 @@ from artemis_tpu import amr as amr_mod
 variant = sys.argv[1] if len(sys.argv) > 1 else "full"
 nsteps = int(sys.argv[2]) if len(sys.argv) > 2 else 50
 
+_NX = os.environ.get("BENCH_RHD_NX", "128")
+_NY = os.environ.get("BENCH_RHD_NY", "128")
+_NZ = os.environ.get("BENCH_RHD_NZ", "32")
 sim = Simulation(os.path.join(_ROOT, "inputs", "disk_rhd_amr.in"), overrides=[
     "artemis/precision=float32",
-    "parthenon/mesh/nx1=128", "parthenon/mesh/nx2=128",
-    "parthenon/mesh/nx3=32",
+    f"parthenon/mesh/nx1={_NX}", f"parthenon/mesh/nx2={_NY}",
+    f"parthenon/mesh/nx3={_NZ}",
 ] + (["physics/radiation=false"] if variant == "norad" else []),
     data_dir="/tmp/prof_glue")
 drv = sim.driver
