@@ -729,10 +729,12 @@ class MultiLevelSMR:
             return node.grid.bc[d] == ("periodic", "periodic")
         return bool(node.wrap[d])
 
-    def add_patch(self, level: int, lo, n):
+    def add_patch(self, level: int, lo, n, parent=None):
         """Register a patch; ``lo``/``n`` are in the INTERIOR cells of its
-        (unique containing) parent at level-1."""
-        parents = [nd for nd in self.nodes if nd.level == level - 1]
+        containing parent at level-1 (pass ``parent`` explicitly when
+        several same-level windows could contain ``lo`` — tile pools)."""
+        parents = [parent] if parent is not None else \
+            [nd for nd in self.nodes if nd.level == level - 1]
         if not parents:
             raise ValueError(f"no level-{level - 1} parent for a level-{level} patch")
         parent = None
@@ -1805,122 +1807,160 @@ class MultiLevelSMR:
             nd.index = i
 
     def regrid_tiles(self, states, los, criterion, tile, nbuf=1,
-                     tags_fn=None):
-        """Tag-driven spawn/destroy adaptivity over a fixed tile lattice.
+                     tags_fn=None, numlevel=2):
+        """Tag-driven spawn/destroy adaptivity over fixed tile lattices,
+        down to ``numlevel - 1`` refinement levels.
 
-        The root interior is tiled by ``tile``-sized windows anchored at
-        the nesting rim; a window spawns a level-1 patch when the
-        (nbuf-cell-buffered) refine tags touch it, keeps its patch while
-        tags persist, and destroys it when every cell satisfies the
-        derefinement criterion (deref_thr; without one, coverage only
-        grows — the reference's behavior when no derefine tag fires).
-        Surviving patches keep their fine state bit-exactly; new patches
-        prolong from the root; destroys drop (restriction already
-        deposited their data).  Returns (states, los).
+        Each parent window (the root; then every surviving tile) is
+        tiled by ``tile``-sized windows anchored at its nesting rim; a
+        window spawns a child patch when the (nbuf-cell-buffered) refine
+        tags touch it, keeps its patch while tags persist, and destroys
+        it when every cell satisfies the derefinement criterion
+        (deref_thr; without one, coverage only grows — the reference's
+        behavior when no derefine tag fires).  A tile with live children
+        is never destroyed (nested hysteresis: it goes one regrid after
+        its children).  Deeper tiles spawn only inside tiles that
+        already carry state, so a feature reaches full depth over
+        ``numlevel - 1`` regrid passes (SMRDriver.initialize iterates
+        the pre-evolution pass accordingly).  Surviving patches keep
+        their fine state bit-exactly; new patches prolong from their
+        parent; destroys drop (restriction already deposited their
+        data).  Returns (states, los).
 
         ``tags_fn`` (problem-defined criterion, <artemis> amr_user):
-        ``fn(w_gas, grid) -> bool refine mask`` over the root interior
+        ``fn(w_gas, grid) -> bool refine mask`` over the parent interior
         replaces the <gas> refine_* keys; a tile derefines when its
         (buffered) window is completely untagged.
 
         Equivalent of parthenon::Refinement::Tag + MeshBlock
-        creation/destruction (artemis_driver.cpp:292, amr_criteria.hpp),
-        recast as a static-shape patch pool for XLA."""
+        creation/destruction (artemis_driver.cpp:292, amr_criteria.hpp;
+        numlevel semantics per doc/src/running.rst:87,117-135), recast
+        as static-shape patch pools for XLA."""
         import itertools
 
         from .ops import refinement as ref_mod
 
-        # tag/lattice frame: the GLOBAL root grid.  On a sharded tree the
-        # local root is one shard's window but states[0] is the global
-        # (device-sharded) array — np.asarray gathers it host-side, the
-        # same host-driven pass the reference performs when Parthenon
-        # tags and re-distributes MeshBlocks across ranks each cycle
-        # (artemis_driver.cpp:292, artemis.cpp:51-54).  Spawned tiles are
-        # REPLICATED nodes (ShardedSMR.add_patch), so the new topology is
-        # identical on every shard by construction.
-        groot = self.ic_grids[0]
-        wc = np.asarray(states[0]["gas"]["w"])
-        deref_all = None
-        if tags_fn is not None:
-            tags = np.asarray(tags_fn(wc, groot), dtype=bool)
-            while tags.ndim > 3:                     # species axis
-                tags = tags.any(axis=0)
-            deref_thr = 1.0
-        else:
-            field = wc[:, 0] if criterion.get("field", "density") == "density" \
-                else wc[:, 4]
-            dims = [d for d in (1, 2, 3) if groot.nx[d - 1] > 1]
-            deref_thr = criterion.get("deref_thr", 0.0)
-            if criterion.get("type", "gradient") == "gradient":
-                widths = ref_mod.grid_stencil_widths(groot)
-                tags, deref = ref_mod.scalar_first_derivative(
-                    jnp.asarray(field), widths, dims,
-                    criterion["refine_thr"], deref_thr,
-                    bc=groot.bc)
+        def tag_deref(w_np, g):
+            """(refine tags, all-derefine mask, deref_thr) on grid g."""
+            deref_all = None
+            if tags_fn is not None:
+                tags = np.asarray(tags_fn(w_np, g), dtype=bool)
+                while tags.ndim > 3:                 # species axis
+                    tags = tags.any(axis=0)
+                deref_thr = 1.0
             else:
-                tags, deref = ref_mod.scalar_magnitude(
-                    jnp.asarray(field), criterion["refine_thr"], deref_thr)
-            tags = np.asarray(tags).any(axis=0)          # [z, y, x]
-            deref_all = np.asarray(deref).all(axis=0)
-        # buffer the refine tags by nbuf cells per active axis
-        for _ in range(max(0, nbuf)):
-            t2 = tags.copy()
-            for ax in range(3):
-                if tags.shape[ax] > 1:
-                    sl_lo = [slice(None)] * 3
-                    sl_hi = [slice(None)] * 3
-                    sl_lo[ax] = slice(0, -1)
-                    sl_hi[ax] = slice(1, None)
-                    t2[tuple(sl_lo)] |= tags[tuple(sl_hi)]
-                    t2[tuple(sl_hi)] |= tags[tuple(sl_lo)]
-            tags = t2
-        if tags_fn is not None:
-            deref_all = ~tags
+                field = w_np[:, 0] \
+                    if criterion.get("field", "density") == "density" \
+                    else w_np[:, 4]
+                dims = [d for d in (1, 2, 3) if g.nx[d - 1] > 1]
+                deref_thr = criterion.get("deref_thr", 0.0)
+                if criterion.get("type", "gradient") == "gradient":
+                    widths = ref_mod.grid_stencil_widths(g)
+                    tags, deref = ref_mod.scalar_first_derivative(
+                        jnp.asarray(field), widths, dims,
+                        criterion["refine_thr"], deref_thr, bc=g.bc)
+                else:
+                    tags, deref = ref_mod.scalar_magnitude(
+                        jnp.asarray(field), criterion["refine_thr"],
+                        deref_thr)
+                tags = np.asarray(tags).any(axis=0)      # [z, y, x]
+                deref_all = np.asarray(deref).all(axis=0)
+            # buffer the refine tags by nbuf cells per active axis
+            for _ in range(max(0, nbuf)):
+                t2 = tags.copy()
+                for ax in range(3):
+                    if tags.shape[ax] > 1:
+                        sl_lo = [slice(None)] * 3
+                        sl_hi = [slice(None)] * 3
+                        sl_lo[ax] = slice(0, -1)
+                        sl_hi[ax] = slice(1, None)
+                        t2[tuple(sl_lo)] |= tags[tuple(sl_hi)]
+                        t2[tuple(sl_hi)] |= tags[tuple(sl_lo)]
+                tags = t2
+            if tags_fn is not None:
+                deref_all = ~tags
+            return tags, deref_all, deref_thr
 
-        nx = groot.nx
-        rims = [max(1, -(-groot.ng[d] // 2)) + 1 if nx[d] > 1 else 0
-                for d in range(3)]
-        tile = tuple(tile[d] if nx[d] > 1 else 1 for d in range(3))
-        lattice = []
-        for d in range(3):
-            if nx[d] <= 1:
-                lattice.append([0])
-                continue
-            last = nx[d] - rims[d] - tile[d]
-            if last < rims[d]:
-                raise ValueError(
-                    f"tile_nx{d + 1}={tile[d]} does not fit the root "
-                    f"interior with the nesting rim ({rims[d]})")
-            lattice.append(list(range(rims[d], last + 1, tile[d])))
+        def decide(parent, g, w_np, strict):
+            """Spawn/keep/drop decisions for one parent window: returns
+            (tile_t, to_drop nodes, to_spawn los) or None when the tile
+            lattice does not fit (deep windows too small — skipped
+            unless ``strict``, the deck-validated root)."""
+            nx = g.nx
+            rims = [max(1, -(-g.ng[d] // 2)) + 1 if nx[d] > 1 else 0
+                    for d in range(3)]
+            t = tuple(tile[d] if nx[d] > 1 else 1 for d in range(3))
+            lattice = []
+            for d in range(3):
+                if nx[d] <= 1:
+                    lattice.append([0])
+                    continue
+                last = nx[d] - rims[d] - t[d]
+                if last < rims[d]:
+                    if strict:
+                        raise ValueError(
+                            f"tile_nx{d + 1}={t[d]} does not fit the root "
+                            f"interior with the nesting rim ({rims[d]})")
+                    return None
+                lattice.append(list(range(rims[d], last + 1, t[d])))
+            tags, deref_all, deref_thr = tag_deref(w_np, g)
 
-        def window(lo_):
-            return tuple(slice(lo_[2 - i], lo_[2 - i] + tile[2 - i])
-                         if nx[2 - i] > 1 else slice(None)
-                         for i in range(3))
+            def window(lo_):
+                return tuple(slice(lo_[2 - i], lo_[2 - i] + t[2 - i])
+                             if nx[2 - i] > 1 else slice(None)
+                             for i in range(3))
 
-        wanted = {lo_ for lo_ in itertools.product(*lattice)
-                  if bool(tags[window(lo_)].any())}
-        pool = [nd for nd in self.nodes if getattr(nd, "pool", False)]
-        current = {nd.lo: nd for nd in pool}
-        final = set(wanted)
-        for lo_ in current:
-            if lo_ in final:
-                continue
-            if deref_thr > 0.0 and bool(deref_all[window(lo_)].all()):
-                continue                   # derefine: drop this tile
-            final.add(lo_)                 # hysteresis: keep until cleared
-        to_remove = [nd for lo_, nd in current.items() if lo_ not in final]
-        to_add = sorted(final - set(current))
+            wanted = {lo_ for lo_ in itertools.product(*lattice)
+                      if bool(tags[window(lo_)].any())}
+            current = {nd.lo: nd for nd in parent.children
+                       if getattr(nd, "pool", False)}
+            final = set(wanted)
+            for lo_ in current:
+                if lo_ in final:
+                    continue
+                if current[lo_].children:
+                    final.add(lo_)         # nested hysteresis: children
+                    continue               # must derefine first
+                if deref_thr > 0.0 and bool(deref_all[window(lo_)].all()):
+                    continue               # derefine: drop this tile
+                final.add(lo_)             # hysteresis: keep until cleared
+            drop = [nd for lo_, nd in current.items() if lo_ not in final]
+            return t, drop, sorted(final - set(current))
+
+        # one decision pass per parent, level by level (deeper tiles tag
+        # from their own existing state; tiles spawned THIS pass carry no
+        # state yet and get their children at the next regrid)
+        to_remove, to_add = [], []         # nodes; (parent, lo, t)
+        root_dec = decide(self.root, self.ic_grids[0],
+                          np.asarray(states[0]["gas"]["w"]), strict=True)
+        _, drop, add = root_dec
+        to_remove += drop
+        to_add += [(self.root, lo_, root_dec[0]) for lo_ in add]
+        dropped = set(id(nd) for nd in drop)
+        for lev in range(1, max(1, numlevel - 1)):
+            for parent in [nd for nd in self.nodes
+                           if nd.level == lev and getattr(nd, "pool", False)
+                           and id(nd) not in dropped]:
+                dec = decide(parent, self.ic_grids[parent.index],
+                             np.asarray(states[parent.index]["gas"]["w"]),
+                             strict=False)
+                if dec is None:
+                    continue
+                t, drop, add = dec
+                to_remove += drop
+                dropped |= set(id(nd) for nd in drop)
+                to_add += [(parent, lo_, t) for lo_ in add]
         if not to_remove and not to_add:
             return states, los
 
         keep_state = {id(nd): states[nd.index] for nd in self.nodes}
         keep_lo = {id(nd): los[nd.index] for nd in self.nodes[1:]}
-        for nd in to_remove:
+        # children before parents (remove_patch refuses non-leaves)
+        for nd in sorted(to_remove, key=lambda n: -n.level):
             self.remove_patch(nd)
         spawned = []
-        for lo_ in to_add:
-            node = self.add_patch(1, lo_, tile)
+        for parent, lo_, t in to_add:
+            node = self.add_patch(parent.level + 1, lo_, t, parent=parent)
             node.pool = True
             spawned.append(node)
         self._compile()
@@ -1930,7 +1970,8 @@ class MultiLevelSMR:
         for nd in self.nodes[1:]:
             if nd in spawned:
                 new_states[nd.index] = self._place_fresh(
-                    nd, self._fresh_patch_state(states[0], nd, nd.lo))
+                    nd, self._fresh_patch_state(
+                        new_states[nd.parent.index], nd, nd.lo))
                 new_los[nd.index] = jnp.asarray(
                     np.array(nd.lo, dtype=np.int32))
             else:
@@ -2055,6 +2096,7 @@ class SMRDriver:
             raise ValueError(f"refinement {mode!r} not recognized")
         self.adaptive = mode == "adaptive"
         numlevel = pin.get_or_add_int("parthenon/mesh", "numlevel", 2)
+        self.numlevel = numlevel
 
         # tiled spawn/destroy adaptivity (<parthenon/refinement>
         # style=tiled): patches come and go with the refine tags over a
@@ -2262,9 +2304,11 @@ class SMRDriver:
         self._states = self.smr.initialize(prims)
         if self.tiled and (self.criterion is not None
                            or self.user_criterion is not None):
-            # initial AMR iteration: refine the ICs before the first step
-            # (Parthenon's pre-evolution refinement pass)
-            self._states, self._los = self._regrid()
+            # initial AMR iterations: refine the ICs before the first
+            # step, once per depth level so features reach full depth
+            # (Parthenon's pre-evolution refinement pass iterates too)
+            for _ in range(max(1, self.numlevel - 1)):
+                self._states, self._los = self._regrid()
         root = self._states[0]
         return {fl: dict(root[fl]) for fl in root}
 
@@ -2274,7 +2318,8 @@ class SMRDriver:
         return self.smr.regrid_tiles(
             self._states, self._los,
             self.criterion if self.user_criterion is None else {},
-            self.tile, nbuf=self.regrid_nbuf, tags_fn=self.user_criterion)
+            self.tile, nbuf=self.regrid_nbuf, tags_fn=self.user_criterion,
+            numlevel=self.numlevel)
 
     def restart_payloads(self):
         """Fine-level arrays for bit-exact restart (name -> fn)."""
@@ -2296,17 +2341,26 @@ class SMRDriver:
             # tile-pool topology: spawn/destroy trees rebuild these patches
             # before loading the per-node arrays (same node order -> same
             # indices as at dump time; pool nodes always trail the deck/
-            # tracking nodes)
+            # tracking nodes).  Row: [level, parent_index, lo, n] —
+            # multi-level pools need the exact parent (tile windows are
+            # ambiguous across same-level parents)
             out["pool"] = lambda: np.array(
-                [list(nd.lo) + list(nd.n) for nd in pool], dtype=np.int64)
+                [[nd.level, nd.parent.index] + list(nd.lo) + list(nd.n)
+                 for nd in pool], dtype=np.int64)
         return out
 
     def load_restart(self, payloads, root_state):
         """Rehydrate the fine levels from restart payloads."""
         if "pool" in payloads:
             for row in np.asarray(payloads["pool"], dtype=np.int64):
-                node = self.smr.add_patch(1, tuple(int(v) for v in row[:3]),
-                                          tuple(int(v) for v in row[3:6]))
+                if len(row) == 6:          # pre-multilevel checkpoints
+                    lev, par, rest = 1, None, row
+                else:
+                    lev, par = int(row[0]), self.smr.nodes[int(row[1])]
+                    rest = row[2:]
+                node = self.smr.add_patch(
+                    lev, tuple(int(v) for v in rest[:3]),
+                    tuple(int(v) for v in rest[3:6]), parent=par)
                 node.pool = True
             self.smr._compile()
             self._los = [None] + [

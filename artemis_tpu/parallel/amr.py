@@ -140,7 +140,7 @@ class ShardedSMR(MultiLevelSMR):
         # both replicated: global frames on every shard, serial links apply
         return self._is_rep(a) and self._is_rep(b)
 
-    def add_patch(self, level: int, lo, n):
+    def add_patch(self, level: int, lo, n, parent=None):
         """Register a patch in BOTH trees (global + local, same index).
 
         A patch that spans the full sharded axis ("wrap") is block-sharded
@@ -155,7 +155,9 @@ class ShardedSMR(MultiLevelSMR):
         from ..ops.hydro import Hydro
 
         d = self._shard_axis
-        gn = self._gtree.add_patch(level, lo, n)
+        gparent = (self._gtree.nodes[parent.index]
+                   if parent is not None else None)
+        gn = self._gtree.add_patch(level, lo, n, parent=gparent)
         parent = self.nodes[gn.parent.index]
         S = self.nshards
         from ..geometry import geometry as geo
@@ -241,7 +243,8 @@ class ShardedSMR(MultiLevelSMR):
                     f"patch x{d} extent {nn[d - 1]} not divisible by "
                     f"{self.nshards} shards")
             nn[d - 1] //= self.nshards
-            node = MultiLevelSMR.add_patch(self, level, lo, tuple(nn))
+            node = MultiLevelSMR.add_patch(self, level, lo, tuple(nn),
+                                           parent=parent)
             node.replicated = False
             return node
         node = _Node.__new__(_Node)

@@ -203,24 +203,96 @@ def test_tiled_derefinement():
     assert len(ml.nodes) == n1, "tiles dropped without a deref criterion"
 
 
+def test_tiled_multilevel_spawn_and_conservation():
+    """numlevel=3 tile pools: a second regrid pass spawns level-2 tiles
+    INSIDE tagged level-1 tiles (each nested in its exact parent), the
+    3-level composite conserves mass to roundoff on a periodic box, and
+    derefinement is nested (a level-1 tile with live children survives
+    its own deref tag; reference numlevel semantics running.rst:87)."""
+    ml, cfg, grid = _make_ml_periodic()
+    w = np.ones((1, 6, 1, 32, 32))
+    w[:, 1:4] = 0.0
+    w[:, 0, :, 14:18, 14:18] = 4.0
+    w[:, 4] = 1.0
+    w[:, 4, :, 14:18, 14:18] = 10.0
+    w[:, 5] = w[:, 4] / ((cfg.gamma - 1.0) * w[:, 0])
+    u, wj = ml.root.hydro.prim_to_cons(jnp.asarray(w), cfg)
+    states = [{"gas": {"u": u, "w": wj}}]
+    # pass 1: level-1 tiles; pass 2: level-2 tiles inside them
+    states, los = ml.regrid_tiles(states, [None], CRIT, (8, 8, 1),
+                                  numlevel=3)
+    states, los = ml.regrid_tiles(states, los, CRIT, (8, 8, 1), numlevel=3)
+    lv1 = [nd for nd in ml.nodes if getattr(nd, "pool", False)
+           and nd.level == 1]
+    lv2 = [nd for nd in ml.nodes if getattr(nd, "pool", False)
+           and nd.level == 2]
+    assert lv1 and lv2, (len(lv1), len(lv2))
+    for nd in lv2:
+        assert nd.parent in lv1
+        assert np.asarray(states[nd.index]["gas"]["w"][0, 0]).max() > 1.5
+
+    vol = np.broadcast_to(grid.geom.volume(), grid.shape_entire)[
+        grid.int_slices]
+
+    def mass(st):
+        return float((np.asarray(st[0]["gas"]["u"][0, 0]) * vol).sum())
+
+    m0 = mass(states)
+    dt = 0.8 * float(ml._dt(states))
+    for _ in range(10):
+        states = ml._step(states, jnp.asarray(dt), jnp.asarray(0.0), los,
+                          None)
+    drift = abs(mass(states) - m0) / m0
+    assert drift < 1e-12, f"3-level mass drift {drift:.3e}"
+
+    # nested derefinement: smooth field EVERYWHERE (deep tiles tag from
+    # their own state) -> level-2 tiles drop first, level-1 tiles
+    # survive while they still have children
+    for nd in ml.nodes:
+        nz, ny, nxc = tuple(reversed(nd.grid.nx))
+        wsm = np.ones((1, 6, nz, ny, nxc))
+        wsm[:, 1:4] = 0.0
+        wsm[:, 4] = 1.0
+        wsm[:, 5] = wsm[:, 4] / ((cfg.gamma - 1.0) * wsm[:, 0])
+        usm, wsm_j = nd.hydro.prim_to_cons(jnp.asarray(wsm), cfg)
+        states[nd.index] = {"gas": {"u": usm, "w": wsm_j}}
+    parents_of_lv2 = {id(nd.parent) for nd in lv2}
+    states, los = ml.regrid_tiles(states, los, CRIT, (8, 8, 1), numlevel=3)
+    assert not [nd for nd in ml.nodes if getattr(nd, "pool", False)
+                and nd.level == 2]
+    # childless level-1 tiles deref immediately; child-bearing ones
+    # survive this pass (nested hysteresis) and go next pass
+    survivors = [nd for nd in ml.nodes if getattr(nd, "pool", False)
+                 and nd.level == 1]
+    assert {id(nd) for nd in survivors} == parents_of_lv2
+    states, los = ml.regrid_tiles(states, los, CRIT, (8, 8, 1), numlevel=3)
+    assert not [nd for nd in ml.nodes if getattr(nd, "pool", False)]
+
+
 @pytest.mark.slow
-def test_tiled_blast_conserves(tmp_path):
+@pytest.mark.parametrize("numlevel", [2, 3])
+def test_tiled_blast_conserves(tmp_path, numlevel):
     """Deck-driven tiled adaptivity conserves mass across live
     spawn/destroy regrids, measured on a window where the invariant is
     exact: tlim=0.05 keeps the shock interior to the outflow boundaries
     (by tlim=0.1 it exits and even an UNREFINED run loses 5.8e-2, so no
     AMR gate is meaningful there).  Measured with the sibling-link fix:
     -1.6e-10 (was +1.8e-3 when adjacent tiles evolved against
-    prolonged-coarse seams); gate at ~60x measured."""
+    prolonged-coarse seams); gate at ~60x measured.  numlevel=3 runs
+    the same window with a second tile-pool level live."""
     from artemis_tpu.simulation import Simulation
 
     sim = Simulation(DECK, overrides=TILED + [
         "parthenon/time/tlim=0.05",
         "parthenon/refinement/check_interval=25",
+        f"parthenon/mesh/numlevel={numlevel}",
     ], data_dir=str(tmp_path))
     drv = sim.driver
     assert drv.tiled
     assert _pool(drv), "initial regrid spawned no patches"
+    if numlevel >= 3:
+        assert [nd for nd in _pool(drv) if nd.level == 2], \
+            "pre-evolution passes spawned no level-2 tiles"
     m0 = _total_mass(sim)
     sim.run()
     assert sim.tm.time >= 0.05 * (1 - 1e-12)
@@ -229,19 +301,23 @@ def test_tiled_blast_conserves(tmp_path):
 
 
 @pytest.mark.slow
-def test_tiled_blast_grows_coverage(tmp_path):
+@pytest.mark.parametrize("numlevel", [2, 3])
+def test_tiled_blast_grows_coverage(tmp_path, numlevel):
     """Off-center Sedov blast under deck-driven tiled adaptivity: the
     refined footprint expands with the shock (growth, not relocation)
     and the composite solution matches the sedov2d profile at the
-    coords-test threshold (L2 < 1).  No mass gate here: with outflow
-    boundaries the shock exits the domain before tlim=0.1 — exact
-    conservation is gated on the interior window
-    (test_tiled_blast_conserves) and on the periodic pool smoke."""
+    coords-test threshold (L2 < 1) — at numlevel=3 with a live second
+    pool level (reference numlevel=3 blast, running.rst:87).  No mass
+    gate here: with outflow boundaries the shock exits the domain
+    before tlim=0.1 — exact conservation is gated on the interior
+    window (test_tiled_blast_conserves) and on the periodic pool
+    smokes."""
     from artemis_tpu.simulation import Simulation
 
     sim = Simulation(DECK, overrides=TILED + [
         "parthenon/time/tlim=0.1",
         "parthenon/refinement/check_interval=25",
+        f"parthenon/mesh/numlevel={numlevel}",
     ], data_dir=str(tmp_path))
     drv = sim.driver
     assert drv.tiled
