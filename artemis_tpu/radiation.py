@@ -348,9 +348,11 @@ class Radiation:
                 return jnp.logical_and(rs_c > tol * tol * bb,
                                        it < self.cfg.cg_maxiter)
 
-            x, _, _, _, _, _, it = lax.while_loop(
+            x, r, _, _, _, _, it = lax.while_loop(
                 cond, body, (x0, r, z, p, rz, rs, 0))
-            return x, it
+            # r is the maintained residual b - matvec(x, sf): returned so
+            # the caller can recover matvec(x, 0) without another matvec
+            return x, r, it
 
         # Coupled implicit exchange + diffusion.  A Lie split (local
         # implicit exchange, then implicit diffusion) has a steady state
@@ -365,10 +367,17 @@ class Radiation:
         # the exact steady equation, so steady profiles are
         # dt-independent (anchored by analysis/rad_shock_exact.py).
         a_r = cfg.arad
-        Tk = T0
-        Er_new = Er0
-        cg_iters = []
-        for _ in range(cfg.coupled_iters):
+        fi0 = jnp.finfo(Er0.dtype)
+        tol_outer = 50.0 * float(fi0.eps)
+        Tscale = jnp.max(jnp.abs(T0))
+        if self._axis_name is not None:
+            # the outer trip count must be UNIFORM across shards (the CG
+            # body runs collectives): make the convergence scale global
+            Tscale = lax.pmax(Tscale, self._axis_name)
+        Tscale = Tscale + float(fi0.tiny)
+
+        def outer_body(carry):
+            Er_k, Tk, _r, _b, _sf, k, iters = carry
             kap = self.kappa(rho, Tk)
             sig = dt * cfg.c_code * kap * rho
             beta = 4.0 * a_r * Tk**3
@@ -376,16 +385,45 @@ class Radiation:
             sf = sig * f
             emis = a_r * Tk**4 + beta * (T0 - Tk)
             b = Er0 + sf * emis + b_ghost
-            Er_new, it = cg(b, Er_new, sf, diag_geo + sf)
-            cg_iters.append(it)
-            Tk = T0 - sf * (emis - Er_new) / rcv
+            Er_k, r, it = cg(b, Er_k, sf, diag_geo + sf)
+            Tk2 = T0 - sf * (emis - Er_k) / rcv
+            dT = jnp.max(jnp.abs(Tk2 - Tk))
+            if self._axis_name is not None:
+                dT = lax.pmax(dT, self._axis_name)
+            iters = iters.at[k].set(it)
+            return (Er_k, Tk2, r, b, sf, k + 1, iters), dT
+
+        def outer_cond(carry_dT):
+            carry, dT = carry_dT
+            k = carry[5]
+            # the first outer always runs; later ones only while the
+            # Newton temperature iterate still moves at f32 resolution —
+            # in near-equilibrium flows (the disk bench) outers 2..N are
+            # converged no-ops and this skips their matvec+setup passes
+            return jnp.logical_and(k < cfg.coupled_iters,
+                                   jnp.logical_or(k < 1,
+                                                  dT > tol_outer * Tscale))
+
+        def outer_step(carry_dT):
+            carry, _ = carry_dT
+            return outer_body(carry)
+
+        zero = jnp.zeros_like(Er0)
+        init = ((Er0, T0, zero, zero, zero, 0,
+                 jnp.zeros(cfg.coupled_iters, jnp.int32)),
+                jnp.asarray(jnp.inf, Er0.dtype))
+        (Er_new, Tk, r_fin, b_fin, sf_fin, _, cg_iters), _ = \
+            lax.while_loop(outer_cond, outer_step, init)
 
         # Gas internal-energy change: charge the gas with the radiation
         # field's ACTUAL gain net of diffusion (not the linearized
         # emission) so total energy conservation is exact to FP summation
         # even at finite CG residual.  matvec(E, 0) - E = -dt div D grad E
         # (homogeneous part); b_ghost restores the Dirichlet-face fluxes.
-        LEr = matvec(Er_new, 0.0) - Er_new
+        # CG maintains r = b - matvec(Er, sf), so the homogeneous part is
+        # recovered WITHOUT another matvec:
+        #   matvec(Er, 0) = b - r - sf * Er.
+        LEr = b_fin - r_fin - sf_fin * Er_new - Er_new
         de = -(Er_new - Er0 + LEr - b_ghost)
 
         u = u.at[:1, 5].add(de).at[:1, 4].add(de)
@@ -394,7 +432,7 @@ class Radiation:
         new["gas"] = {"u": u, "w": state["gas"]["w"]}
         new["rad"] = {"Er": Er_new}
         if with_iters:
-            return new, jnp.stack(cg_iters)
+            return new, cg_iters
         return new
 
     def sync_gas(self, state):
