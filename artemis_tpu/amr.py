@@ -425,21 +425,33 @@ class _Node:
                 reg = self._wrap_ghosts(reg, d, ngf[d])
         return reg
 
-    def ghost_strips(self, wc, lo):
+    def ghost_strips(self, wc, lo, sib_links=None, sib_arrs=None):
         """(strips, slabs) for the gather6 fused stage: the six MinMod-
         prolonged ghost slabs reshaped into stage_curv_gather6's strip
         layouts — the O(surface) replacement for fill_fine_ghosts'
         padded-array build (requires 3-D, no wrap axes, nghost=2; the
         gather6 gate enforces this).  ``slabs`` are the raw prolonged
-        faces, reused by the rim-delta face-flux windows."""
+        faces, reused by the rim-delta face-flux windows.
+
+        ``sib_links``/``sib_arrs``: sibling fine-ghost links
+        (_sibling_links) and per-node interior prims — ghost rows that
+        fall inside an adjacent same-level sibling take the sibling's
+        FINE values in place of the prolonged-parent data, so tile pools
+        keep the gather6 fast path without giving up seam conservation."""
         fg = self.grid
         ng = fg.nghost
         nx, ny, nz = fg.nx
+
+        def fold(s, d, side):
+            if not sib_links:
+                return s
+            return self._fold_sib_into_slab(s, d, side, sib_links, sib_arrs)
+
         slabs = {}
         strips = {}
         for side in (0, 1):
             # x1: [1,6,zp,yp,2] -> [6, zp, yp+8, 128] (values at [:2])
-            s = self._prolong_ghost_slab(wc, 0, side, lo)
+            s = fold(self._prolong_ghost_slab(wc, 0, side, lo), 0, side)
             slabs[(1, side)] = s
             v = s[0]
             zp, yp = v.shape[1], v.shape[2]
@@ -447,7 +459,7 @@ class _Node:
             strips[("x1", side)] = jax.lax.dynamic_update_slice(
                 st, v, (0, 0, 0, 0))
             # x2: [1,6,zp,2,xp] -> [6, zp, 8, nx] (lo rows 6:8, hi 0:2)
-            s = self._prolong_ghost_slab(wc, 1, side, lo)
+            s = fold(self._prolong_ghost_slab(wc, 1, side, lo), 1, side)
             slabs[(2, side)] = s
             v = s[0][..., ng:ng + nx]
             st = jnp.zeros((6, v.shape[1], 8, nx), v.dtype)
@@ -455,13 +467,45 @@ class _Node:
                 st, v, (0, 0, 6 if side == 0 else 0, 0))
             # x3: [1,6,2,yp,xp] -> [6, 2, ny+16, nx] (interior y at +8;
             # zero margins are replaced by the x1/x2 strips in-kernel)
-            s = self._prolong_ghost_slab(wc, 2, side, lo)
+            s = fold(self._prolong_ghost_slab(wc, 2, side, lo), 2, side)
             slabs[(3, side)] = s
             v = s[0][:, :, ng:ng + ny, ng:ng + nx]
             st = jnp.zeros((6, 2, ny + 16, nx), v.dtype)
             strips[("x3", side)] = jax.lax.dynamic_update_slice(
                 st, v, (0, 0, 8, 0))
         return strips, slabs
+
+    def _fold_sib_into_slab(self, s, d, side, links, arrs):
+        """Overwrite the portions of ghost slab ``s`` (face ``d``,
+        ``side``; padded-frame extents) that a sibling link covers with
+        the sibling's interior values.  Slab rows along axis ``d`` map to
+        padded ghost rows [0, ng) / [ng+nx, ng+nx+ng); transverse axes
+        are the full padded extent, so link dst slices apply directly."""
+        fg = self.grid
+        ngs = fg.ng
+        for (si, dst, src) in links:
+            sub_dst, sub_src = [], []
+            ok = True
+            for t in range(3):              # array order [z, y, x]
+                ax_d = 2 - t
+                ds_, ss_ = dst[t], src[t]
+                if ax_d == d:
+                    lo_r = 0 if side == 0 else ngs[d] + fg.nx[d]
+                    a = max(ds_.start, lo_r)
+                    b = min(ds_.stop, lo_r + ngs[d])
+                    if a >= b:
+                        ok = False
+                        break
+                    sub_dst.append(slice(a - lo_r, b - lo_r))
+                    off = ss_.start + (a - ds_.start)
+                    sub_src.append(slice(off, off + (b - a)))
+                else:
+                    sub_dst.append(ds_)
+                    sub_src.append(ss_)
+            if ok:
+                s = s.at[(Ellipsis,) + tuple(sub_dst)].set(
+                    arrs[si][(Ellipsis,) + tuple(sub_src)].astype(s.dtype))
+        return s
 
     @staticmethod
     def _axis_window(a, ax, start, count):
@@ -943,9 +987,9 @@ class MultiLevelSMR:
                 or os.environ.get("ARTEMIS_AMR_GATHER", "1") == "0" \
                 or self.moving_patches or not self.root.children:
             return None
-        if any(self._sib_links.values()):
-            return None     # adjacent siblings: strips would need the
-            #                 sibling exchange folded in — padded path
+        # adjacent siblings are fine: ghost_strips folds the sibling
+        # fine-ghost links into the prolonged slabs (_fold_sib_into_slab),
+        # so tile pools ride the fast path with seam conservation intact
         from .ops import pallas_stage_curv as _psc
 
         root = self.root
@@ -1143,7 +1187,9 @@ class MultiLevelSMR:
                     strips[i] = g6["root_strips"]
                 else:
                     strips[i], slabs[i] = node.ghost_strips(
-                        self._parent_arr(states, node, "gas", "w"), los[i])
+                        self._parent_arr(states, node, "gas", "w"), los[i],
+                        sib_links=self._sib_links[i],
+                        sib_arrs=[st["gas"]["w"] for st in states])
             elif node.parent is None:
                 wpads[i] = self._root_fill(w, node, "gas")
             else:
@@ -1186,7 +1232,8 @@ class MultiLevelSMR:
                     st["rad"] = states[node.index]["rad"]
                 new_states.append(st)
             return self._stage_fused_glue(states, new_states, los,
-                                          wpads, slabs, bdt, force_pcm, g6)
+                                          wpads, slabs, bdt, force_pcm, g6,
+                                          final=stage == integ.nstages)
 
         new_states = []
         for node, (co, packed, rf_omega, gspec, _dxs) in zip(self.nodes,
@@ -1224,10 +1271,55 @@ class MultiLevelSMR:
                 st["rad"] = states[i]["rad"]
             new_states.append(st)
         return self._stage_fused_glue(states, new_states, los, wpads,
-                                      slabs, bdt, force_pcm, g6)
+                                      slabs, bdt, force_pcm, g6,
+                                      final=stage == integ.nstages)
+
+    def _restrict_band_into(self, child, u_p, u_f, lo):
+        """Intermediate-RK-stage restriction: deposit only the parent
+        band ``ng`` deep inside each coarse-fine face.  Uncovered parent
+        stencils reach at most ``ng`` cells into the covered region (the
+        ghost depth bounds every kernel stencil), and the fine level's
+        next-stage prolongation slabs read at most ``rim <= ng`` covered
+        rows — so band restriction reproduces the full per-stage
+        restriction BIT-EXACTLY everywhere that feeds the next stage,
+        while reading O(surface) instead of O(volume) fine data and
+        skipping the parent-sized scatter.  The step's final stage still
+        restricts the full footprint (outputs/dt/restart read it)."""
+        pg = child.parent.grid
+        nd3 = u_f.ndim
+        for d in range(3):
+            if not child.active[d] or child.wrap[d]:
+                continue
+            depth = min(pg.ng[d], child.n[d])
+            ax = nd3 - 1 - d
+            for side in (0, 1):
+                if side == 0:
+                    fsl = slice(0, 2 * depth)
+                    p_start = lo[d]
+                else:
+                    fsl = slice(2 * (child.n[d] - depth), 2 * child.n[d])
+                    p_start = lo[d] + child.n[d] - depth
+                sl = [slice(None)] * nd3
+                sl[ax] = fsl
+                sub = u_f[tuple(sl)]
+                volf = child.volf
+                if volf is not None:
+                    vsl = [slice(None)] * 3
+                    vsl[2 - d] = fsl
+                    volf = volf[tuple(vsl)]
+                res = restrict_average(sub, child.active,
+                                       volf=volf).astype(u_p.dtype)
+                starts = [jnp.asarray(0, jnp.int32)] * (u_p.ndim - 3)
+                for t in range(3):
+                    dd = 2 - t
+                    v = p_start if dd == d else (lo[dd] if child.active[dd]
+                                                 else 0)
+                    starts.append(jnp.asarray(v, jnp.int32))
+                u_p = jax.lax.dynamic_update_slice(u_p, res, tuple(starts))
+        return u_p
 
     def _stage_fused_glue(self, states, new_states, los, wpads, slabs,
-                          bdt, force_pcm, g6):
+                          bdt, force_pcm, g6, final=True):
         # 3. interface deltas + restriction, deepest parents first (a middle
         # node's u is final before it restricts into ITS parent).  The
         # dual-energy switch re-runs after the rim deltas and before the
@@ -1254,13 +1346,19 @@ class MultiLevelSMR:
                                                 wpads[ci], bdt, force_pcm)
             for child in pnode.children:
                 u_p = self._block_set_auxiliary(u_p, child, los)
+            band = not final and self._shard_axis is None
             for child in pnode.children:
-                u_p = self._restrict_into(
-                    child, u_p,
-                    restrict_average(new_states[child.index]["gas"]["u"],
-                                     child.active,
-                                     volf=child.volf).astype(u_p.dtype),
-                    los[child.index])
+                if band:
+                    u_p = self._restrict_band_into(
+                        child, u_p, new_states[child.index]["gas"]["u"],
+                        los[child.index])
+                else:
+                    u_p = self._restrict_into(
+                        child, u_p,
+                        restrict_average(new_states[child.index]["gas"]["u"],
+                                         child.active,
+                                         volf=child.volf).astype(u_p.dtype),
+                        los[child.index])
             new_states[p]["gas"]["u"] = u_p
 
         # 4. re-sync prims on the parent blocks the rim deltas /
@@ -1548,8 +1646,26 @@ class MultiLevelSMR:
             out.append(st)
         return out
 
+    def _static_los(self, los):
+        """Swap lattice-static nodes' traced positions for compile-time
+        constants.  Static/tiled trees recompile on every topology
+        change, so ``node.lo`` is the truth — substituting it turns
+        every restriction / prolongation-window / rim-delta
+        dynamic-slice at a TRACED offset into a static one, which XLA
+        lowers to aligned fused copies instead of runtime-offset
+        scatter/gather (the dominant AMR-glue cost on TPU).  Moving
+        nodes (move-style retag, particle tracking) keep their traced
+        positions."""
+        out = list(los)
+        for node in self.nodes:
+            if node.parent is None or not self._links_static(node):
+                continue
+            out[node.index] = np.asarray(node.lo, np.int32)
+        return out
+
     def _build_step(self):
         def step(states, dt, time, los, particles):
+            los = self._static_los(los)
             u1s = [{fl: st[fl]["u"] for fl in st if fl != "rad"}
                    for st in states]
             for stage in range(1, self.integ.nstages + 1):

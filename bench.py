@@ -173,6 +173,100 @@ def bench_rhd_amr(nsteps, reps):
     return best
 
 
+def bench_rhd_tiled(nsteps, reps):
+    """Tag-driven (style=tiled) adaptivity on the north-star composition:
+    the SAME disk RHD config as bench_rhd_amr but with the refined
+    coverage coming from live spawn/destroy tile pools instead of a
+    static patch.  Times the FULL adaptive loop — scan segments of
+    check_interval steps with the host-side regrid pass (global-root
+    gather + tag + topology check) between them — so spawn/destroy's
+    cost is measured, not assumed.  Gate (VERDICT r3 ask 6): within 20%
+    of the static-tree leg."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from artemis_tpu.simulation import Simulation
+
+    deck = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "inputs", "disk_rhd_amr.in")
+    nx = int(os.environ.get("BENCH_RHD_NX", "256"))
+    ny = int(os.environ.get("BENCH_RHD_NY", "256"))
+    nz = int(os.environ.get("BENCH_RHD_NZ", "64"))
+    ck = int(os.environ.get("BENCH_TILED_CK", "25"))
+    sim = Simulation(deck, overrides=[
+        "artemis/precision=float32",
+        f"parthenon/mesh/nx1={nx}",
+        f"parthenon/mesh/nx2={ny}",
+        f"parthenon/mesh/nx3={nz}",
+        "parthenon/mesh/refinement=adaptive",
+        # tag the inner disk (density above the mid-disk floor): stable
+        # tile coverage over the timed window, so the measured cost is
+        # the regrid PASS, not recompile churn
+        "gas/refine_field=density",
+        "gas/refine_type=magnitude",
+        "gas/refine_thr=0.3",
+        f"parthenon/refinement/check_interval={ck}",
+        "parthenon/refinement/tile_nx1=32",
+        "parthenon/refinement/tile_nx2=32",
+        "parthenon/refinement/tile_nx3=16",
+    ], data_dir="/tmp/bench_rhd_tiled")
+    drv = sim.driver
+    assert drv.tiled, "deck did not engage tiled adaptivity"
+    drv._ensure_states(sim.state)
+    smr = drv.smr
+    ntiles = len([n for n in smr.nodes if getattr(n, "pool", False)])
+    assert ntiles > 0, "no tiles spawned on the IC"
+    dt = jnp.asarray(0.3 * float(drv.estimate_dt(sim.state)),
+                     dtype=jnp.float32)
+
+    def make_seg():
+        def seg(states, dt):
+            def body(s, _):
+                return smr._step(s, dt, jnp.asarray(0.0, dt.dtype),
+                                 drv._los, None), None
+            s, _ = lax.scan(body, states, None, length=ck)
+            return s
+        return jax.jit(seg)
+
+    seg = make_seg()
+
+    def drain(s):
+        return float(jnp.sum(s[0]["gas"]["u"][0, 0, 0, 0]))
+
+    # warmup: one segment + one regrid (compiles both topologies if the
+    # pool changes; steady state re-uses the cache)
+    drv._states = seg(drv._states, dt)
+    drain(drv._states)
+    n_before = len(smr.nodes)
+    drv._states, drv._los = drv._regrid()
+    if len(smr.nodes) != n_before:
+        seg = make_seg()
+        drv._states = seg(drv._states, dt)
+        drain(drv._states)
+        drv._states, drv._los = drv._regrid()
+
+    best = 0.0
+    nseg = max(1, nsteps // ck)
+    for _ in range(reps):
+        zones_steps = 0
+        t0 = time.perf_counter()
+        for _ in range(nseg):
+            zones_now = sum(int(np.prod(n.grid.nx)) for n in smr.nodes)
+            drv._states = seg(drv._states, dt)
+            zones_steps += zones_now * ck
+            n_before = len(smr.nodes)
+            drv._states, drv._los = drv._regrid()
+            if len(smr.nodes) != n_before:
+                seg = make_seg()
+        drain(drv._states)
+        el = time.perf_counter() - t0
+        best = max(best, zones_steps / el)
+    rho = np.asarray(drv._states[0]["gas"]["u"][0, 0])
+    assert np.all(np.isfinite(rho)), "tiled bench produced non-finite data"
+    return best, ntiles
+
+
 def bench_cartesian(nsteps, reps):
     """Flagship Cartesian periodic box (fused whole-stage kernel)."""
     import jax.numpy as jnp
@@ -290,6 +384,15 @@ def main() -> int:
         except Exception as e:  # keep the primary metrics intact
             print(f"# AMR disk RHD leg failed: {e!r}", file=sys.stderr)
 
+    tiled = None
+    if which in ("both", "tiled") and not os.environ.get("BENCH_SKIP_TILED"):
+        try:
+            tiled, ntiles = bench_rhd_tiled(nsteps, reps)
+            print(f"# AMR disk RHD, tiled spawn/destroy ({ntiles} tiles): "
+                  f"{tiled:.4e} z-c/s", file=sys.stderr)
+        except Exception as e:
+            print(f"# tiled AMR leg failed: {e!r}", file=sys.stderr)
+
     primary = disk if disk is not None else (cart if cart is not None
                                              else rhd)
     if primary is None:
@@ -314,6 +417,10 @@ def main() -> int:
     if rhd is not None:
         out["rhd_amr_value"] = rhd
         out["rhd_amr_vs_baseline"] = rhd / baseline
+    if tiled is not None:
+        out["rhd_tiled_value"] = tiled
+        if rhd is not None:
+            out["rhd_tiled_vs_static"] = tiled / rhd
     print(json.dumps(out), flush=True)
     return 0
 

@@ -203,11 +203,15 @@ def test_adaptive_patch_follows_blast_cylindrical(tmp_path):
 def test_deck_driven_adaptive(tmp_path):
     """<parthenon/mesh> refinement=adaptive wiring through Simulation/CLI
     (blast_amr deck): the SMRDriver adapter runs under evolve() and the
-    patch migrates toward the off-center blast."""
+    patch migrates toward the off-center blast.  style=move pinned:
+    criterion decks now DEFAULT to tiled spawn/destroy (reference
+    semantics, covered by test_amr_adaptive) — this test checks the
+    MOVE-style re-centering machinery specifically."""
     from artemis_tpu.simulation import Simulation
 
     deck = os.path.join(HERE, "..", "inputs", "blast_amr.in")
-    sim = Simulation(deck, overrides=["parthenon/time/tlim=0.03"],
+    sim = Simulation(deck, overrides=["parthenon/time/tlim=0.03",
+                                      "parthenon/refinement/style=move"],
                      data_dir=str(tmp_path))
     lo0 = tuple(int(v) for v in np.asarray(sim.driver._los[1]))
     sim.run()
@@ -308,7 +312,10 @@ def test_deck_driven_amr_user(tmp_path):
                    data_dir=str(tmp_path / "err"))
 
     # a problem-defined criterion drives the adaptive moves end-to-end
-    sim = Simulation(deck, overrides=["parthenon/time/tlim=0.03"],
+    # (style=move pinned: tiled is the criterion-deck default now and
+    # pool tiles spawn/destroy instead of migrating)
+    sim = Simulation(deck, overrides=["parthenon/time/tlim=0.03",
+                                      "parthenon/refinement/style=move"],
                      data_dir=str(tmp_path))
 
     def crit(w, grid):

@@ -49,7 +49,7 @@ zones = sum(int(np.prod(n.grid.nx)) for n in smr.nodes)
 
 if variant == "noglue":
     def _skip_glue(self, states, new_states, los, wpads, slabs, bdt,
-                   force_pcm, g6):
+                   force_pcm, g6, final=True):
         return new_states, None
     amr_mod.MultiLevelSMR._stage_fused_glue = _skip_glue
 elif variant == "norim":
