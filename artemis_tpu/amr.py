@@ -1923,7 +1923,7 @@ class MultiLevelSMR:
             nd.index = i
 
     def regrid_tiles(self, states, los, criterion, tile, nbuf=1,
-                     tags_fn=None, numlevel=2):
+                     tags_fn=None, numlevel=2, forced=None):
         """Tag-driven spawn/destroy adaptivity over fixed tile lattices,
         down to ``numlevel - 1`` refinement levels.
 
@@ -1948,6 +1948,13 @@ class MultiLevelSMR:
         replaces the <gas> refine_* keys; a tile derefines when its
         (buffered) window is completely untagged.
 
+        ``forced``: static_refinement regions composed with adaptivity
+        (Parthenon honors <parthenon/static_refinementK> blocks under
+        refinement=adaptive: those MeshBlocks stay refined regardless of
+        tags).  Each entry is ``dict(level, c0, c1)`` with the window in
+        level-(level-1) GLOBAL cells; any tile window intersecting a
+        forced region at its level is spawned and never destroyed.
+
         Equivalent of parthenon::Refinement::Tag + MeshBlock
         creation/destruction (artemis_driver.cpp:292, amr_criteria.hpp;
         numlevel semantics per doc/src/running.rst:87,117-135), recast
@@ -1959,6 +1966,10 @@ class MultiLevelSMR:
         def tag_deref(w_np, g):
             """(refine tags, all-derefine mask, deref_thr) on grid g."""
             deref_all = None
+            if tags_fn is None and not criterion:
+                # forced-windows-only deck: nothing tags, nothing derefines
+                shp = tuple(g.nx[::-1])
+                return (np.zeros(shp, bool), np.zeros(shp, bool), 0.0)
             if tags_fn is not None:
                 tags = np.asarray(tags_fn(w_np, g), dtype=bool)
                 while tags.ndim > 3:                 # species axis
@@ -2026,8 +2037,34 @@ class MultiLevelSMR:
                              if nx[2 - i] > 1 else slice(None)
                              for i in range(3))
 
+            # static_refinement regions forced at this parent's level:
+            # translate the parent's interior-local lattice to global
+            # parent-level cells (own_origin) and intersect
+            forced_here = []
+            if forced:
+                og = [0, 0, 0]
+                chain = []
+                nd_ = parent
+                while nd_.parent is not None:
+                    chain.append(nd_.lo)
+                    nd_ = nd_.parent
+                for lo_p in reversed(chain):
+                    og = [2 * (og[d] + lo_p[d]) for d in range(3)]
+                for spec in forced:
+                    if spec["level"] == parent.level + 1:
+                        forced_here.append((spec["c0"], spec["c1"], og))
+
+            def is_forced(lo_):
+                for c0, c1, og in forced_here:
+                    if all(nx[d] <= 1
+                           or (og[d] + lo_[d] < c1[d]
+                               and og[d] + lo_[d] + t[d] > c0[d])
+                           for d in range(3)):
+                        return True
+                return False
+
             wanted = {lo_ for lo_ in itertools.product(*lattice)
-                      if bool(tags[window(lo_)].any())}
+                      if is_forced(lo_) or bool(tags[window(lo_)].any())}
             current = {nd.lo: nd for nd in parent.children
                        if getattr(nd, "pool", False)}
             final = set(wanted)
@@ -2246,11 +2283,40 @@ class SMRDriver:
             "parthenon/refinement", "nbuf", 1)
 
         patches = []
-        # 1) reference static_refinement blocks (physical bounds)
+        # 1) reference static_refinement blocks (physical bounds).  Under
+        # tiled adaptivity they become FORCED tile windows instead of
+        # standalone patches (Parthenon keeps static regions refined under
+        # refinement=adaptive; a separate patch would overlap the pool)
+        self.forced_windows = []
         for blk in pin.block_names():
             if not blk.startswith("parthenon/static_refinement"):
                 continue
             level = pin.get_or_add_int(blk, "level", 1)
+            if self.tiled:
+                wins = self._bounds_to_windows(pin, blk, grid, level)
+                for win in wins:
+                    # the tile lattice anchors at the nesting rim with a
+                    # uniform step: the trailing (span % tile) cells are
+                    # uncoverable — surface a partially-coverable window
+                    # rather than silently under-refining it
+                    scale = 2 ** (win["level"] - 1)
+                    for d in range(3):
+                        if grid.nx[d] <= 1:
+                            continue
+                        nd_lvl = grid.nx[d] * scale
+                        rim = max(1, -(-grid.nghost // 2)) + 1
+                        t = self.tile[d]
+                        cov_hi = rim + max(0, (nd_lvl - 2 * rim) // t) * t
+                        if win["c1"][d] > cov_hi:
+                            print(f"# WARNING: {blk} extends past the "
+                                  f"tile-lattice coverage on x{d + 1} "
+                                  f"(cells {win['c1'][d]} > {cov_hi}); "
+                                  f"pick tile_nx{d + 1} dividing "
+                                  f"{nd_lvl - 2 * rim} for full coverage",
+                                  flush=True)
+                self.forced_windows.extend(wins)
+                self.numlevel = max(self.numlevel, level + 1)
+                continue
             spec = self._bounds_to_patches(pin, blk, grid, level)
             patches.extend(spec)
         # 2) deck patch_lo/patch_n keys (artemis_tpu dialect; one per level).
@@ -2368,23 +2434,22 @@ class SMRDriver:
         self._ncycle = 0
 
     @staticmethod
-    def _bounds_to_patches(pin, blk, grid, level):
-        """Convert a static_refinement physical-bounds block into nested
-        patch specs at levels 1..level (each level covering the bounds)."""
+    def _bounds_to_windows(pin, blk, grid, level):
+        """Convert a static_refinement physical-bounds block into global
+        cell windows at levels 1..level: ``dict(level, c0, c1)`` with
+        [c0, c1) in level-(level-1) global cells."""
         out = []
         lo_phys = [pin.get_or_add_real(blk, f"x{d + 1}min", grid.xmin[d])
                    for d in range(3)]
         hi_phys = [pin.get_or_add_real(blk, f"x{d + 1}max", grid.xmax[d])
                    for d in range(3)]
-        prev_lo = [0, 0, 0]  # parent patch origin in its own level cells
         for lev in range(1, level + 1):
             scale = 2 ** (lev - 1)
-            lo = []
-            n = []
+            c0s, c1s = [], []
             for d in range(3):
                 if grid.nx[d] <= 1:
-                    lo.append(0)
-                    n.append(1)
+                    c0s.append(0)
+                    c1s.append(1)
                     continue
                 nd_lvl = grid.nx[d] * scale  # parent-level global resolution
                 dx = (grid.xmax[d] - grid.xmin[d]) / nd_lvl
@@ -2401,12 +2466,31 @@ class SMRDriver:
                     rim = max(1, -(-grid.nghost // 2)) + 1
                     c0 = int(np.clip(c0, rim, nd_lvl - rim))
                     c1 = int(np.clip(c1, c0 + 2, nd_lvl - rim))
+                c0s.append(c0)
+                c1s.append(c1)
+            out.append(dict(level=lev, c0=tuple(c0s), c1=tuple(c1s)))
+        return out
+
+    @classmethod
+    def _bounds_to_patches(cls, pin, blk, grid, level):
+        """Convert a static_refinement physical-bounds block into nested
+        patch specs at levels 1..level (each level covering the bounds)."""
+        out = []
+        prev_c0 = [0, 0, 0]  # parent patch origin in parent-level cells
+        for win in cls._bounds_to_windows(pin, blk, grid, level):
+            lev, c0, c1 = win["level"], win["c0"], win["c1"]
+            lo = []
+            n = []
+            for d in range(3):
+                if grid.nx[d] <= 1:
+                    lo.append(0)
+                    n.append(1)
+                    continue
                 # convert from parent-level GLOBAL cells to parent-PATCH cells
-                lo.append(c0 - 2 * prev_lo[d] if lev > 1 else c0)
-                n.append(c1 - c0)
+                lo.append(c0[d] - 2 * prev_c0[d] if lev > 1 else c0[d])
+                n.append(c1[d] - c0[d])
             out.append(dict(level=lev, lo=tuple(lo), n=tuple(n)))
-            prev_lo = [lo[d] if lev == 1 else lo[d] + 2 * prev_lo[d]
-                       for d in range(3)]
+            prev_c0 = list(c0)
         return out
 
     # -- Driver API ------------------------------------------------------
@@ -2419,7 +2503,8 @@ class SMRDriver:
                     prims[i + 1] = pr
         self._states = self.smr.initialize(prims)
         if self.tiled and (self.criterion is not None
-                           or self.user_criterion is not None):
+                           or self.user_criterion is not None
+                           or self.forced_windows):
             # initial AMR iterations: refine the ICs before the first
             # step, once per depth level so features reach full depth
             # (Parthenon's pre-evolution refinement pass iterates too)
@@ -2435,7 +2520,7 @@ class SMRDriver:
             self._states, self._los,
             self.criterion if self.user_criterion is None else {},
             self.tile, nbuf=self.regrid_nbuf, tags_fn=self.user_criterion,
-            numlevel=self.numlevel)
+            numlevel=self.numlevel, forced=self.forced_windows)
 
     def restart_payloads(self):
         """Fine-level arrays for bit-exact restart (name -> fn)."""
@@ -2515,7 +2600,8 @@ class SMRDriver:
         self._ncycle += 1
         if self._ncycle % self.retag_interval == 0:
             if self.tiled and (self.criterion is not None
-                               or self.user_criterion is not None):
+                               or self.user_criterion is not None
+                               or self.forced_windows):
                 self._states, self._los = self._regrid()
             elif self.user_criterion is not None:
                 self._states, self._los = self.smr.retag_user(

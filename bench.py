@@ -207,9 +207,9 @@ def bench_rhd_tiled(nsteps, reps):
         "gas/refine_type=magnitude",
         "gas/refine_thr=0.3",
         f"parthenon/refinement/check_interval={ck}",
-        "parthenon/refinement/tile_nx1=32",
-        "parthenon/refinement/tile_nx2=32",
-        "parthenon/refinement/tile_nx3=16",
+        f"parthenon/refinement/tile_nx1={os.environ.get('BENCH_TILE_NX1', 32)}",
+        f"parthenon/refinement/tile_nx2={os.environ.get('BENCH_TILE_NX2', 32)}",
+        f"parthenon/refinement/tile_nx3={os.environ.get('BENCH_TILE_NX3', 16)}",
     ], data_dir="/tmp/bench_rhd_tiled")
     drv = sim.driver
     assert drv.tiled, "deck did not engage tiled adaptivity"

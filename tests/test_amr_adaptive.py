@@ -370,3 +370,47 @@ def test_tiled_restart_roundtrip(tmp_path):
         a = np.asarray(sim.driver._states[i]["gas"]["u"])
         b = np.asarray(sim2.driver._states[i]["gas"]["u"])
         assert np.array_equal(a, b), f"node {i} state not bit-exact"
+
+
+def test_tiled_forced_static_window(tmp_path):
+    """<parthenon/static_refinementK> blocks compose with tiled
+    adaptivity as FORCED tile windows (Parthenon honors static regions
+    under refinement=adaptive: those MeshBlocks stay refined regardless
+    of tags, running.rst:121-135) — no standalone patch is spawned (it
+    would overlap the pool), and the forced tiles persist even where the
+    criterion never fires and the derefine tag is set."""
+    from artemis_tpu.simulation import Simulation
+
+    # blast at (-0.2, -0.2); forced window in the far corner (+x, +y)
+    sim = Simulation(DECK, overrides=TILED + [
+        "parthenon/time/tlim=0.02",
+        "parthenon/refinement/check_interval=10",
+        "parthenon/static_refinement1/level=1",
+        "parthenon/static_refinement1/x1min=0.05",
+        "parthenon/static_refinement1/x1max=0.25",
+        "parthenon/static_refinement1/x2min=0.05",
+        "parthenon/static_refinement1/x2max=0.25",
+    ], data_dir=str(tmp_path))
+    drv = sim.driver
+    assert drv.tiled
+    assert drv.forced_windows and drv.forced_windows[0]["level"] == 1
+    pool0 = _pool(drv)
+    assert pool0
+
+    def covers_forced(pool):
+        c0, c1 = drv.forced_windows[0]["c0"], drv.forced_windows[0]["c1"]
+        # every forced root cell must fall inside some pool tile
+        cov = np.zeros((64, 64), bool)
+        for nd in pool:
+            if nd.level != 1:
+                continue
+            t = tuple(nd.grid.nx[d] // 2 for d in range(3))
+            cov[nd.lo[1]:nd.lo[1] + t[1], nd.lo[0]:nd.lo[0] + t[0]] = True
+        return bool(cov[c0[1]:c1[1], c0[0]:c1[0]].all())
+
+    assert covers_forced(pool0), "forced window not covered on the IC"
+    m0 = _total_mass(sim)
+    sim.run()
+    assert covers_forced(_pool(drv)), "forced tiles were destroyed"
+    drift = abs(_total_mass(sim) - m0) / m0
+    assert drift < 1e-8, f"mass drift {drift:.3e}"
