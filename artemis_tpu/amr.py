@@ -243,6 +243,72 @@ def _window_face_flux(slab, d, cfg, force_pcm):
     return F
 
 
+def _perm_components(arr, perm, nd):
+    """Reorder the variable axis (nd-4) by static slices + concat."""
+    ca = nd - 4
+    sl = [slice(None)] * nd
+    parts = []
+    for i in perm:
+        sl[ca] = slice(i, i + 1)
+        parts.append(arr[tuple(sl)])
+    return jnp.concatenate(parts, axis=ca)
+
+
+def _rim_canon(win, d, nd):
+    """Canonicalize a 4-row face window: flux axis to position -3 (rows on
+    the cheap major axis; the transverse plane keeps the (sublane, lane)
+    tiling) and the velocity components CYCLED so the normal lands in
+    component 1 with the transverse pair in _vel_indices order — solve
+    with d=1 then runs the exact op sequence (same summation order) the
+    per-direction solve would, so the batched fluxes are bit-identical."""
+    if d != 1:
+        # canonical comp k maps to original _vel_indices(d)[k-1]
+        perm = [0, d, d % 3 + 1, ((d + 1) % 3) + 1, 4, 5]
+        win = _perm_components(win, perm, nd)
+    if d != 3:
+        win = jnp.moveaxis(win, nd - d, nd - 3)
+    return win
+
+
+def _rim_uncanon(F, d, nd):
+    """Inverse of _rim_canon on a face-flux array."""
+    if d != 3:
+        F = jnp.moveaxis(F, nd - 3, nd - d)
+    if d != 1:
+        perm = [0, d, d % 3 + 1, ((d + 1) % 3) + 1, 4, 5]
+        inv = [0] * 6
+        for pos, src in enumerate(perm):
+            inv[src] = pos
+        F = _perm_components(F, inv, nd)
+    return F
+
+
+def _rim_batched_flux(wins, cfg, force_pcm, nd):
+    """One recon+Riemann chain per distinct canonical window shape: the
+    windows (parent- and fine-side, all directions) concatenate along the
+    leading axis, the face flux is solved once with the canonical normal
+    (component 1, axis -3), and each window's flux is sliced back out and
+    un-canonicalized.  Bit-identical to per-window _window_face_flux."""
+    groups = {}
+    for k, (_, _, _, w) in enumerate(wins):
+        groups.setdefault(w.shape, []).append(k)
+    fluxes = [None] * len(wins)
+    method = "pcm" if force_pcm else cfg.recon
+    for ks in groups.values():
+        S = jnp.concatenate([wins[k][3] for k in ks], axis=0)
+        if method == "pcm":
+            wl, wr = recon_mod.pcm(S, 3)
+        else:
+            wl, wr = recon_mod.plm_uniform(S, 3)
+        sl = [slice(None)] * S.ndim
+        sl[S.ndim - 3] = slice(2, 3)    # face between window rows 1 and 2
+        F, _, _ = riemann_mod.solve(wl[tuple(sl)], wr[tuple(sl)], 1,
+                                    cfg.fluid, cfg.rsolver, cfg.gamma)
+        for j, k in enumerate(ks):
+            fluxes[k] = _rim_uncanon(F[j:j + 1], wins[k][0], nd)
+    return fluxes
+
+
 def _restrict_face_mean(F, d, active):
     """Pool a fine face-plane flux down to the parent faces (mean over the
     2x transverse fine faces; Cartesian restriction, matching
@@ -1058,13 +1124,24 @@ class MultiLevelSMR:
         every coarse-fine face), the fine-side window is the patch's edge
         rows extended by its prolonged ghost slab — both windows carry
         exactly the values the padded arrays held, so the deltas are
-        bit-identical."""
+        bit-identical.
+
+        The recon+Riemann chains run on CANONICALIZED windows — flux
+        axis moved to position -3 (the 4 rows land on the cheap major
+        axis; the transverse plane keeps the (sublane, lane) tiling) with
+        the normal velocity permuted into component 1 — and every window
+        of equal canonical shape is stacked into ONE batched chain.  On a
+        3-D child that is 4 launches of well-shaped work instead of 12
+        thin-window chains (the dominant rim-delta cost was the fixed
+        overhead of ~hundreds of tiny ops, not the flux arithmetic)."""
         cfg = self.cfg
         hc = self._ic_hydro(node.parent)
         lo = los[node.index]
         active = node.active
         dtp = u_p.dtype
         nd = w_par.ndim
+
+        wins = []              # (d, side, fi_c, canonical window)
         for d in hc.dims:
             ax_ = nd - d
             for side in (0, 1):
@@ -1085,7 +1162,6 @@ class MultiLevelSMR:
                 win_c = jax.lax.dynamic_slice(
                     w_par, tuple(jnp.asarray(s, jnp.int32) for s in starts),
                     tuple(sizes))
-                Fc = _window_face_flux(win_c, d, cfg, force_pcm)
                 sint = slabs[(d, side)]
                 for c in (1, 2, 3):
                     if c == d:
@@ -1105,10 +1181,19 @@ class MultiLevelSMR:
                     win_f = jnp.concatenate([edge,
                                              sint.astype(w_fine.dtype)],
                                             axis=ax_)
-                Ff = _window_face_flux(win_f, d, cfg, force_pcm)
-                dF = (_restrict_face_mean(Ff, d, active) - Fc).astype(dtp)
-                u_p = self._rim_apply(u_p, hc, node, lo, d, side, fi_c, dF,
-                                      bdt)
+                wins.append((d, side, fi_c, _rim_canon(win_c, d, nd)))
+                wins.append((d, side, fi_c, _rim_canon(win_f, d, nd)))
+
+        # batch equal canonical shapes into one recon+Riemann chain each
+        fluxes = _rim_batched_flux(wins, cfg, force_pcm, nd)
+
+        for k in range(0, len(wins), 2):
+            d, side, fi_c, _ = wins[k]
+            Fc = fluxes[k]
+            Ff = fluxes[k + 1]
+            dF = (_restrict_face_mean(Ff, d, active) - Fc).astype(dtp)
+            u_p = self._rim_apply(u_p, hc, node, lo, d, side, fi_c, dF,
+                                  bdt)
         return u_p
 
     def _rim_apply(self, u_p, hc, node, lo, d, side, fi_c, dF, bdt):
@@ -1622,20 +1707,29 @@ class MultiLevelSMR:
                 st = node.radiation.step(st, dt, ghosts=gh)
             st = node.radiation.sync_gas(st)
             states[i] = st
-        # restrict Er + exchanged gas energy back onto the parents
+        # restrict Er + exchanged gas energy back onto the parents.  The
+        # stage's final glue already deposited the FULL fine state; the
+        # radiation split only changes the gas energy components, so the
+        # gas re-restriction reads/writes u[4:6] alone (1/3 the traffic)
         for node in reversed(self.nodes):
             if node.parent is None:
                 continue
             p = node.parent.index
             lo = self._node_lo(node, los)
             pst = dict(states[p])
-            for key, kind in (("gas", "u"), ("rad", "Er")):
-                arr = self._restrict_into(
-                    node, pst[key][kind],
-                    restrict_average(states[node.index][key][kind],
-                                     node.active, volf=node.volf), lo)
-                pst[key] = dict(pst[key])
-                pst[key][kind] = arr
+            u_p = pst["gas"]["u"]
+            e46 = self._restrict_into(
+                node, u_p[:, 4:6],
+                restrict_average(states[node.index]["gas"]["u"][:, 4:6],
+                                 node.active, volf=node.volf), lo)
+            pst["gas"] = dict(pst["gas"])
+            pst["gas"]["u"] = u_p.at[:, 4:6].set(e46.astype(u_p.dtype))
+            Er = self._restrict_into(
+                node, pst["rad"]["Er"],
+                restrict_average(states[node.index]["rad"]["Er"],
+                                 node.active, volf=node.volf), lo)
+            pst["rad"] = dict(pst["rad"])
+            pst["rad"]["Er"] = Er
             states[p] = pst
         # parent prims re-sync after the restriction
         out = []

@@ -437,10 +437,28 @@ class Radiation:
 
     def sync_gas(self, state):
         """Re-sync gas prims after the split update (IMC::SyncFields
-        equivalent, imc.hpp:28-58)."""
-        hyd = self.hyd
-        w = hyd.cons_to_prim(state["gas"]["u"], self.gas)
-        u, w = hyd.prim_to_cons(w, self.gas)
+        equivalent, imc.hpp:28-58).
+
+        The split radiation update only changes the gas ENERGY
+        components (u4 += de, u5 += de); every other variable is already
+        a fixed point of the C2P/P2C round trip on entry (the fused
+        stage ends with an in-pass re-sync, and the pass's restriction
+        deposits only the energy components).  So the full-state sync
+        reduces to the energy-component subchain — identical math to
+        cons_to_prim + prim_to_cons restricted to (p, sie, E, e), at a
+        third of the HBM traffic."""
+        cfg = self.gas
+        u = state["gas"]["u"]
+        w = state["gas"]["w"]
+        rho = w[:, 0]                      # = max(u0, dfloor) on entry
+        sie = jnp.maximum(u[:, 5] / rho, cfg.siefloor)
+        p = (cfg.gamma - 1.0) * rho * sie
+        eint = sie * rho
+        ke = 0.5 * rho * (w[:, 1] ** 2 + w[:, 2] ** 2 + w[:, 3] ** 2)
+        u = u.at[:, 5].set(eint.astype(u.dtype)) \
+             .at[:, 4].set((eint + ke).astype(u.dtype))
+        w = w.at[:, 4].set(p.astype(w.dtype)) \
+             .at[:, 5].set(sie.astype(w.dtype))
         new = dict(state)
         new["gas"] = {"u": u, "w": w}
         return new

@@ -64,18 +64,58 @@ elif variant == "norestrict":
         lambda self, node, u_p, avg, lo: u_p)
     amr_mod.MultiLevelSMR._block_resync = (
         lambda self, u, w, child, los: (u, w))
+elif variant == "norimflux":
+    # rim windows/fluxes elided but the 2-row updates still applied with
+    # zero deltas: separates the window-flux op chains from _rim_apply
+    _orig_rim = amr_mod.MultiLevelSMR._rim_apply
+    def _zero_rim_g6(self, u_p, node, los, w_par, w_fine, slabs, bdt,
+                     force_pcm):
+        hc = self._ic_hydro(node.parent)
+        lo = los[node.index]
+        for d in hc.dims:
+            for side in (0, 1):
+                fi_c = lo[d - 1] + side * node.n[d - 1]
+                shp = []
+                for i in range(3):
+                    dd = 3 - i
+                    if dd == d:
+                        shp.append(1)
+                    elif node.active[dd - 1]:
+                        shp.append(node.n[dd - 1])
+                    else:
+                        shp.append(1)
+                dF = jnp.zeros((1, 6, *shp), u_p.dtype)
+                u_p = _orig_rim(self, u_p, hc, node, lo, d, side, fi_c,
+                                dF, bdt)
+        return u_p
+    amr_mod.MultiLevelSMR._apply_rim_delta_g6 = _zero_rim_g6
+elif variant == "noaux":
+    amr_mod.MultiLevelSMR._block_set_auxiliary = (
+        lambda self, u_p, child, los: u_p)
+elif variant == "noresync":
+    amr_mod.MultiLevelSMR._block_resync = (
+        lambda self, u, w, child, los: (u, w))
+elif variant == "norestronly":
+    amr_mod.MultiLevelSMR._restrict_into = (
+        lambda self, node, u_p, avg, lo: u_p)
+    amr_mod.MultiLevelSMR._restrict_band_into = (
+        lambda self, child, u_p, u_f, lo: u_p)
 elif variant == "noprolong":
     # freeze each child's strips/slabs at their step-entry values
+    # (compute ALL before replacing the class attribute: the replacement
+    # is type-wide and the root shares the class)
     frozen = {}
     for node in smr.nodes:
         if node.parent is not None:
             frozen[node.index] = node.ghost_strips(
                 smr._parent_arr(drv._states, node, "gas", "w"),
-                los[node.index])
+                los[node.index],
+                sib_links=smr._sib_links[node.index],
+                sib_arrs=[st["gas"]["w"] for st in drv._states])
             frozen[node.index] = jax.tree_util.tree_map(
                 jax.device_put, frozen[node.index])
-        type(node).ghost_strips = (
-            lambda self, wp, lo, _f=frozen: _f[self.index])
+    type(smr.nodes[0]).ghost_strips = (
+        lambda self, wp, lo, _f=frozen, **kw: _f[self.index])
 
 step = smr._step
 

@@ -10,8 +10,9 @@ from artemis_tpu.simulation import Simulation
 
 sim = Simulation(os.path.join(_ROOT, "inputs", "disk_rhd_amr.in"), overrides=[
     "artemis/precision=float32", "physics/radiation=false",
-    "parthenon/mesh/nx1=128", "parthenon/mesh/nx2=128",
-    "parthenon/mesh/nx3=32"], data_dir="/tmp/prof_parts")
+    f"parthenon/mesh/nx1={os.environ.get('BENCH_RHD_NX', 128)}",
+    f"parthenon/mesh/nx2={os.environ.get('BENCH_RHD_NY', 128)}",
+    f"parthenon/mesh/nx3={os.environ.get('BENCH_RHD_NZ', 32)}"], data_dir="/tmp/prof_parts")
 drv = sim.driver
 drv._ensure_states(sim.state)
 smr, los = drv.smr, drv._los
