@@ -149,31 +149,41 @@ def centroid_spacings(xc, xf):
 def restrict_average(wf, active, volf=None):
     """Volume-weighted restriction fine->coarse (RestrictAverage,
     restriction.hpp:30-80: sum(u_child V_child)/sum(V_child); plain average
-    when ``volf`` is None — exact for Cartesian)."""
+    when ``volf`` is None — exact for Cartesian).
 
-    def down(a):
+    Axis order is z, y, x: pairing the MAJOR axes first is nearly free on
+    TPU (contiguous adds at full lane width), so the lane-dim (x) pairing
+    — the only one that costs a relayout — runs on 1/4 of the data.  The
+    original x-first reshape-mean relayed out the FULL fine array and was
+    the dominant AMR-glue cost at production shape."""
+
+    import os
+    # measured on v5e at 256x256x64: stride-2 lane slices lower to
+    # gather-like copies (-1.8 ms/cycle vs the reshape-pair form)
+    use_reshape = os.environ.get("ARTEMIS_RESTRICT", "reshape") == "reshape"
+
+    def down(a, mean=False):
         out = a
-        for d in (1, 2, 3):
+        for d in (3, 2, 1):
             if not active[d - 1]:
                 continue
             ax = out.ndim - d
-            shape = list(out.shape)
-            shape[ax] //= 2
-            shape.insert(ax + 1, 2)
-            out = out.reshape(shape).sum(axis=ax + 1)
+            n = out.shape[ax]
+            if use_reshape:
+                shape = list(out.shape)
+                shape[ax] //= 2
+                shape.insert(ax + 1, 2)
+                pair = out.reshape(shape)
+                out = (pair.mean(axis=ax + 1) if mean
+                       else pair.sum(axis=ax + 1))
+                continue
+            lo = jax.lax.slice_in_dim(out, 0, n, 2, axis=ax)
+            hi = jax.lax.slice_in_dim(out, 1, n, 2, axis=ax)
+            out = (lo + hi) * 0.5 if mean else lo + hi
         return out
 
     if volf is None:
-        out = wf
-        for d in (1, 2, 3):
-            if not active[d - 1]:
-                continue
-            ax = out.ndim - d
-            shape = list(out.shape)
-            shape[ax] //= 2
-            shape.insert(ax + 1, 2)
-            out = out.reshape(shape).mean(axis=ax + 1)
-        return out
+        return down(wf, mean=True)
     v = jnp.asarray(volf)
     return down(wf * v) / down(v)
 
@@ -1181,11 +1191,22 @@ class MultiLevelSMR:
                     win_f = jnp.concatenate([edge,
                                              sint.astype(w_fine.dtype)],
                                             axis=ax_)
-                wins.append((d, side, fi_c, _rim_canon(win_c, d, nd)))
-                wins.append((d, side, fi_c, _rim_canon(win_f, d, nd)))
+                wins.append((d, side, fi_c, win_c, win_f))
 
-        # batch equal canonical shapes into one recon+Riemann chain each
-        fluxes = _rim_batched_flux(wins, cfg, force_pcm, nd)
+        import os
+        if os.environ.get("ARTEMIS_RIM", "batched") == "batched":
+            # batch equal canonical shapes into one recon+Riemann chain
+            canon = []
+            for (d, side, fi_c, win_c, win_f) in wins:
+                canon.append((d, side, fi_c, _rim_canon(win_c, d, nd)))
+                canon.append((d, side, fi_c, _rim_canon(win_f, d, nd)))
+            fluxes = _rim_batched_flux(canon, cfg, force_pcm, nd)
+        else:
+            fluxes = []
+            for (d, side, fi_c, win_c, win_f) in wins:
+                fluxes.append(_window_face_flux(win_c, d, cfg, force_pcm))
+                fluxes.append(_window_face_flux(win_f, d, cfg, force_pcm))
+        wins = [w[:3] + (None,) for w in wins for _ in (0, 1)]
 
         for k in range(0, len(wins), 2):
             d, side, fi_c, _ = wins[k]

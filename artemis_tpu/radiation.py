@@ -288,16 +288,21 @@ class Radiation:
         for d in self.dims:
             diag_geo = diag_geo + dt * (DH[d] + DL[d])
 
+        # off-diagonal face coefficients with the Dirichlet masks FOLDED
+        # in (AH = DH*ZH, AL = DL*ZL), scaled by dt once: the CG matvec
+        # is the hot loop — hoisting the masks and regrouping around the
+        # precomputed diagonal cuts its per-dim op count ~40%:
+        #   matvec(E, sf) = (diag_geo + sf) E - sum_d (AH_d E+ + AL_d E-)
+        AH, AL = {}, {}
+        for d in self.dims:
+            AH[d] = dt * (DH[d] * ZH[d] if ZH[d] is not None else DH[d])
+            AL[d] = dt * (DL[d] * ZL[d] if ZL[d] is not None else DL[d])
+
         def matvec(E, sf):
-            out = (1.0 + sf) * E
+            out = (diag_geo + sf) * E
             for d in self.dims:
-                Ep = self._shift(E, d, 1)
-                Em = self._shift(E, d, -1)
-                if ZH[d] is not None:
-                    Ep = Ep * ZH[d]
-                if ZL[d] is not None:
-                    Em = Em * ZL[d]
-                out = out - dt * (DH[d] * (Ep - E) - DL[d] * (E - Em))
+                out = out - (AH[d] * self._shift(E, d, 1)
+                             + AL[d] * self._shift(E, d, -1))
             return out
 
         def cg(b, x0, sf, diag):
