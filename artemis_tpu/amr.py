@@ -301,6 +301,13 @@ def _rim_batched_flux(wins, cfg, force_pcm, nd):
     un-canonicalized.  Bit-identical to per-window _window_face_flux."""
     groups = {}
     for k, (_, _, _, w) in enumerate(wins):
+        # the slice-back below takes F[j:j+1] per window, which is only
+        # valid when every window's leading (species) extent is 1; the
+        # gather6 gate enforces cfg.nspecies == 1 transitively via the
+        # fused-stage check — fail loudly here if that ever relaxes
+        assert w.shape[0] == 1, (
+            "_rim_batched_flux assumes a single species per window "
+            f"(got leading extent {w.shape[0]})")
         groups.setdefault(w.shape, []).append(k)
     fluxes = [None] * len(wins)
     method = "pcm" if force_pcm else cfg.recon
@@ -2414,21 +2421,35 @@ class SMRDriver:
                     # uniform step: the trailing (span % tile) cells are
                     # uncoverable — surface a partially-coverable window
                     # rather than silently under-refining it
-                    scale = 2 ** (win["level"] - 1)
                     for d in range(3):
                         if grid.nx[d] <= 1:
                             continue
-                        nd_lvl = grid.nx[d] * scale
                         rim = max(1, -(-grid.nghost // 2)) + 1
                         t = self.tile[d]
-                        cov_hi = rim + max(0, (nd_lvl - 2 * rim) // t) * t
-                        if win["c1"][d] > cov_hi:
-                            print(f"# WARNING: {blk} extends past the "
-                                  f"tile-lattice coverage on x{d + 1} "
-                                  f"(cells {win['c1'][d]} > {cov_hi}); "
-                                  f"pick tile_nx{d + 1} dividing "
-                                  f"{nd_lvl - 2 * rim} for full coverage",
-                                  flush=True)
+                        # achievable tile anchors at this window's level,
+                        # in global level-(L-1) cells: level-1 anchors on
+                        # the root lattice; each deeper level anchors ONE
+                        # t-wide window per parent tile at offset rim
+                        # (rim + j*t <= t - rim has only j = 0), so deep
+                        # coverage is windows of width t spaced 2^(L-1)*t
+                        # — NOT the contiguous global formula
+                        kmax = (grid.nx[d] - 2 * rim - t) // t
+                        anchors = [rim + k * t for k in range(kmax + 1)]
+                        for _ in range(win["level"] - 1):
+                            anchors = [2 * a + rim for a in anchors]
+                        ok = any(a <= win["c0"][d] and win["c1"][d] <= a + t
+                                 for a in anchors) if win["level"] >= 2 \
+                            else (anchors
+                                  and win["c1"][d] <= anchors[-1] + t
+                                  and win["c0"][d] >= anchors[0])
+                        if not ok:
+                            print(f"# WARNING: {blk} (level {win['level']})"
+                                  f" is not fully coverable by the tile "
+                                  f"lattice on x{d + 1} (window cells "
+                                  f"[{win['c0'][d]}, {win['c1'][d]}) vs "
+                                  f"anchored {t}-cell tile windows at "
+                                  f"{anchors[:4]}...); align the region "
+                                  f"or adjust tile_nx{d + 1}", flush=True)
                 self.forced_windows.extend(wins)
                 self.numlevel = max(self.numlevel, level + 1)
                 continue
