@@ -159,8 +159,29 @@ def restrict_average(wf, active, volf=None):
 
     import os
     # measured on v5e at 256x256x64: stride-2 lane slices lower to
-    # gather-like copies (-1.8 ms/cycle vs the reshape-pair form)
-    use_reshape = os.environ.get("ARTEMIS_RESTRICT", "reshape") == "reshape"
+    # gather-like copies (-1.8 ms/cycle vs the reshape-pair form);
+    # "window" routes through lax.reduce_window (XLA's pooling path —
+    # summation order is the window-linear one, which differs from the
+    # pairwise tree by last-ULP only)
+    mode = os.environ.get("ARTEMIS_RESTRICT", "reshape")
+    use_reshape = mode == "reshape"
+
+    if mode == "window":
+        win = tuple(2 if active[2 - i] and wf.shape[wf.ndim - 3 + i] > 1
+                    else 1 for i in range(3))
+
+        def down(a, mean=False):
+            dims = (1,) * (a.ndim - 3) + win
+            out = jax.lax.reduce_window(a, np.asarray(0, a.dtype),
+                                        jax.lax.add, dims, dims, "VALID")
+            if mean:
+                out = out * np.asarray(1.0 / np.prod(win), a.dtype)
+            return out
+
+        if volf is None:
+            return down(wf, mean=True)
+        v = jnp.asarray(volf)
+        return down(wf * v) / down(v)
 
     def down(a, mean=False):
         out = a
@@ -1134,7 +1155,7 @@ class MultiLevelSMR:
         return u_p
 
     def _apply_rim_delta_g6(self, u_p, node, los, w_par, w_fine, slabs,
-                            bdt, force_pcm):
+                            bdt, force_pcm, base=None):
         """_apply_rim_delta without padded arrays (gather6 mode): the
         parent-side 4-row window is sliced from the parent's unpadded
         interior (the gather6 gate guarantees two interior rows outside
@@ -1221,12 +1242,18 @@ class MultiLevelSMR:
             Ff = fluxes[k + 1]
             dF = (_restrict_face_mean(Ff, d, active) - Fc).astype(dtp)
             u_p = self._rim_apply(u_p, hc, node, lo, d, side, fi_c, dF,
-                                  bdt)
+                                  bdt, base=base)
         return u_p
 
-    def _rim_apply(self, u_p, hc, node, lo, d, side, fi_c, dF, bdt):
+    def _rim_apply(self, u_p, hc, node, lo, d, side, fi_c, dF, bdt,
+                   base=None):
         """Land a pooled fine-minus-coarse face-flux delta on the two
-        coarse cell rows adjacent to face (d, side) of ``node``."""
+        coarse cell rows adjacent to face (d, side) of ``node``.
+
+        ``base``: [z, y, x] start of a parent sub-block when ``u_p`` is
+        the child's sliced bounding block instead of the full parent
+        (the block-framed glue path) — the update region is rebased
+        while the A/V geometry rows keep their global coordinates."""
         active = node.active
         dt = u_p.dtype
         # bdt * A_face / V of the two adjacent coarse cells
@@ -1262,6 +1289,8 @@ class MultiLevelSMR:
         # cell fi_c as its LOWER face (+A F dt/V); covered cells are
         # overwritten by the subsequent restriction
         du = jnp.concatenate([-dF, dF], axis=-d) * scale
+        if base is not None:
+            cstarts = [c - b for c, b in zip(cstarts, base)]
         ustarts = [0] * (u_p.ndim - 3) + cstarts
         ustarts = tuple(jnp.asarray(s, jnp.int32) for s in ustarts)
         usizes = tuple(u_p.shape[:-3]) + tuple(csizes)
@@ -1445,7 +1474,28 @@ class MultiLevelSMR:
         # the three former full-grid elementwise passes (set_auxiliary,
         # C2P, P2C) dominated the parent's non-kernel HBM traffic.
         parents = [nd for nd in reversed(self.nodes) if nd.children]
+        # block-framed fast path: the root's glue runs per-child on the
+        # sliced bounding block (one write-back) instead of chained
+        # full-parent updates; restricted to the ROOT so the resync
+        # timing of deeper parents (restricted into THEIR parents before
+        # the #4 resync below) is unchanged
+        blocked = set()
+
+        def block_ok(pnode):
+            return (g6 is not None and self._shard_axis is None
+                    and pnode.parent is None
+                    and all(self._links_static(ch)
+                            for ch in pnode.children)
+                    and self._blocks_disjoint(pnode, los))
+
         for pnode in parents:
+            if block_ok(pnode):
+                # runs at this parent's position in the deepest-first
+                # order, so it reads its children's post-glue state
+                self._glue_parent_block(pnode, states, new_states, los,
+                                        slabs, bdt, force_pcm, final)
+                blocked.add(pnode.index)
+                continue
             p = pnode.index
             u_p = new_states[p]["gas"]["u"]
             for child in pnode.children:
@@ -1481,7 +1531,7 @@ class MultiLevelSMR:
         # re-switching the restricted averages would diverge from it in
         # covered cells.
         for node in self.nodes:
-            if not node.children:
+            if not node.children or node.index in blocked:
                 continue
             i = node.index
             kdt = new_states[i]["gas"]["w"].dtype
@@ -1514,6 +1564,114 @@ class MultiLevelSMR:
                 starts.append(jnp.asarray(lo[d], jnp.int32) - 1)
                 sizes.append(child.n[d] + 2)
         return starts, sizes
+
+    def _blocks_disjoint(self, pnode, los):
+        """True when the children's bounding blocks (footprint + 1 rim
+        row) are pairwise disjoint — the block-framed glue then composes
+        per child exactly as the phase-ordered path does (ops on
+        disjoint regions commute)."""
+        bs = []
+        for ch in pnode.children:
+            lo = los[ch.index]
+            ivs = []
+            for d in range(3):
+                if not ch.active[d]:
+                    ivs.append((0, 1))
+                elif ch.wrap[d]:
+                    ivs.append((0, pnode.grid.nx[d]))
+                else:
+                    ivs.append((int(lo[d]) - 1, int(lo[d]) + ch.n[d] + 1))
+            bs.append(ivs)
+        for a in range(len(bs)):
+            for b in range(a + 1, len(bs)):
+                if all(bs[a][d][0] < bs[b][d][1]
+                       and bs[b][d][0] < bs[a][d][1] for d in range(3)):
+                    return False
+        return True
+
+    def _glue_parent_block(self, pnode, states, new_states, los, slabs,
+                           bdt, force_pcm, final):
+        """Block-framed glue: rim deltas + dual-energy switch +
+        restriction + C2P/P2C resync for every child of ``pnode`` run on
+        ONE dynamic-sliced child bounding block each, written back to
+        the parent once (u and w).  The phase-ordered path interleaves
+        ~10 slice+update chains on the full parent per stage; on TPU
+        each read-modify-write chain materializes a parent-sized copy
+        (XLA cannot alias a buffer that the updating fusion also
+        slices), which measured ~5 ms/cycle of pure copy traffic at
+        256x256x64 — the dominant AMR-glue cost.  Values are
+        bit-identical to the phase path (same op order per child;
+        blocks are pairwise disjoint, _blocks_disjoint).
+
+        Updates new_states[pnode.index]["gas"] in place (dict entry)."""
+        cfg = self.cfg
+        p = pnode.index
+        u_p = new_states[p]["gas"]["u"]
+        w_p = new_states[p]["gas"]["w"]
+        kdt = w_p.dtype
+        band = not final and self._shard_axis is None
+        for child in pnode.children:
+            ci = child.index
+            lo = los[ci]
+            base = []                     # [z, y, x] block start
+            for t in range(3):
+                d = 2 - t
+                if not child.active[d] or child.wrap[d]:
+                    base.append(0)
+                else:
+                    base.append(int(lo[d]) - 1)
+            _, z3 = self._child_block(child, los)
+            lo_reb = np.asarray(
+                [int(lo[d]) - base[2 - d] if child.active[d] else 0
+                 for d in range(3)], np.int32)
+            ustarts = tuple(jnp.asarray(0, jnp.int32)
+                            for _ in range(u_p.ndim - 3)) + \
+                tuple(jnp.asarray(b, jnp.int32) for b in base)
+            usizes = tuple(u_p.shape[:-3]) + tuple(z3)
+            B = jax.lax.dynamic_slice(u_p, ustarts, usizes)
+            # 1. rim deltas (A/V geometry stays global via base=)
+            B = self._apply_rim_delta_g6(
+                B, child, los, states[p]["gas"]["w"],
+                states[ci]["gas"]["w"], slabs[ci], bdt, force_pcm,
+                base=base)
+            # 2. dual-energy switch on the whole block
+            # (_block_set_auxiliary's math, no inner slice)
+            rho = jnp.maximum(B[:, 0], cfg.dfloor)
+            ke = 0.5 * (B[:, 1] ** 2 + B[:, 2] ** 2 + B[:, 3] ** 2) / rho
+            e_tot = B[:, 4]
+            ue = e_tot - ke
+            sie = jnp.where(ue > cfg.de_switch * e_tot, ue / rho,
+                            B[:, 5] / rho)
+            sie = jnp.maximum(sie, cfg.siefloor)
+            B = B.at[:, 5].set(jnp.maximum(sie * rho, cfg.siefloor * rho)
+                               .astype(B.dtype))
+            # 3. restriction (band on intermediate stages, full on final)
+            if band:
+                B = self._restrict_band_into(
+                    child, B, new_states[ci]["gas"]["u"], lo_reb)
+            else:
+                res = restrict_average(new_states[ci]["gas"]["u"],
+                                       child.active,
+                                       volf=child.volf).astype(B.dtype)
+                B = self._restrict_into(child, B, res, lo_reb)
+            # 4. C2P + P2C floor resync (_block_resync's math)
+            ub = B.astype(kdt)
+            rho = jnp.maximum(ub[:, 0], cfg.dfloor)
+            v1 = ub[:, 1] / rho
+            v2 = ub[:, 2] / rho
+            v3 = ub[:, 3] / rho
+            sie = jnp.maximum(ub[:, 5] / rho, cfg.siefloor)
+            pg = (cfg.gamma - 1.0) * rho * sie
+            eint = sie * rho
+            etot = eint + 0.5 * rho * (v1 * v1 + v2 * v2 + v3 * v3)
+            ub2 = jnp.stack([rho, rho * v1, rho * v2, rho * v3, etot,
+                             eint], axis=1).astype(kdt)
+            wb2 = jnp.stack([rho, v1, v2, v3, pg, sie],
+                            axis=1).astype(kdt)
+            u_p = jax.lax.dynamic_update_slice(u_p.astype(kdt), ub2,
+                                               ustarts)
+            w_p = jax.lax.dynamic_update_slice(w_p, wb2, ustarts)
+        new_states[p]["gas"] = {"u": u_p, "w": w_p}
 
     def _block_set_auxiliary(self, u_p, child, los):
         """Dual-energy switch (hydro.set_auxiliary with Cartesian hx == 1,
