@@ -551,11 +551,21 @@ class _Node:
                 return s
             return self._fold_sib_into_slab(s, d, side, sib_links, sib_arrs)
 
+        pairs = None
+        if self.ghost_spacings is None:
+            pairs = {dd: self._prolong_ghost_slab_pair(wc, dd, lo)
+                     for dd in range(3) if self.active[dd]}
+
+        def slab_of(dd, side):
+            if pairs is not None:
+                return pairs[dd][side]
+            return self._prolong_ghost_slab(wc, dd, side, lo)
+
         slabs = {}
         strips = {}
         for side in (0, 1):
             # x1: [1,6,zp,yp,2] -> [6, zp, yp+8, 128] (values at [:2])
-            s = fold(self._prolong_ghost_slab(wc, 0, side, lo), 0, side)
+            s = fold(slab_of(0, side), 0, side)
             slabs[(1, side)] = s
             v = s[0]
             zp, yp = v.shape[1], v.shape[2]
@@ -563,7 +573,7 @@ class _Node:
             strips[("x1", side)] = jax.lax.dynamic_update_slice(
                 st, v, (0, 0, 0, 0))
             # x2: [1,6,zp,2,xp] -> [6, zp, 8, nx] (lo rows 6:8, hi 0:2)
-            s = fold(self._prolong_ghost_slab(wc, 1, side, lo), 1, side)
+            s = fold(slab_of(1, side), 1, side)
             slabs[(2, side)] = s
             v = s[0][..., ng:ng + nx]
             st = jnp.zeros((6, v.shape[1], 8, nx), v.dtype)
@@ -571,7 +581,7 @@ class _Node:
                 st, v, (0, 0, 6 if side == 0 else 0, 0))
             # x3: [1,6,2,yp,xp] -> [6, 2, ny+16, nx] (interior y at +8;
             # zero margins are replaced by the x1/x2 strips in-kernel)
-            s = fold(self._prolong_ghost_slab(wc, 2, side, lo), 2, side)
+            s = fold(slab_of(2, side), 2, side)
             slabs[(3, side)] = s
             v = s[0][:, :, ng:ng + ny, ng:ng + nx]
             st = jnp.zeros((6, 2, ny + 16, nx), v.dtype)
@@ -677,6 +687,54 @@ class _Node:
                 o = 2 * (m[t] + 1) - ngf[t]
                 sl[ax] = slice(o, o + fg.nx[t] + 2 * ngf[t])
         return fine[tuple(sl)]
+
+    def _prolong_ghost_slab_pair(self, wc, d, lo):
+        """Both side slabs of face axis ``d`` in ONE prolongation pass:
+        the two sides share every transverse window, so the stencil math
+        batches on the leading axis (Cartesian only — curvilinear
+        ghost_spacings differ per side).  Bit-identical to
+        _prolong_ghost_slab(..., d, side, ...) per side; halves the
+        number of small-op chains in ghost_strips (the per-op dispatch
+        overhead, not the arithmetic, dominates the prolongation cost
+        at production shape)."""
+        fg = self.grid
+        ngf = fg.ng
+        rim = self.rim
+        n = self.n
+        nd = wc.ndim
+        m = [r - 1 for r in rim]
+        slab = wc
+        for t in range(3):
+            if not self.active[t] or t == d:
+                continue
+            ax = nd - 1 - t
+            off = rim[t] if self.wrap[t] else 0
+            slab = self._axis_window(slab, ax, lo[t] - m[t] + off,
+                                     n[t] + 2 * m[t])
+        ax_d = nd - 1 - d
+        off = rim[d] if self.wrap[d] else 0
+        s0 = self._axis_window(slab, ax_d, lo[d] - m[d] + off, m[d] + 1)
+        s1 = self._axis_window(slab, ax_d, lo[d] + n[d] - 1 + off,
+                               m[d] + 1)
+        fine = prolong_minmod(jnp.concatenate([s0, s1], axis=0),
+                              self.active)
+        out = []
+        for side in (0, 1):
+            sl = [slice(None)] * nd
+            sl[0] = slice(side, side + 1)
+            for t in range(3):
+                if not self.active[t]:
+                    continue
+                ax = nd - 1 - t
+                if t == d:
+                    o = 2 * (m[t] + 1)
+                    sl[ax] = (slice(o - ngf[t], o) if side == 0
+                              else slice(4, 4 + ngf[t]))
+                else:
+                    o = 2 * (m[t] + 1) - ngf[t]
+                    sl[ax] = slice(o, o + fg.nx[t] + 2 * ngf[t])
+            out.append(fine[tuple(sl)])
+        return out
 
     def _wrap_pad(self, a, d, width):
         """Periodically extend interior array ``a`` by ``width`` cells along
