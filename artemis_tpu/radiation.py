@@ -107,6 +107,17 @@ class Radiation:
         # of reflecting at a zero-flux wall (the reference's ix1_bc=ic
         # philosophy; jaybenne instead reflects photons — shock.hpp decks)
         self._edge_dirichlet = {}
+        # uniform cell widths (dx, dy, dz) + max domain extent, static —
+        # the Pallas FLD kernels' gate (ops/pallas_fld.py): the fused
+        # setup/matvec path needs compile-time 1/w^2 scalars
+        wu = []
+        for d in (1, 2, 3):
+            arr = np.asarray(self.widths[d - 1])
+            if arr.size and float(arr.max()) == float(arr.min()):
+                wu.append(float(arr.ravel()[0]))
+        self._wuni = tuple(wu) if len(wu) == 3 else None
+        self._ext = (max(grid.nx[d - 1] * wu[d - 1] for d in self.dims)
+                     if self._wuni and self.dims else 0.0)
 
     def set_edge_dirichlet(self, d: int, lo=None, hi=None):
         """Pin the radiation field outside the physical edge(s) along dim
@@ -239,6 +250,61 @@ class Radiation:
             if d not in gh:
                 gh[d] = (lo_v, hi_v)
 
+        # Pallas fused path (TPU): one kernel computes limiter + capped D
+        # + masked face coefficients + Jacobi diagonal (ops/pallas_fld.py
+        # — the jnp setup's ~25 roll materializations dominated the
+        # radiation cost at production shape, not the ~4 CG iterations),
+        # and a second fuses the 7-point CG matvec.  Coefficients differ
+        # from the jnp path only in op order (last-ULP); the energy
+        # bookkeeping below conserves exactly for ANY operator because it
+        # charges the gas with the actual residual-corrected gain.
+        from .ops import pallas_fld as _pf
+
+        pal = (_pf.enabled() and self._axis_name is None
+               and len(self.dims) == 3 and self._wuni is not None)
+        if pal:
+            shp3 = Er0.shape[-3:]
+            lead = Er0.shape[:-3]
+            flags = []
+            for d in (1, 2, 3):
+                lo_g, hi_g = gh.get(d, (None, None))
+                flags.append((lo_g is not None, hi_g is not None))
+            A6, dg3, Dc3 = _pf.fld_coeffs(
+                Er0.reshape(shp3), jnp.broadcast_to(chi, Er0.shape)
+                .reshape(shp3), dt, self._wuni, cfg.c_code, self._ext,
+                flags)
+            diag_geo = dg3.reshape(Er0.shape)
+            b_ghost = 0.0
+            for d in (1, 2, 3):
+                lo_g, hi_g = gh.get(d, (None, None))
+                if lo_g is None and hi_g is None:
+                    continue
+                if isinstance(b_ghost, float):
+                    b_ghost = jnp.zeros_like(Er0)
+                iw2 = 1.0 / self._wuni[d - 1] ** 2
+                ax = Er0.ndim - d
+                n = Er0.shape[ax]
+                Dc_f = Dc3.reshape(Er0.shape)
+                if hi_g is not None:
+                    sl = [slice(None)] * Er0.ndim
+                    sl[ax] = slice(n - 1, n)
+                    b_ghost = b_ghost.at[tuple(sl)].add(
+                        (dt * iw2) * Dc_f[tuple(sl)] * hi_g)
+                if lo_g is not None:
+                    sl = [slice(None)] * Er0.ndim
+                    sl[ax] = slice(0, 1)
+                    b_ghost = b_ghost.at[tuple(sl)].add(
+                        (dt * iw2) * Dc_f[tuple(sl)] * lo_g)
+
+            def matvec(E, sf):
+                sf3 = jnp.broadcast_to(sf, E.shape).reshape(shp3)
+                out = _pf.fld_matvec(E.reshape(shp3), A6, dg3, sf3)
+                return out.reshape(lead + shp3)
+
+            return self._solve_coupled(state, u, Er0, rho, rcv, T0, dt,
+                                       matvec, diag_geo, b_ghost,
+                                       with_iters)
+
         # Face coefficients of the operator (I - dt div D grad), hoisted
         # out of the CG loop: DH/DL fold the arithmetic face average, the
         # boundary masking, and the 1/w^2 factors.  At zero-flux edges the
@@ -304,6 +370,16 @@ class Radiation:
                 out = out - (AH[d] * self._shift(E, d, 1)
                              + AL[d] * self._shift(E, d, -1))
             return out
+
+        return self._solve_coupled(state, u, Er0, rho, rcv, T0, dt,
+                                   matvec, diag_geo, b_ghost, with_iters)
+
+    def _solve_coupled(self, state, u, Er0, rho, rcv, T0, dt, matvec,
+                       diag_geo, b_ghost, with_iters):
+        """Newton-outer coupled exchange+diffusion solve with exact
+        energy bookkeeping, shared by the jnp and Pallas operator paths
+        (``matvec``/``diag_geo``/``b_ghost`` define the operator)."""
+        cfg = self.cfg
 
         def cg(b, x0, sf, diag):
             r = b - matvec(x0, sf)

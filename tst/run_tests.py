@@ -41,7 +41,8 @@ FAMILIES = {
     "decks": "tests/test_decks.py",
     "parallel": "tests/test_parallel.py",
     "restart": "tests/test_restart.py tests/test_outputs_restart.py",
-    "pallas": "tests/test_pallas_stage.py tests/test_pallas_curv.py",
+    "pallas": "tests/test_pallas_stage.py tests/test_pallas_curv.py "
+              "tests/test_pallas_fld.py",
     "f32": "tests/test_f32.py",
     "profiling": "tests/test_profiling.py",
 }
