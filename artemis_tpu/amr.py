@@ -1918,36 +1918,19 @@ class MultiLevelSMR:
                 st = node.radiation.step(st, dt)
             else:
                 Erp = self._parent_arr(states, node, "rad", "Er")
-                Er_pad = node.fill_fine_ghosts(st["rad"]["Er"], Erp,
-                                               self._node_lo(node, los))
-                # distributed patches: internal-seam ghosts take the
-                # neighbor shard's fine Er (the CG matvec itself
-                # exchanges per-iteration via Radiation._shift; this
-                # seeds the gradient limiter and the end planes)
-                Er_pad = self._post_fine_ghosts(Er_pad, node, "rad", states)
-                Er_pad = self._apply_sib_links(
-                    Er_pad, self._sib_links[i], sib_Er)
-                gh = {}
-                for d in (1, 2, 3):
-                    if node.grid.nx[d - 1] <= 1:
-                        continue
-                    ax = Er_pad.ndim - d
-                    ngd = node.grid.ng[d - 1]
-                    nd = node.grid.nx[d - 1]
-
-                    def plane(idx):
-                        sl = [slice(None)] * Er_pad.ndim
-                        sl[ax] = slice(idx, idx + 1)
-                        # interior window on the other dims
-                        for c in (1, 2, 3):
-                            if c == d or node.grid.nx[c - 1] <= 1:
-                                continue
-                            axc = Er_pad.ndim - c
-                            gc = node.grid.ng[c - 1]
-                            sl[axc] = slice(gc, gc + node.grid.nx[c - 1])
-                        return Er_pad[tuple(sl)]
-
-                    gh[d] = (plane(ngd - 1), plane(ngd + nd))
+                lo_n = self._node_lo(node, los)
+                if self._shard_axis is None:
+                    # O(surface) Dirichlet planes straight from the
+                    # per-face prolonged slabs — the former full padded
+                    # Er build (an O(volume), lane-misaligned array made
+                    # only to read 6 planes back out) dominated the
+                    # radiation pass cost at production shape
+                    gh = self._rad_ghost_planes(node, st["rad"]["Er"],
+                                                Erp, lo_n, sib_Er)
+                else:
+                    gh = self._rad_ghost_planes_padded(node, st, Erp,
+                                                       lo_n, states,
+                                                       sib_Er)
                 st = node.radiation.step(st, dt, ghosts=gh)
             st = node.radiation.sync_gas(st)
             states[i] = st
@@ -1983,6 +1966,93 @@ class MultiLevelSMR:
                 st = node.radiation.sync_gas(st)
             out.append(st)
         return out
+
+    def _rad_ghost_planes_padded(self, node, st, Erp, lo_n, states,
+                                 sib_Er):
+        """Dirichlet ghost planes via the full padded Er build — kept
+        for sharded patches (the pad routes _post_fine_ghosts seam
+        exchanges); values identical to _rad_ghost_planes."""
+        i = node.index
+        Er_pad = node.fill_fine_ghosts(st["rad"]["Er"], Erp, lo_n)
+        # distributed patches: internal-seam ghosts take the neighbor
+        # shard's fine Er (the CG matvec itself exchanges per-iteration
+        # via Radiation._shift; this seeds the gradient limiter and the
+        # end planes)
+        Er_pad = self._post_fine_ghosts(Er_pad, node, "rad", states)
+        Er_pad = self._apply_sib_links(Er_pad, self._sib_links[i], sib_Er)
+        gh = {}
+        for d in (1, 2, 3):
+            if node.grid.nx[d - 1] <= 1:
+                continue
+            ax = Er_pad.ndim - d
+            ngd = node.grid.ng[d - 1]
+            nd = node.grid.nx[d - 1]
+
+            def plane(idx):
+                sl = [slice(None)] * Er_pad.ndim
+                sl[ax] = slice(idx, idx + 1)
+                for c in (1, 2, 3):
+                    if c == d or node.grid.nx[c - 1] <= 1:
+                        continue
+                    axc = Er_pad.ndim - c
+                    gc = node.grid.ng[c - 1]
+                    sl[axc] = slice(gc, gc + node.grid.nx[c - 1])
+                return Er_pad[tuple(sl)]
+
+            gh[d] = (plane(ngd - 1), plane(ngd + nd))
+        return gh
+
+    def _rad_ghost_planes(self, node, Er_f, Erp, lo, sib_Er):
+        """Per-face Dirichlet ghost planes for the fine FLD solve in
+        O(surface): the innermost prolonged ghost row of each face slab
+        (sibling fine values folded), with the interior transverse
+        window — bit-identical to the padded-build extraction
+        (fill_fine_ghosts fills its ghost slabs from the same
+        _prolong_ghost_slab)."""
+        fgrid = node.grid
+        links = self._sib_links[node.index]
+
+        def tr_slices(a):
+            sl = [slice(None)] * a.ndim
+            for c in (1, 2, 3):
+                if c == d or fgrid.nx[c - 1] <= 1:
+                    continue
+                axc = a.ndim - c
+                gc = fgrid.ng[c - 1]
+                sl[axc] = slice(gc, gc + fgrid.nx[c - 1])
+            return sl
+
+        gh = {}
+        for d in (1, 2, 3):
+            dd = d - 1
+            if fgrid.nx[dd] <= 1:
+                continue
+            if node.wrap[dd]:
+                # periodic image of the fine data (what _wrap_ghosts
+                # placed in the pad): interior rows, no prolongation
+                ax = Er_f.ndim - d
+                n = fgrid.nx[dd]
+                sl_lo = [slice(None)] * Er_f.ndim
+                sl_lo[ax] = slice(n - 1, n)
+                sl_hi = [slice(None)] * Er_f.ndim
+                sl_hi[ax] = slice(0, 1)
+                gh[d] = (Er_f[tuple(sl_lo)], Er_f[tuple(sl_hi)])
+                continue
+            if node.ghost_spacings is None:
+                s0, s1 = node._prolong_ghost_slab_pair(Erp, dd, lo)
+            else:
+                s0 = node._prolong_ghost_slab(Erp, dd, 0, lo)
+                s1 = node._prolong_ghost_slab(Erp, dd, 1, lo)
+            if links:
+                s0 = node._fold_sib_into_slab(s0, dd, 0, links, sib_Er)
+                s1 = node._fold_sib_into_slab(s1, dd, 1, links, sib_Er)
+            ngd = fgrid.ng[dd]
+            sl0 = tr_slices(s0)
+            sl0[s0.ndim - d] = slice(ngd - 1, ngd)   # innermost lo ghost
+            sl1 = tr_slices(s1)
+            sl1[s1.ndim - d] = slice(0, 1)           # innermost hi ghost
+            gh[d] = (s0[tuple(sl0)], s1[tuple(sl1)])
+        return gh
 
     def _static_los(self, los):
         """Swap lattice-static nodes' traced positions for compile-time

@@ -1,23 +1,19 @@
 """Fused Pallas kernels for the FLD radiation solve (radiation.py).
 
-The jnp FLD step costs ~40 full-grid shift materializations per solve
-(gradient limiter + face coefficients + one 7-point matvec per CG
-iteration, each `jnp.roll` a lane/sublane relayout on TPU) while the CG
-itself converges in ~4 iterations on production disks — the SETUP, not
-the solve, dominates.  Two kernels remove nearly all of it:
+The jnp FLD step materializes ~12 rolled full-grid arrays in the
+operator setup (gradient limiter + face averaging) and 6 per CG matvec;
+XLA's fusion already runs those chains at ~240 GB/s effective, so the
+win here is structural, not magic: one VMEM pass per setup / matvec
+with in-register lane/sublane rotates instead of roll materializations.
 
-  fld_coeffs  — one VMEM pass: Levermore-Pomraning limiter, capped
-                diffusivity, face-averaged/masked operator coefficients
-                (AL/AH per dim, dt and 1/w^2 folded), Jacobi diagonal,
-                and Dcell (for the Dirichlet RHS planes built outside).
-  fld_matvec  — the 7-point operator (diag + sf) E - sum_d (AH E+ +
-                AL E-) in one pass per CG iteration.
-
-Both use wrap-around neighbor semantics (matching the jnp path's
-`jnp.roll`); physical edges are masked through the coefficients exactly
-as radiation.py does, so wrapped values never contribute.  Kernels
-assume 3-D uniform Cartesian widths and an unsharded node — the gate
-`supported()`; everything else falls back to the jnp path.
+Both kernels are pure BlockSpec pipelines over z-blocks — the z-halo
+arrives as the (i±1 mod nzb) neighbor blocks (Mosaic double-buffers
+them like any other input), NOT as manual DMAs, which would serialize
+the gather against compute.  Wrap-around neighbor semantics match the
+jnp path's `jnp.roll`; physical edges are masked through the
+coefficients exactly as radiation.py does, so wrapped values never
+contribute.  Gate: 3-D uniform Cartesian widths, unsharded node
+(`supported()` conditions enforced by the caller radiation.py).
 
 Reference: jaybenne's IMC transport solves the same gray problem by
 photon Monte Carlo (jaybenne.cpp); the deterministic FLD design is the
@@ -42,12 +38,16 @@ def _interpret_mode() -> bool:
 
 
 def enabled() -> bool:
-    """Pallas FLD path gate: on for TPU backends, or anywhere under
-    ARTEMIS_PALLAS_INTERPRET=1 (CPU correctness tests); ARTEMIS_PALLAS=0
-    or ARTEMIS_PALLAS_RAD=0 force the jnp path."""
+    """Pallas FLD path gate — OPT-IN (ARTEMIS_PALLAS_RAD=1), default
+    off.  Measured on v5e at 256x256x64: XLA's fused roll chains
+    already run the 7-point matvec at ~240 GB/s effective (0.72 ms),
+    and the pipelined BlockSpec kernel cannot beat it (0.86 ms — the
+    6-coefficient read traffic dominates and XLA fuses the multiply
+    chains as well as the kernel does).  Kept as a measured
+    alternative and for the interpret-mode parity test."""
     if os.environ.get("ARTEMIS_PALLAS", "1") == "0":
         return False
-    if os.environ.get("ARTEMIS_PALLAS_RAD", "1") == "0":
+    if os.environ.get("ARTEMIS_PALLAS_RAD", "0") != "1":
         return False
     if _interpret_mode():
         return True
@@ -67,40 +67,29 @@ def _roll(a, shift, axis):
     return jnp.roll(a, shift, axis=axis)
 
 
-def _coeffs_kernel(dt_ref, e_hbm, chi_hbm, a_ref, dg_ref, dc_ref, eslab,
-                   cslab, sems, *, nz, ny, nx, tz, dxs, c_code, ext,
-                   flags, tiny):
+def _coeffs_kernel(dt_ref, em_ref, ec_ref, ep_ref, cm_ref, cc_ref,
+                   cp_ref, a_ref, dg_ref, dc_ref, *, nz, ny, nx, tz,
+                   dxs, c_code, ext, flags, tiny):
     i = pl.program_id(0)
     z0 = i * tz
-    # modular z-halo DMAs: rows [z0-2, z0+tz+2) wrap like jnp.roll
-    regs = [((z0 - 2) % nz, 2, 0), (z0, tz, 2), ((z0 + tz) % nz, 2, 2 + tz)]
-    dmas = []
-    for k, (zs, zn, zd) in enumerate(regs):
-        for src, dst, s0 in ((e_hbm, eslab, 0), (chi_hbm, cslab, 3)):
-            dma = pltpu.make_async_copy(
-                src.at[pl.ds(zs, zn)], dst.at[pl.ds(zd, zn)],
-                sems.at[s0 + k])
-            dma.start()
-            dmas.append(dma)
-    for dma in dmas:
-        dma.wait()
-
+    # z-extended slabs from the neighbor blocks (wrap = jnp.roll)
+    E = jnp.concatenate([em_ref[tz - 2:], ec_ref[...], ep_ref[:2]],
+                        axis=0)                      # rows z0-2..z0+tz+1
+    chi = jnp.concatenate([cm_ref[tz - 1:], cc_ref[...], cp_ref[:1]],
+                          axis=0)                    # rows z0-1..z0+tz
     dt = dt_ref[0]
-    E = eslab[...]
-    chi = cslab[...]
     idx, idy, idz = (1.0 / dxs[0], 1.0 / dxs[1], 1.0 / dxs[2])
-    # gradient-magnitude rows [1, tz+3) (cells z0-1 .. z0+tz)
+    # gradient magnitude on rows z0-1 .. z0+tz (slab rows 1..tz+2)
     gx = (_roll(E, -1, 2) - _roll(E, 1, 2)) * (0.5 * idx)
     gy = (_roll(E, -1, 1) - _roll(E, 1, 1)) * (0.5 * idy)
-    gz = (E[2:] - E[:-2]) * (0.5 * idz)          # rows 1..tz+2
+    gz = (E[2:] - E[:-2]) * (0.5 * idz)
     g2 = gx[1:tz + 3] ** 2 + gy[1:tz + 3] ** 2 + gz ** 2
     Em = E[1:tz + 3]
-    ch = chi[1:tz + 3]
-    R = jnp.sqrt(g2) / (ch * jnp.maximum(Em, tiny) + tiny)
-    lam = (2.0 + R) / (6.0 + 3.0 * R + R * R)
-    Dc = c_code * lam / (ch + tiny)
-    Dc = jnp.minimum(Dc, c_code * ext)           # FLD validity cap
-    Dout = Dc[1:tz + 1]                          # cells z0 .. z0+tz
+    R = jnp.sqrt(g2) / (chi * jnp.maximum(Em, tiny) + tiny)
+    lam = (2.0 + R) / (6.0 + 3.0 * R + R * R)        # Levermore-Pomraning
+    Dc = c_code * lam / (chi + tiny)
+    Dc = jnp.minimum(Dc, c_code * ext)               # FLD validity cap
+    Dout = Dc[1:tz + 1]                              # cells z0 .. z0+tz-1
 
     # global-edge masks (x: lane iota; y: sublane iota; z: from z0)
     ix = jax.lax.broadcasted_iota(jnp.int32, (tz, ny, nx), 2)
@@ -147,59 +136,49 @@ def fld_coeffs(E, chi, dt, dxs, c_code, ext, flags, interpret=None):
     nz, ny, nx = E.shape
     tz = _pick_tz(nz)
     tiny = float(jnp.finfo(E.dtype).tiny)
+    nzb = nz // tz
     kern = functools.partial(
         _coeffs_kernel, nz=nz, ny=ny, nx=nx, tz=tz,
         dxs=tuple(float(v) for v in dxs), c_code=float(c_code),
         ext=float(ext), flags=tuple(tuple(f) for f in flags), tiny=tiny)
-    nzb = nz // tz
-    blk = lambda c: pl.BlockSpec((c, tz, ny, nx), lambda i: (0, i, 0, 0),
-                                 memory_space=pltpu.VMEM)
+
+    def zb(which, c=None):
+        if c is None:
+            return pl.BlockSpec((tz, ny, nx),
+                                lambda i, _w=which: ((i + _w) % nzb, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((c, tz, ny, nx),
+                            lambda i, _w=which: (0, (i + _w) % nzb, 0, 0),
+                            memory_space=pltpu.VMEM)
+
     A, dg, dc = pl.pallas_call(
         kern,
         grid=(nzb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            zb(-1), zb(0), zb(1),        # E blocks (z-halo via neighbors)
+            zb(-1), zb(0), zb(1),        # chi blocks
         ],
-        out_specs=(blk(6), pl.BlockSpec((tz, ny, nx), lambda i: (i, 0, 0),
-                                        memory_space=pltpu.VMEM),
-                   pl.BlockSpec((tz, ny, nx), lambda i: (i, 0, 0),
-                                memory_space=pltpu.VMEM)),
+        out_specs=(zb(0, 6), zb(0), zb(0)),
         out_shape=(jax.ShapeDtypeStruct((6, nz, ny, nx), E.dtype),
                    jax.ShapeDtypeStruct((nz, ny, nx), E.dtype),
                    jax.ShapeDtypeStruct((nz, ny, nx), E.dtype)),
-        scratch_shapes=[
-            pltpu.VMEM((tz + 4, ny, nx), E.dtype),
-            pltpu.VMEM((tz + 4, ny, nx), E.dtype),
-            pltpu.SemaphoreType.DMA((6,)),
-        ],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM),
         interpret=interpret,
-    )(jnp.reshape(jnp.asarray(dt, E.dtype), (1,)), E, chi)
+    )(jnp.reshape(jnp.asarray(dt, E.dtype), (1,)), E, E, E, chi, chi, chi)
     return A, dg, dc
 
 
-def _matvec_kernel(e_hbm, a_ref, dg_ref, sf_ref, out_ref, eslab, sems, *,
-                   nz, ny, nx, tz):
-    i = pl.program_id(0)
-    z0 = i * tz
-    regs = [((z0 - 1) % nz, 1, 0), (z0, tz, 1), ((z0 + tz) % nz, 1, 1 + tz)]
-    dmas = []
-    for k, (zs, zn, zd) in enumerate(regs):
-        dma = pltpu.make_async_copy(e_hbm.at[pl.ds(zs, zn)],
-                                    eslab.at[pl.ds(zd, zn)], sems.at[k])
-        dma.start()
-        dmas.append(dma)
-    for dma in dmas:
-        dma.wait()
-    E = eslab[...]
-    Ec = E[1:tz + 1]
+def _matvec_kernel(em_ref, ec_ref, ep_ref, a_ref, dg_ref, sf_ref,
+                   out_ref, *, tz):
+    Ec = ec_ref[...]
+    Ezm = jnp.concatenate([em_ref[tz - 1:], Ec[:tz - 1]], axis=0)
+    Ezp = jnp.concatenate([Ec[1:], ep_ref[:1]], axis=0)
     out = (dg_ref[...] + sf_ref[...]) * Ec
     out = out - a_ref[1] * _roll(Ec, -1, 2) - a_ref[0] * _roll(Ec, 1, 2)
     out = out - a_ref[3] * _roll(Ec, -1, 1) - a_ref[2] * _roll(Ec, 1, 1)
-    out = out - a_ref[5] * E[2:tz + 2] - a_ref[4] * E[:tz]
+    out = out - a_ref[5] * Ezp - a_ref[4] * Ezm
     out_ref[...] = out
 
 
@@ -210,28 +189,25 @@ def fld_matvec(E, A, diag_geo, sf, interpret=None):
     nz, ny, nx = E.shape
     tz = _pick_tz(nz)
     nzb = nz // tz
-    kern = functools.partial(_matvec_kernel, nz=nz, ny=ny, nx=nx, tz=tz)
+    kern = functools.partial(_matvec_kernel, tz=tz)
+
+    def zb(which, c=None):
+        if c is None:
+            return pl.BlockSpec((tz, ny, nx),
+                                lambda i, _w=which: ((i + _w) % nzb, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((c, tz, ny, nx),
+                            lambda i, _w=which: (0, (i + _w) % nzb, 0, 0),
+                            memory_space=pltpu.VMEM)
+
     out = pl.pallas_call(
         kern,
         grid=(nzb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((6, tz, ny, nx), lambda i: (0, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tz, ny, nx), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tz, ny, nx), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tz, ny, nx), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[zb(-1), zb(0), zb(1), zb(0, 6), zb(0), zb(0)],
+        out_specs=zb(0),
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), E.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((tz + 2, ny, nx), E.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM),
         interpret=interpret,
-    )(E, A, diag_geo, sf)
+    )(E, E, E, A, diag_geo, sf)
     return out

@@ -56,7 +56,7 @@ def test_pallas_fld_matches_jnp(with_ghosts):
     ghosts = dict(gh) if with_ghosts else None
     dt = 1.0e-3
     os.environ["ARTEMIS_PALLAS_INTERPRET"] = "1"
-    os.environ.pop("ARTEMIS_PALLAS_RAD", None)
+    os.environ["ARTEMIS_PALLAS_RAD"] = "1"   # opt-in path under test
     try:
         out_pal = rad.step(dict(state), dt, ghosts=ghosts)
         os.environ["ARTEMIS_PALLAS_RAD"] = "0"
