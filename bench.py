@@ -24,8 +24,13 @@ import time
 
 # Persistent XLA/Mosaic compilation cache: the fused disk kernel takes
 # minutes to compile cold; with a warm cache the bench finishes in well
-# under a minute.  Must be set before jax initializes.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/artemis_jax_cache")
+# under a minute.  Must be set before jax initializes.  REPO-LOCAL so
+# it survives /tmp wipes between harness rounds (round 4's bench hit
+# its wall-clock timeout recompiling everything from scratch).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
