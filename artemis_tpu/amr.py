@@ -1693,16 +1693,7 @@ class MultiLevelSMR:
                 states[ci]["gas"]["w"], slabs[ci], bdt, force_pcm,
                 base=base)
             # 2. dual-energy switch on the whole block
-            # (_block_set_auxiliary's math, no inner slice)
-            rho = jnp.maximum(B[:, 0], cfg.dfloor)
-            ke = 0.5 * (B[:, 1] ** 2 + B[:, 2] ** 2 + B[:, 3] ** 2) / rho
-            e_tot = B[:, 4]
-            ue = e_tot - ke
-            sie = jnp.where(ue > cfg.de_switch * e_tot, ue / rho,
-                            B[:, 5] / rho)
-            sie = jnp.maximum(sie, cfg.siefloor)
-            B = B.at[:, 5].set(jnp.maximum(sie * rho, cfg.siefloor * rho)
-                               .astype(B.dtype))
+            B = self._aux_switch_math(B)
             # 3. restriction (band on intermediate stages, full on final)
             if band:
                 B = self._restrict_band_into(
@@ -1712,55 +1703,33 @@ class MultiLevelSMR:
                                        child.active,
                                        volf=child.volf).astype(B.dtype)
                 B = self._restrict_into(child, B, res, lo_reb)
-            # 4. C2P + P2C floor resync (_block_resync's math)
-            ub = B.astype(kdt)
-            rho = jnp.maximum(ub[:, 0], cfg.dfloor)
-            v1 = ub[:, 1] / rho
-            v2 = ub[:, 2] / rho
-            v3 = ub[:, 3] / rho
-            sie = jnp.maximum(ub[:, 5] / rho, cfg.siefloor)
-            pg = (cfg.gamma - 1.0) * rho * sie
-            eint = sie * rho
-            etot = eint + 0.5 * rho * (v1 * v1 + v2 * v2 + v3 * v3)
-            ub2 = jnp.stack([rho, rho * v1, rho * v2, rho * v3, etot,
-                             eint], axis=1).astype(kdt)
-            wb2 = jnp.stack([rho, v1, v2, v3, pg, sie],
-                            axis=1).astype(kdt)
+            # 4. C2P + P2C floor resync on the whole block
+            ub2, wb2 = self._resync_math(B.astype(kdt), kdt)
             u_p = jax.lax.dynamic_update_slice(u_p.astype(kdt), ub2,
                                                ustarts)
             w_p = jax.lax.dynamic_update_slice(w_p, wb2, ustarts)
         new_states[p]["gas"] = {"u": u_p, "w": w_p}
 
-    def _block_set_auxiliary(self, u_p, child, los):
-        """Dual-energy switch (hydro.set_auxiliary with Cartesian hx == 1,
-        the fused path's gating) on the child's bounding block only."""
+    def _aux_switch_math(self, ub):
+        """Dual-energy switch (hydro.set_auxiliary with Cartesian
+        hx == 1, the fused path's gating) on an already-sliced block —
+        the single source for both the phase-ordered and block-framed
+        glue paths."""
         cfg = self.cfg
-        s3, z3 = self._child_block(child, los)
-        starts = tuple(jnp.asarray(0, jnp.int32)
-                       for _ in range(u_p.ndim - 3)) + tuple(s3)
-        sizes = tuple(u_p.shape[:-3]) + tuple(z3)
-        ub = jax.lax.dynamic_slice(u_p, starts, sizes)
         rho = jnp.maximum(ub[:, 0], cfg.dfloor)
         ke = 0.5 * (ub[:, 1] ** 2 + ub[:, 2] ** 2 + ub[:, 3] ** 2) / rho
         e_tot = ub[:, 4]
         ue = e_tot - ke
         sie = jnp.where(ue > cfg.de_switch * e_tot, ue / rho, ub[:, 5] / rho)
         sie = jnp.maximum(sie, cfg.siefloor)
-        ub = ub.at[:, 5].set(jnp.maximum(sie * rho, cfg.siefloor * rho)
-                             .astype(ub.dtype))
-        return jax.lax.dynamic_update_slice(u_p, ub, starts)
+        return ub.at[:, 5].set(jnp.maximum(sie * rho, cfg.siefloor * rho)
+                               .astype(ub.dtype))
 
-    def _block_resync(self, u_full, w_full, child, los):
-        """C2P + P2C floor re-sync (Cartesian hx == 1) on the child's
-        bounding block; bit-identical to hydro.cons_to_prim/prim_to_cons
-        restricted to the block."""
+    def _resync_math(self, ub, kdt):
+        """C2P + P2C floor re-sync (Cartesian hx == 1) on an
+        already-sliced block: returns (u_block, w_block) in ``kdt`` —
+        the single source for both glue paths."""
         cfg = self.cfg
-        kdt = w_full.dtype
-        s3, z3 = self._child_block(child, los)
-        starts = tuple(jnp.asarray(0, jnp.int32)
-                       for _ in range(u_full.ndim - 3)) + tuple(s3)
-        sizes = tuple(u_full.shape[:-3]) + tuple(z3)
-        ub = jax.lax.dynamic_slice(u_full, starts, sizes)
         rho = jnp.maximum(ub[:, 0], cfg.dfloor)
         v1 = ub[:, 1] / rho
         v2 = ub[:, 2] / rho
@@ -1772,6 +1741,29 @@ class MultiLevelSMR:
         ub2 = jnp.stack([rho, rho * v1, rho * v2, rho * v3, etot, eint],
                         axis=1).astype(kdt)
         wb2 = jnp.stack([rho, v1, v2, v3, p, sie], axis=1).astype(kdt)
+        return ub2, wb2
+
+    def _block_set_auxiliary(self, u_p, child, los):
+        """Dual-energy switch on the child's bounding block only."""
+        s3, z3 = self._child_block(child, los)
+        starts = tuple(jnp.asarray(0, jnp.int32)
+                       for _ in range(u_p.ndim - 3)) + tuple(s3)
+        sizes = tuple(u_p.shape[:-3]) + tuple(z3)
+        ub = jax.lax.dynamic_slice(u_p, starts, sizes)
+        ub = self._aux_switch_math(ub)
+        return jax.lax.dynamic_update_slice(u_p, ub, starts)
+
+    def _block_resync(self, u_full, w_full, child, los):
+        """C2P + P2C floor re-sync on the child's bounding block;
+        bit-identical to hydro.cons_to_prim/prim_to_cons restricted to
+        the block."""
+        kdt = w_full.dtype
+        s3, z3 = self._child_block(child, los)
+        starts = tuple(jnp.asarray(0, jnp.int32)
+                       for _ in range(u_full.ndim - 3)) + tuple(s3)
+        sizes = tuple(u_full.shape[:-3]) + tuple(z3)
+        ub = jax.lax.dynamic_slice(u_full, starts, sizes)
+        ub2, wb2 = self._resync_math(ub, kdt)
         return (jax.lax.dynamic_update_slice(u_full, ub2, starts),
                 jax.lax.dynamic_update_slice(w_full, wb2, starts))
 
@@ -1919,15 +1911,17 @@ class MultiLevelSMR:
             else:
                 Erp = self._parent_arr(states, node, "rad", "Er")
                 lo_n = self._node_lo(node, los)
-                if self._shard_axis is None:
+                if self._shard_axis is None and not any(node.wrap):
                     # O(surface) Dirichlet planes straight from the
                     # per-face prolonged slabs — the former full padded
                     # Er build (an O(volume), lane-misaligned array made
                     # only to read 6 planes back out) dominated the
                     # radiation pass cost at production shape
-                    gh = self._rad_ghost_planes(node, st["rad"]["Er"],
-                                                Erp, lo_n, sib_Er)
+                    gh = self._rad_ghost_planes(node, Erp, lo_n, sib_Er)
                 else:
+                    # sharded patches (seam exchange) and wrap-axis
+                    # patches (the slab windows expect a wrap-padded
+                    # parent) keep the padded route
                     gh = self._rad_ghost_planes_padded(node, st, Erp,
                                                        lo_n, states,
                                                        sib_Er)
@@ -2002,7 +1996,7 @@ class MultiLevelSMR:
             gh[d] = (plane(ngd - 1), plane(ngd + nd))
         return gh
 
-    def _rad_ghost_planes(self, node, Er_f, Erp, lo, sib_Er):
+    def _rad_ghost_planes(self, node, Erp, lo, sib_Er):
         """Per-face Dirichlet ghost planes for the fine FLD solve in
         O(surface): the innermost prolonged ghost row of each face slab
         (sibling fine values folded), with the interior transverse
@@ -2023,20 +2017,12 @@ class MultiLevelSMR:
             return sl
 
         gh = {}
+        assert not any(node.wrap), \
+            "wrap-axis patches route through _rad_ghost_planes_padded " \
+            "(the slab windows expect a wrap-padded parent)"
         for d in (1, 2, 3):
             dd = d - 1
             if fgrid.nx[dd] <= 1:
-                continue
-            if node.wrap[dd]:
-                # periodic image of the fine data (what _wrap_ghosts
-                # placed in the pad): interior rows, no prolongation
-                ax = Er_f.ndim - d
-                n = fgrid.nx[dd]
-                sl_lo = [slice(None)] * Er_f.ndim
-                sl_lo[ax] = slice(n - 1, n)
-                sl_hi = [slice(None)] * Er_f.ndim
-                sl_hi[ax] = slice(0, 1)
-                gh[d] = (Er_f[tuple(sl_lo)], Er_f[tuple(sl_hi)])
                 continue
             if node.ghost_spacings is None:
                 s0, s1 = node._prolong_ghost_slab_pair(Erp, dd, lo)

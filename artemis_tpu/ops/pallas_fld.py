@@ -61,6 +61,24 @@ def _pick_tz(nz):
     return 1
 
 
+def supported(nz) -> bool:
+    """Both kernels assemble 2-row z halos from the neighbor blocks,
+    so the z tile must be >= 2 — odd nz (tz = 1) falls back to jnp."""
+    return _pick_tz(nz) >= 2
+
+
+def _zb(tz, ny, nx, nzb, which, c=None):
+    """BlockSpec for a (nz, ny, nx) [or (c, nz, ny, nx)] operand: the
+    block at z-index i+which (mod nzb — wrap matches jnp.roll)."""
+    if c is None:
+        return pl.BlockSpec((tz, ny, nx),
+                            lambda i, _w=which: ((i + _w) % nzb, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((c, tz, ny, nx),
+                        lambda i, _w=which: (0, (i + _w) % nzb, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
 def _roll(a, shift, axis):
     """In-VMEM cyclic shift (wrap semantics = the jnp path's roll;
     jnp.roll lowers to Mosaic's lane/sublane rotate inside kernels)."""
@@ -135,6 +153,9 @@ def fld_coeffs(E, chi, dt, dxs, c_code, ext, flags, interpret=None):
         interpret = _interpret_mode()
     nz, ny, nx = E.shape
     tz = _pick_tz(nz)
+    if tz < 2:
+        raise ValueError(f"fld_coeffs needs an even z extent (nz={nz}); "
+                         "gate with pallas_fld.supported(nz)")
     tiny = float(jnp.finfo(E.dtype).tiny)
     nzb = nz // tz
     kern = functools.partial(
@@ -143,13 +164,7 @@ def fld_coeffs(E, chi, dt, dxs, c_code, ext, flags, interpret=None):
         ext=float(ext), flags=tuple(tuple(f) for f in flags), tiny=tiny)
 
     def zb(which, c=None):
-        if c is None:
-            return pl.BlockSpec((tz, ny, nx),
-                                lambda i, _w=which: ((i + _w) % nzb, 0, 0),
-                                memory_space=pltpu.VMEM)
-        return pl.BlockSpec((c, tz, ny, nx),
-                            lambda i, _w=which: (0, (i + _w) % nzb, 0, 0),
-                            memory_space=pltpu.VMEM)
+        return _zb(tz, ny, nx, nzb, which, c)
 
     A, dg, dc = pl.pallas_call(
         kern,
@@ -188,17 +203,14 @@ def fld_matvec(E, A, diag_geo, sf, interpret=None):
         interpret = _interpret_mode()
     nz, ny, nx = E.shape
     tz = _pick_tz(nz)
+    if tz < 2:
+        raise ValueError(f"fld_matvec needs an even z extent (nz={nz}); "
+                         "gate with pallas_fld.supported(nz)")
     nzb = nz // tz
     kern = functools.partial(_matvec_kernel, tz=tz)
 
     def zb(which, c=None):
-        if c is None:
-            return pl.BlockSpec((tz, ny, nx),
-                                lambda i, _w=which: ((i + _w) % nzb, 0, 0),
-                                memory_space=pltpu.VMEM)
-        return pl.BlockSpec((c, tz, ny, nx),
-                            lambda i, _w=which: (0, (i + _w) % nzb, 0, 0),
-                            memory_space=pltpu.VMEM)
+        return _zb(tz, ny, nx, nzb, which, c)
 
     out = pl.pallas_call(
         kern,

@@ -261,7 +261,8 @@ class Radiation:
         from .ops import pallas_fld as _pf
 
         pal = (_pf.enabled() and self._axis_name is None
-               and len(self.dims) == 3 and self._wuni is not None)
+               and len(self.dims) == 3 and self._wuni is not None
+               and _pf.supported(Er0.shape[-3]))
         if pal:
             shp3 = Er0.shape[-3:]
             lead = Er0.shape[:-3]

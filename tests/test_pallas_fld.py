@@ -26,9 +26,12 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def _setup():
     pin = ParameterInput.from_file(os.path.join(ROOT, "inputs",
                                                 "disk_rhd_amr.in"))
+    # nx3=32 -> tz=16, nzb=2: the (i±1 mod nzb) neighbor-block halo
+    # assembly actually crosses blocks (nzb=1 would self-reference and
+    # leave the halo indexing untested)
     pin.apply_overrides(["parthenon/mesh/nx1=32",
                          "parthenon/mesh/nx2=16",
-                         "parthenon/mesh/nx3=16"])
+                         "parthenon/mesh/nx3=32"])
     grid = grid_from_input(pin)
     gas = FluidCfg(fluid="gas", recon="plm", rsolver="hllc",
                    gamma=pin.get_real("gas", "gamma"), cfl=0.9)
@@ -37,7 +40,7 @@ def _setup():
                        c_code=10.0, arad=2.0)
     rad = Radiation(cfg, grid, hyd, gas)
     rng = np.random.default_rng(1)
-    nz, ny, nx = 16, 16, 32
+    nz, ny, nx = 32, 16, 32
     rho = jnp.asarray(1.0 + rng.random((1, nz, ny, nx)))
     sie = jnp.asarray(1.0 + rng.random((1, nz, ny, nx)))
     u = (jnp.zeros((1, 6, nz, ny, nx)).at[:, 0].set(rho)
