@@ -14,7 +14,7 @@ import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/artemis_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 variant = sys.argv[1] if len(sys.argv) > 1 else "full"
 if variant == "nofused":
     os.environ["ARTEMIS_PALLAS"] = "0"
