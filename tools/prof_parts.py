@@ -1,7 +1,7 @@
 import os, sys, time
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))  # repo root
 import sys as _sys; _sys.path.insert(0, _ROOT)  # import artemis_tpu without chdir side effects
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/artemis_jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_ROOT, ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 import numpy as np
 import jax, jax.numpy as jnp

@@ -13,7 +13,7 @@ import sys as _sys; _sys.path.insert(0, _ROOT)  # import artemis_tpu without chd
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/artemis_jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_ROOT, ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 variant = sys.argv[1] if len(sys.argv) > 1 else "full"
 if variant == "nofused":
