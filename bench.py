@@ -212,9 +212,12 @@ def bench_rhd_tiled(nsteps, reps):
         "gas/refine_type=magnitude",
         "gas/refine_thr=0.3",
         f"parthenon/refinement/check_interval={ck}",
-        f"parthenon/refinement/tile_nx1={os.environ.get('BENCH_TILE_NX1', 32)}",
-        f"parthenon/refinement/tile_nx2={os.environ.get('BENCH_TILE_NX2', 32)}",
-        f"parthenon/refinement/tile_nx3={os.environ.get('BENCH_TILE_NX3', 16)}",
+        # 64x64x32 tiles -> ~17 pool nodes at the default root; 32-cell
+        # tiles spawn ~113, and the 114-node batched step program takes
+        # >1h to compile on the harness box (round 4's bench timeout)
+        f"parthenon/refinement/tile_nx1={os.environ.get('BENCH_TILE_NX1', 64)}",
+        f"parthenon/refinement/tile_nx2={os.environ.get('BENCH_TILE_NX2', 64)}",
+        f"parthenon/refinement/tile_nx3={os.environ.get('BENCH_TILE_NX3', 32)}",
     ], data_dir="/tmp/bench_rhd_tiled")
     drv = sim.driver
     assert drv.tiled, "deck did not engage tiled adaptivity"
