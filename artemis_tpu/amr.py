@@ -2357,52 +2357,87 @@ class MultiLevelSMR:
 
         from .ops import refinement as ref_mod
 
-        def tag_deref(w_np, g):
-            """(refine tags, all-derefine mask, deref_thr) on grid g."""
+        if not hasattr(self, "_tag_jits"):
+            self._tag_jits = {}
+
+        def _dilate(tags):
+            """nbuf-cell boolean dilation per active axis (no wrap) —
+            jnp ops, exact-equal to the former host |= loop."""
+            for _ in range(max(0, nbuf)):
+                t2 = tags
+                for ax in range(3):
+                    if tags.shape[ax] > 1:
+                        pad_lo = [(0, 0)] * 3
+                        pad_lo[ax] = (0, 1)
+                        pad_hi = [(0, 0)] * 3
+                        pad_hi[ax] = (1, 0)
+                        sl_lo = [slice(None)] * 3
+                        sl_lo[ax] = slice(1, None)
+                        sl_hi = [slice(None)] * 3
+                        sl_hi[ax] = slice(0, -1)
+                        t2 = (t2 | jnp.pad(tags, pad_lo)[tuple(sl_lo)]
+                              | jnp.pad(tags, pad_hi)[tuple(sl_hi)])
+                tags = t2
+            return tags
+
+        def tag_deref(w_dev, g):
+            """(refine tags, all-derefine mask, deref_thr) on grid g.
+
+            Criterion tags compute ON DEVICE (one jitted launch, cached
+            per grid) and only the boolean masks cross the host link —
+            the former full-state pull cost ~25x the tag bytes per
+            regrid over the TPU tunnel and dominated the adaptive
+            loop's wall time (bench rhd_tiled leg)."""
             deref_all = None
             if tags_fn is None and not criterion:
                 # forced-windows-only deck: nothing tags, nothing derefines
                 shp = tuple(g.nx[::-1])
                 return (np.zeros(shp, bool), np.zeros(shp, bool), 0.0)
             if tags_fn is not None:
-                tags = np.asarray(tags_fn(w_np, g), dtype=bool)
+                # problem-defined criterion: host semantics (the hook
+                # receives a concrete array)
+                tags = np.asarray(tags_fn(np.asarray(w_dev), g),
+                                  dtype=bool)
                 while tags.ndim > 3:                 # species axis
                     tags = tags.any(axis=0)
-                deref_thr = 1.0
-            else:
-                field = w_np[:, 0] \
-                    if criterion.get("field", "density") == "density" \
-                    else w_np[:, 4]
+                tags = np.asarray(_dilate(jnp.asarray(tags)))
+                return tags, ~tags, 1.0
+            deref_thr = criterion.get("deref_thr", 0.0)
+            # cache key: everything the traced computation closes over
+            # (grid extents/ghosts/BCs/spacings + input shape) — ids are
+            # unsafe (ic_grids are rebuilt every _compile and a freed
+            # id can be reused)
+            key = (tuple(g.nx), tuple(g.ng), tuple(map(tuple, g.bc)),
+                   float(g.geom.xf1[0]), float(g.geom.xf1[1]),
+                   float(g.geom.xf2[0]),
+                   float(g.geom.xf2[1]) if len(g.geom.xf2) > 1 else 0.0,
+                   float(g.geom.xf3[0]),
+                   float(g.geom.xf3[1]) if len(g.geom.xf3) > 1 else 0.0,
+                   tuple(w_dev.shape))
+            fn = self._tag_jits.get(key)
+            if fn is None:
                 dims = [d for d in (1, 2, 3) if g.nx[d - 1] > 1]
-                deref_thr = criterion.get("deref_thr", 0.0)
-                if criterion.get("type", "gradient") == "gradient":
-                    widths = ref_mod.grid_stencil_widths(g)
-                    tags, deref = ref_mod.scalar_first_derivative(
-                        jnp.asarray(field), widths, dims,
-                        criterion["refine_thr"], deref_thr, bc=g.bc)
-                else:
-                    tags, deref = ref_mod.scalar_magnitude(
-                        jnp.asarray(field), criterion["refine_thr"],
-                        deref_thr)
-                tags = np.asarray(tags).any(axis=0)      # [z, y, x]
-                deref_all = np.asarray(deref).all(axis=0)
-            # buffer the refine tags by nbuf cells per active axis
-            for _ in range(max(0, nbuf)):
-                t2 = tags.copy()
-                for ax in range(3):
-                    if tags.shape[ax] > 1:
-                        sl_lo = [slice(None)] * 3
-                        sl_hi = [slice(None)] * 3
-                        sl_lo[ax] = slice(0, -1)
-                        sl_hi[ax] = slice(1, None)
-                        t2[tuple(sl_lo)] |= tags[tuple(sl_hi)]
-                        t2[tuple(sl_hi)] |= tags[tuple(sl_lo)]
-                tags = t2
-            if tags_fn is not None:
-                deref_all = ~tags
-            return tags, deref_all, deref_thr
 
-        def decide(parent, g, w_np, strict):
+                def compute(w):
+                    field = w[:, 0] \
+                        if criterion.get("field", "density") == "density" \
+                        else w[:, 4]
+                    if criterion.get("type", "gradient") == "gradient":
+                        widths = ref_mod.grid_stencil_widths(g)
+                        tg, de = ref_mod.scalar_first_derivative(
+                            field, widths, dims,
+                            criterion["refine_thr"], deref_thr, bc=g.bc)
+                    else:
+                        tg, de = ref_mod.scalar_magnitude(
+                            field, criterion["refine_thr"], deref_thr)
+                    return _dilate(tg.any(axis=0)), de.all(axis=0)
+
+                fn = jax.jit(compute)
+                self._tag_jits[key] = fn
+            tags, deref = fn(w_dev)
+            return np.asarray(tags), np.asarray(deref), deref_thr
+
+        def decide(parent, g, w_dev, strict):
             """Spawn/keep/drop decisions for one parent window: returns
             (tile_t, to_drop nodes, to_spawn los) or None when the tile
             lattice does not fit (deep windows too small — skipped
@@ -2424,7 +2459,7 @@ class MultiLevelSMR:
                             f"interior with the nesting rim ({rims[d]})")
                     return None
                 lattice.append(list(range(rims[d], last + 1, t[d])))
-            tags, deref_all, deref_thr = tag_deref(w_np, g)
+            tags, deref_all, deref_thr = tag_deref(w_dev, g)
 
             def window(lo_):
                 return tuple(slice(lo_[2 - i], lo_[2 - i] + t[2 - i])
@@ -2479,7 +2514,7 @@ class MultiLevelSMR:
         # state yet and get their children at the next regrid)
         to_remove, to_add = [], []         # nodes; (parent, lo, t)
         root_dec = decide(self.root, self.ic_grids[0],
-                          np.asarray(states[0]["gas"]["w"]), strict=True)
+                          states[0]["gas"]["w"], strict=True)
         _, drop, add = root_dec
         to_remove += drop
         to_add += [(self.root, lo_, root_dec[0]) for lo_ in add]
@@ -2489,7 +2524,7 @@ class MultiLevelSMR:
                            if nd.level == lev and getattr(nd, "pool", False)
                            and id(nd) not in dropped]:
                 dec = decide(parent, self.ic_grids[parent.index],
-                             np.asarray(states[parent.index]["gas"]["w"]),
+                             states[parent.index]["gas"]["w"],
                              strict=False)
                 if dec is None:
                     continue

@@ -441,6 +441,14 @@ def main() -> int:
             print(f"# tiled AMR leg failed: {e!r}", file=sys.stderr)
 
     if disk is None and cart is None and rhd is None:
+        if tiled is not None:     # tiled-only invocation: still a result
+            print(json.dumps({
+                "metric": "zone-cycles/sec/chip (AMR disk RHD, tiled "
+                          "spawn/destroy adaptivity, f32)",
+                "value": tiled, "unit": "zone-cycles/s",
+                "vs_baseline": tiled / baseline,
+                "platform": platform}), flush=True)
+            return 0
         print(json.dumps({"metric": "bench failed (no leg completed)",
                           "value": 0.0, "unit": "zone-cycles/s",
                           "vs_baseline": 0.0}), flush=True)
