@@ -155,7 +155,14 @@ def restrict_average(wf, active, volf=None):
     TPU (contiguous adds at full lane width), so the lane-dim (x) pairing
     — the only one that costs a relayout — runs on 1/4 of the data.  The
     original x-first reshape-mean relayed out the FULL fine array and was
-    the dominant AMR-glue cost at production shape."""
+    the dominant AMR-glue cost at production shape.
+
+    NOTE: the z-first pairing changes the floating-point summation tree
+    vs the pre-round-4 x-first order, so restriction results can differ
+    in the last ULP from checkpoints/golden outputs written by earlier
+    versions (internal consistency and all regression gates are
+    unaffected; only bit-exact comparison against pre-change restart
+    files would notice)."""
 
     import os
     # measured on v5e at 256x256x64: stride-2 lane slices lower to
