@@ -1905,36 +1905,82 @@ class MultiLevelSMR:
         them through prolonged Dirichlet ghost planes of Er, then the
         fine fields restrict back (the jaybenne photons-cross-levels
         analogue)."""
+        import os as _os
+
         states = list(states)
         # sibling Er snapshots from BEFORE any solve: same-level ghost
         # exchange stays symmetric (parents deliberately couple
         # post-solve; siblings couple pre-solve, Jacobi-style)
         sib_Er = [s.get("rad", {}).get("Er") for s in states]
-        for node in self.nodes:
+
+        def build_gh(node):
+            st = dict(states[node.index])
+            Erp = self._parent_arr(states, node, "rad", "Er")
+            lo_n = self._node_lo(node, los)
+            if self._shard_axis is None and not any(node.wrap):
+                # O(surface) Dirichlet planes straight from the
+                # per-face prolonged slabs — the former full padded
+                # Er build (an O(volume), lane-misaligned array made
+                # only to read 6 planes back out) dominated the
+                # radiation pass cost at production shape
+                return self._rad_ghost_planes(node, Erp, lo_n, sib_Er)
+            # sharded patches (seam exchange) and wrap-axis patches
+            # (the slab windows expect a wrap-padded parent) keep the
+            # padded route
+            return self._rad_ghost_planes_padded(node, st, Erp, lo_n,
+                                                 states, sib_Er)
+
+        def solve_one(node, gh):
             i = node.index
             st = dict(states[i])
-            if node.parent is None:
-                st = node.radiation.step(st, dt)
-            else:
-                Erp = self._parent_arr(states, node, "rad", "Er")
-                lo_n = self._node_lo(node, los)
-                if self._shard_axis is None and not any(node.wrap):
-                    # O(surface) Dirichlet planes straight from the
-                    # per-face prolonged slabs — the former full padded
-                    # Er build (an O(volume), lane-misaligned array made
-                    # only to read 6 planes back out) dominated the
-                    # radiation pass cost at production shape
-                    gh = self._rad_ghost_planes(node, Erp, lo_n, sib_Er)
-                else:
-                    # sharded patches (seam exchange) and wrap-axis
-                    # patches (the slab windows expect a wrap-padded
-                    # parent) keep the padded route
-                    gh = self._rad_ghost_planes_padded(node, st, Erp,
-                                                       lo_n, states,
-                                                       sib_Er)
-                st = node.radiation.step(st, dt, ghosts=gh)
-            st = node.radiation.sync_gas(st)
-            states[i] = st
+            st = (node.radiation.step(st, dt) if gh is None
+                  else node.radiation.step(st, dt, ghosts=gh))
+            states[i] = node.radiation.sync_gas(st)
+
+        # batched fine solves: same-shape unsharded Cartesian patches at
+        # one level stack on a vmapped leading axis and solve as ONE
+        # union system (block-diagonal operator; the CG inner products
+        # run per element under vmap's while_loop masking, so each
+        # tile's solve stops at its own tolerance exactly as the
+        # sequential path does).  A 9-tile pool's radiation pass was ~9x
+        # a single fixed-overhead solve (tools/prof_tiled.py) — batching
+        # collapses it to one setup + matvec stream over the stacked
+        # zones.  ARTEMIS_BATCH_RAD=0 restores the sequential loop.
+        from .ops import pallas_fld as _pf
+
+        batch_ok = (_os.environ.get("ARTEMIS_BATCH_RAD", "1") != "0"
+                    and self._shard_axis is None and not _pf.enabled())
+
+        for lev in sorted({n.level for n in self.nodes}):
+            groups = {}
+            for node in [n for n in self.nodes if n.level == lev]:
+                gh = None if node.parent is None else build_gh(node)
+                if (gh is None or not batch_ok or node.curv
+                        or any(node.wrap)):
+                    solve_one(node, gh)
+                    continue
+                key = (tuple(node.grid.nx),
+                       jax.tree_util.tree_structure(states[node.index]),
+                       tuple((d, tuple(gh[d][0].shape),
+                              tuple(gh[d][1].shape))
+                             for d in sorted(gh)))
+                groups.setdefault(key, []).append((node, gh))
+            for members in groups.values():
+                if len(members) == 1:
+                    solve_one(*members[0])
+                    continue
+                rad0 = members[0][0].radiation
+                sts = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs),
+                    *[states[n.index] for n, _ in members])
+                ghs = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs),
+                    *[g for _, g in members])
+                out = jax.vmap(
+                    lambda s, g: rad0.step(s, dt, ghosts=g))(sts, ghs)
+                for j, (node, _) in enumerate(members):
+                    st = jax.tree_util.tree_map(lambda a: a[j], out)
+                    states[node.index] = node.radiation.sync_gas(st)
         # restrict Er + exchanged gas energy back onto the parents.  The
         # stage's final glue already deposited the FULL fine state; the
         # radiation split only changes the gas energy components, so the

@@ -40,7 +40,8 @@ from .pallas_sweeps import RIEMANN
 
 import os as _os
 
-TY = int(_os.environ.get("ARTEMIS_CURV_TY", "32"))  # y rows per block
+_TY_ENV = _os.environ.get("ARTEMIS_CURV_TY")
+TY = int(_TY_ENV) if _TY_ENV else 32   # y rows per block
 # preferred z planes per block: 16 (measured +5.5% over 8 on the v5e
 # disk bench at the 126 MB scoped VMEM limit); grids whose nz is not a
 # multiple fall back to 8-plane tiles
@@ -55,6 +56,18 @@ def _pick_tz(nz: int) -> int:
     if nz % TZ == 0:
         return TZ
     return 8
+
+
+def _pick_ty(nx: int) -> int:
+    """y rows per block as a function of the lane (x) extent.  32 is the
+    tuned v5e value up to 256-lane rows; at >= 512 lanes the fused stage
+    body's live set doubles and Mosaic's register allocator spills
+    ~150 MB of scoped VMEM (compile OOM) — 16 rows compiles and measures
+    2.27e8 z-c/s on the 512x512x64 production root (tools/prof_shape.py).
+    An explicit ARTEMIS_CURV_TY wins at every shape."""
+    if _TY_ENV:
+        return TY
+    return 16 if nx >= 512 else TY
 
 
 # ---------------------------------------------------------------------------
@@ -598,8 +611,9 @@ def _stage_kernel_curv(bdt_ref, gdt_ref, u0_ref, u1_ref, wp_hbm, cx_ref,
     i = pl.program_id(0)
     j = pl.program_id(1)
     zsz = tz + 4 if active_z else 1
+    ys = (ty + 4 + 7) // 8 * 8
     dma = pltpu.make_async_copy(
-        wp_hbm.at[:, pl.ds(i * tz, zsz), pl.ds(j * TY, YS), :],
+        wp_hbm.at[:, pl.ds(i * tz, zsz), pl.ds(j * ty, ys), :],
         scratch, sem)
     dma.start()
     bdt = bdt_ref[0]
@@ -1518,6 +1532,8 @@ def stage_curv_gather(w_int, u0, u1, grid, cfg, gam0, gam1, beta_dt,
     if interpret is None:
         interpret = _interpret_mode()
     nx, ny, nz = grid.nx
+    TY = _pick_ty(nx)                    # shadow: shape-aware y block
+    YS = (TY + 4 + 7) // 8 * 8
     g1 = grid.ng[0]
     active_z = nz > 1
     wi = w_int[0]
@@ -1640,6 +1656,8 @@ def stage_curv(w_pad, u0, u1, grid, cfg, gam0, gam1, beta_dt, force_pcm,
     if interpret is None:
         interpret = _interpret_mode()
     nx, ny, nz = grid.nx
+    TY = _pick_ty(nx)                    # shadow: shape-aware y block
+    YS = (TY + 4 + 7) // 8 * 8
     g1 = grid.ng[0]
     active_z = nz > 1
     wp = w_pad[0]
@@ -1747,7 +1765,8 @@ def supported_curv(grid, cfg) -> bool:
     return (on_tpu and cfg is not None
             and cfg.fluid == "gas" and cfg.nspecies == 1
             and cfg.rsolver in ("hllc", "hlle") and cfg.recon in ("plm", "pcm")
-            and grid.nghost == 2 and grid.nx[1] % TY == 0 and grid.nx[1] > 1
+            and grid.nghost == 2
+            and grid.nx[1] % _pick_ty(grid.nx[0]) == 0 and grid.nx[1] > 1
             and grid.nx[0] > 1
             and (grid.nx[2] == 1 or grid.nx[2] % _pick_tz(grid.nx[2]) == 0))
 
@@ -1981,6 +2000,8 @@ def _stage_curv_gather6_v1(w_int, u0, u1, grid, cfg, gam0, gam1, beta_dt,
                            grav=None, grav_dt=0.0, interpret=None):
     """v1 frontend: full 13-DMA gather with value-select assembly."""
     nx, ny, nz = grid.nx
+    TY = _pick_ty(nx)                    # shadow: shape-aware y block
+    YS = (TY + 4 + 7) // 8 * 8
     g1 = grid.ng[0]
     active_z = nz > 1
     wi = w_int[0]
@@ -2087,6 +2108,8 @@ def _stage_curv_gather6_v2(w_int, u0, u1, grid, cfg, gam0, gam1, beta_dt,
                            grav=None, grav_dt=0.0, interpret=None):
     """v2 frontend: 6 predicated region DMAs per block, merged x1 strip."""
     nx, ny, nz = grid.nx
+    TY = _pick_ty(nx)                    # shadow: shape-aware y block
+    YS = (TY + 4 + 7) // 8 * 8
     g1 = grid.ng[0]
     active_z = nz > 1
     wi = w_int[0]
@@ -2298,6 +2321,8 @@ def stage_curv_gather6_batched(ws, u0s, u1s, grid, cfg, gam0, gam1,
     if interpret is None:
         interpret = _interpret_mode()
     nx, ny, nz = grid.nx
+    TY = _pick_ty(nx)                    # shadow: shape-aware y block
+    YS = (TY + 4 + 7) // 8 * 8
     g1 = grid.ng[0]
     active_z = nz > 1
     N = len(ws)
@@ -2463,5 +2488,5 @@ def gather6_supported(grid) -> bool:
     """Grid-shape gate for the six-face strip kernel (boundary sourcing
     is the caller's responsibility: ic caches or prolonged slabs)."""
     nx, ny, nz = grid.nx
-    return (grid.nghost == 2 and nx % 128 == 0 and ny % TY == 0
+    return (grid.nghost == 2 and nx % 128 == 0 and ny % _pick_ty(nx) == 0
             and nz > 1 and nz % _pick_tz(nz) == 0)

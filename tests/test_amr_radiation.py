@@ -112,3 +112,131 @@ def test_rad_shock_refined_matches_unrefined(tmp_path):
         # coarse truncation error
         rel = np.abs(a - b).sum() / np.abs(a).sum()
         assert rel < 2e-2, (key, kind, rel)
+
+
+TWO_PATCH_DECK = """
+<artemis>
+problem = constant
+coordinates = cartesian
+
+<parthenon/time>
+tlim = 1.0e-8
+nlim = 4
+integrator = rk2
+
+<parthenon/mesh>
+nghost = 2
+refinement = static
+nx1 = 64
+x1min = 0.0
+x1max = 1.0
+ix1_bc = reflecting
+ox1_bc = reflecting
+nx2 = 32
+x2min = 0.0
+x2max = 0.5
+ix2_bc = reflecting
+ox2_bc = reflecting
+nx3 = 1
+x3min = -0.5
+x3max = 0.5
+
+<parthenon/static_refinement1>
+level = 1
+x1min = 0.125
+x1max = 0.375
+x2min = 0.125
+x2max = 0.25
+
+<parthenon/static_refinement2>
+level = 1
+x1min = 0.5
+x1max = 0.75
+x2min = 0.25
+x2max = 0.375
+
+<physics>
+gas = true
+radiation = true
+
+<gas>
+gamma = 1.6666666666666667
+cfl = 0.4
+reconstruct = plm
+riemann = hllc
+
+<gas/opacity/absorption>
+opacity_model = constant
+kappa_a = 1.0
+
+<jaybenne>
+dt = 1.0e-10
+
+<problem>
+rho = 1.0
+pres = 0.6666666666666666
+"""
+
+
+def test_batched_fine_solves_match_sequential(tmp_path, monkeypatch):
+    """Two same-shape level-1 patches solve as ONE vmapped union system
+    (amr.py _radiation_pass batching); per-element while_loop masking
+    must reproduce the sequential per-patch solves to roundoff."""
+    import jax.numpy as jnp
+
+    sim = Simulation(TWO_PATCH_DECK, is_path=False, data_dir=str(tmp_path))
+    drv = sim.driver
+    drv._ensure_states(sim.state)
+    smr, los = drv.smr, drv._los
+    fine = [n for n in smr.nodes if n.parent is not None]
+    assert len(fine) == 2
+    assert tuple(fine[0].grid.nx) == tuple(fine[1].grid.nx)
+
+    # knock the radiation field out of equilibrium with distinct ramps
+    # per node so the solves are non-trivial and node-distinguishable
+    states = [dict(s) for s in smr_states_with_ramps(drv._states)]
+    dt = jnp.asarray(2.0e-9)
+
+    calls = []
+    for n in smr.nodes:
+        orig = n.radiation.step
+
+        def wrapped(st, d, ghosts=None, _o=orig, _n=n, **kw):
+            calls.append(_n.index)
+            return _o(st, d, ghosts=ghosts, **kw)
+
+        monkeypatch.setattr(n.radiation, "step", wrapped)
+
+    monkeypatch.setenv("ARTEMIS_BATCH_RAD", "0")
+    seq = smr._radiation_pass([dict(s) for s in states], dt, los)
+    seq_calls = list(calls)
+    calls.clear()
+    monkeypatch.setenv("ARTEMIS_BATCH_RAD", "1")
+    bat = smr._radiation_pass([dict(s) for s in states], dt, los)
+    # sequential: root + 2 fine solves; batched: root + ONE vmapped call
+    assert len(seq_calls) == 3
+    assert len(calls) == 2, "fine patches were not batched"
+
+    for s, b in zip(seq, bat):
+        for fl in s:
+            for k in s[fl]:
+                a = np.asarray(s[fl][k], dtype=np.float64)
+                c = np.asarray(b[fl][k], dtype=np.float64)
+                scale = np.abs(a).max() + 1e-300
+                assert np.max(np.abs(a - c)) / scale < 1e-12, (fl, k)
+
+
+def smr_states_with_ramps(states):
+    """Distinct smooth Er ramps per node (keeps gas untouched)."""
+    out = []
+    for i, st in enumerate(states):
+        st = dict(st)
+        Er = np.asarray(st["rad"]["Er"], dtype=np.float64)
+        ny, nx = Er.shape[-2], Er.shape[-1]
+        yy, xx = np.meshgrid(np.linspace(0, 1, ny), np.linspace(0, 1, nx),
+                             indexing="ij")
+        ramp = 1.0 + 0.4 * np.sin(2.5 * (xx + 0.3 * i)) * np.cos(1.7 * yy)
+        st["rad"] = {"Er": st["rad"]["Er"] * ramp.reshape(
+            (1,) * (Er.ndim - 2) + (ny, nx))}
+        out.append(st)
+    return out
